@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent, cross-engine-reproducible aggregates over doubles.
+  *
+  * Floating-point `sum(double)` depends on summation order, so a Spark
+  * result (partial aggregation over 32 partitions) and a single-threaded
+  * oracle (DuckDB) differ in the last ulps — enough to break hash-equality
+  * checks. Casting each addend to a fixed-scale decimal makes the sum exact
+  * integer arithmetic (order-independent and identical in every engine);
+  * one final cast back to double is a single deterministic IEEE rounding.
+  *
+  * The per-row cast double→decimal(30,10) discards information below 1e-10,
+  * which is far above the noise floor we are eliminating and identical in
+  * both engines. Values must stay below 1e20 (true for all test data and
+  * any realistic metric column).
+  *
+  * Scale note: decimal sums use Spark's built-in Decimal aggregate, which
+  * still benefits from partial (map-side) aggregation and whole-stage
+  * codegen; the cost over a double sum is a constant factor on the
+  * aggregation buffer, not a change in shuffle volume.
+  */
+object Exact {
+  /** Fixed-point type wide enough for sums over billions of rows. */
+  val DecimalT = "decimal(30,10)"
+
+  /** Exact sum, returned as double: SUM(CAST(x AS DECIMAL(30,10)))::DOUBLE */
+  def dsum(c: Column): Column = sum(c.cast(DecimalT)).cast("double")
+
+  /** Exact-sum mean: dsum(x) / count(x); division is one IEEE op. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact-moment sample variance via (Σx² − (Σx)²/n)/(n−1).
+    * Matches an oracle computing the same closed form; NOT Welford — the
+    * point is bit-reproducibility, and the oracle SQL uses this formula too.
+    * Returns null for n < 2 (like stddev_samp).
+    */
+  def dvarSamp(c: Column): Column = {
+    val n = count(c)
+    val sx = dsum(c)
+    val sxx = dsum(c * c)
+    when(n < 2, lit(null).cast("double"))
+      .otherwise((sxx - sx * sx / n) / (n - lit(1)))
+  }
+
+  /** Exact-moment sample stddev; clamps tiny negative variance (cancellation). */
+  def dstddevSamp(c: Column): Column =
+    sqrt(greatest(dvarSamp(c), lit(0.0)))
+
+  /** DuckDB SQL fragment equivalents, used when authoring oracle queries.
+    *
+    * DuckDB's DECIMAL(>18)→DOUBLE cast computes int128/10^s in double
+    * arithmetic (two roundings, off by ulps); routing through VARCHAR uses
+    * strtod, which is correctly rounded and matches the JVM's
+    * BigDecimal.doubleValue that Spark's decimal→double cast uses.
+    */
+  object sql {
+    def dsum(x: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+    def davg(x: String): String = s"(${dsum(x)} / COUNT($x))"
+    def dvarSamp(x: String): String =
+      s"(CASE WHEN COUNT($x) < 2 THEN NULL ELSE " +
+        s"(${dsum(s"($x)*($x)")} - ${dsum(x)}*${dsum(x)}/COUNT($x)) / (COUNT($x)-1) END)"
+    def dstddevSamp(x: String): String =
+      s"SQRT(GREATEST(${dvarSamp(x)}, 0.0))"
+  }
+}
