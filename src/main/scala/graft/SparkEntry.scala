@@ -17,7 +17,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
-  private def groups = Seq[QueryGroup](CoreQueries)
+  private def groups = Seq[QueryGroup](
+    CoreQueries, RelationalQueries, AggregateQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
