@@ -18,7 +18,8 @@ object SparkEntry {
     CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
   private def groups = Seq[QueryGroup](
-    CoreQueries, RelationalQueries, AggregateQueries)
+    CoreQueries, RelationalQueries, AggregateQueries,
+    TextQueries, VectorQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

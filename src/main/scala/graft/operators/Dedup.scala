@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (north-star scope,
+  * SURVEY §7.6): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (the point of each variant):
+  *  - exact/fingerprint: one hash-aggregate on a 128-bit key — the
+  *    cheapest pass, always run it first to shrink the candidate set.
+  *  - ngramJaccardPairs: EXACT pairwise Jaccard, but only over pairs that
+  *    share ≥1 shingle (the shingle join prunes the O(n²) space). Shuffle
+  *    is O(Σ shingle-postings²) — fine when no shingle is ubiquitous;
+  *    hot shingles (boilerplate) should be dropped upstream via a
+  *    document-frequency cap, exactly like stopword removal.
+  *  - minhash*: the 100 TB path — signature size is constant per doc, and
+  *    LSH banding turns all-pairs into per-bucket joins.
+  *  - simhash64: constant 8 bytes/doc; hamming-ball lookup via bit-band
+  *    buckets.
+  */
+object Dedup {
+
+  /** Exact duplicates on md5(text); `keeper` = min id per group. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(id).as("keeper"))
+
+  /** Exact duplicates on the sorted-distinct-token fingerprint. */
+  def byFingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(Fingerprint.bagFingerprint(text).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(id).as("keeper"))
+
+  /** Exact n-gram Jaccard over pairs sharing at least one shingle.
+    * Output: (doc_a, doc_b, n_common, jaccard) with doc_a < doc_b,
+    * jaccard >= minJaccard.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
+                        n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+    val sh = Fingerprint.withShingles(df.select(col(idCol), text.as("__text")),
+        col("__text"), n)
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
+    * xxhash64 shingle hashes. Constant-size per doc; the scalable
+    * near-dup representation. Signature as `sig` array column.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
+                        n: Int = 3, k: Int = 16): DataFrame = {
+    // Modulus/coefficient sizes chosen so a*h + b < 2^62 — no long
+    // overflow under ANSI mode: h < p < 2^32, a < 2^30.
+    val p = 4294967291L // largest prime below 2^32
+    val perms = Seq.tabulate(k) { i =>
+      // deterministic, seed-free coefficients derived from the index
+      val mix = 2862933555777941757L * (i + 1) + 3037000493L
+      (math.abs(mix % ((1L << 30) - 1)) + 1, math.abs((mix >> 7) % p))
+    }
+    val sh = Fingerprint.withShingles(df.select(col(idCol), text.as("__text")),
+        col("__text"), n)
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(p)))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"__m$i")
+    }
+    sh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), aggs: _*)
+      .withColumn("sig", array(Seq.tabulate(k)(i => col(s"__m$i")): _*))
+      .drop(Seq.tabulate(k)(i => s"__m$i"): _*)
+  }
+
+  /** LSH banding over MinHash signatures → candidate pairs.
+    * Docs agreeing on ALL rows of any band collide; near-dup probability
+    * 1-(1-J^rows)^bands. Per-bucket self-join — never all-pairs.
+    */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String,
+                           rowsPerBand: Int = 2): DataFrame = {
+    val k = 16 // matches minhashSignatures default
+    val bands = k / rowsPerBand
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array(Seq.tabulate(bands) { bi =>
+        struct(lit(bi).as("band"),
+          concat_ws("_", (0 until rowsPerBand)
+            .map(r => col("sig").getItem(bi * rowsPerBand + r)): _*).as("key"))
+      }: _*)))
+      .select(col(idCol), col("col.band"), col("col.key"))
+    val l = banded.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 64-bit SimHash from token xxhash64s — each bit j is the sign of
+    * Σ_tokens (bit_j(hash) ? +1 : -1). Pure DataFrame: explode + one
+    * aggregation with 64 conditional sums, reassembled with shifts.
+    */
+  def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextStats.tokens(text)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = Seq.tabulate(64) { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    val agg = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
+    val sim = Seq.tabulate(64) { j =>
+      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.withColumn("simhash", sim)
+      .drop(Seq.tabulate(64)(j => s"__b$j"): _*)
+  }
+
+  /** Hamming distance between two simhash values (for bucket verify). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

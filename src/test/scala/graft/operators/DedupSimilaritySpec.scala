@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the green bank"), // near dup of 1
+    (4L, "completely different words about spark catalyst shuffle exchange")
+  ).toDF("doc_id", "text")
+
+  test("Dedup.exact groups identical texts under one keeper") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(out.count() == 3)
+    val dup = out.filter(col("n_docs") === 2).head()
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("Dedup.ngramJaccardPairs: exact dup pair has jaccard 1.0; near dup high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"),
+      n = 3, minJaccard = 0.05).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("MinHash: identical docs share signatures; LSH finds the dup pairs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"))
+    val byId = sigs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[collection.Seq[Long]]("sig").toList).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(1L) != byId(4L))
+    // near-dup should agree on most minhash components
+    val agree = byId(1L).zip(byId(3L)).count { case (x, y) => x == y }
+    assert(agree >= 8, s"only $agree/16 components agree")
+    val cands = Dedup.minhashLshCandidates(sigs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("SimHash: equal texts hash equal; near dups within small hamming") {
+    val sh = Dedup.simhash64(docs, "doc_id", col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 16)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+    (2L, Array(0.0, 1.0, 0.0)), (3L, Array(-1.0, 0.0, 0.0))
+  ).toDF("id", "vec")
+
+  test("Similarity.cosine: identity 1, orthogonal 0, opposite -1") {
+    val q = vecs.select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.bruteForceTopK(q.filter(col("qid") === 0), vecs, 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toMap
+    assert(out(1L)._2 == 1) // nearest neighbour
+    assert(math.abs(out(2L)._1) < 1e-12)
+    assert(math.abs(out(3L)._1 + 1.0) < 1e-12)
+  }
+
+  test("Similarity.nearDupPairs finds only the close pair") {
+    val out = Similarity.nearDupPairs(vecs, 0.9).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("LSH buckets: close vectors collide, opposite vectors do not") {
+    val b = vecs.withColumn("bucket", Similarity.lshBucket(col("vec"), 4))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(3L))
+  }
+
+  test("Multimodal: mapPartitions stub decode and frame sampling") {
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "image"),
+      Multimodal.MediaRow(2L, Array.fill[Byte](250)(7), "video"))
+      .toDS()
+    val meta = Multimodal.decode(media)
+    val m = meta.collect().map(x => x.media_id -> x).toMap
+    assert(m(1L).byte_len == 3 && m(1L).width == 4) // 3 % 640 + 1
+    assert(m(2L).n_frames == 3) // 250/100 + 1
+    assert(m(1L).feature.length == 4)
+    val frames = Multimodal.sampleFrames(meta.toDF(), step = 2)
+      .filter(col("media_id") === 2L).collect().map(_.getInt(1)).sorted
+    assert(frames.toSeq == Seq(0, 2)) // frames 0..2 step 2
+  }
+
+  test("TextStats + LangId + Fingerprint semantics") {
+    val df = Seq((1L, "The the THE of and xyzzy")).toDF("doc_id", "text")
+    val ts = TextStats(df, col("text")).head()
+    assert(ts.getAs[Long]("n_tokens") == 6)
+    assert(ts.getAs[Long]("n_stopwords") == 5)
+    val li = LangId(Seq((1L, "der und das ist"), (2L, "le et les est"))
+      .toDF("doc_id", "text"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(li == Map(1L -> "de", 2L -> "fr"))
+    // fingerprint collapses word order + repetition
+    val fp = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "c b d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Fingerprint.bagFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}
