@@ -1,0 +1,163 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spec._
+
+/** The pipeline executor (SURVEY §3) — replaces the reference's external
+  * `cli.py run <pipeline> --env <env> --project-id <id>` orchestrator
+  * (/root/reference/pipelines/prism/README.md:13).
+  *
+  * Lifecycle per §3.1: resolve → parse (BOM-tolerant) → bind scope
+  * (env → sys → vars → dirs, dirs auto-created) → execute steps in file
+  * order with `foreach`/`sequential_foreach` fan-out → collect
+  * `output_var` records. `requires_pipelines` run first, topologically,
+  * memoized per-session (§3.3 step 0). The materialization ledger gives
+  * the reference's idempotent re-run semantics (§4).
+  *
+  * Parallelism: `foreach` fans out on a bounded pool; `parallel_with`
+  * names a shared concurrency group (one bounded pool per group —
+  * pipelines/prism/county_daily_aggregate_parent.yml:21);
+  * `sequential_foreach` is an ordered loop
+  * (county_daily_aggregate_child.yml:33). Spark jobs submitted from
+  * concurrent steps share the session's FAIR-capable scheduler.
+  */
+final class PipelineRunner(
+    registry: Registry,
+    env: Map[String, Any],
+    sparkProvider: () => SparkSession,
+    /** Roots to resolve pipeline paths against (asset sources,
+      * priority-ordered — pipelines/sample_step.yml:111-127). */
+    assetRoots: Seq[Path] = Seq(Paths.get(".")),
+    foreachParallelism: Int = 4,
+    sysContext: Option[SysContext] = None) {
+
+  /** path → completed run (memoized requires_pipelines, §3.3). */
+  private val memo = new ConcurrentHashMap[String, RunResult]()
+  private val groupPools = new ConcurrentHashMap[String, ExecutionContext]()
+
+  final case class RunResult(pipeline: Pipeline, scope: Scope,
+                             results: List[StepResult])
+
+  def runFile(path: Path, overrides: Map[String, Any] = Map.empty): RunResult =
+    runPipeline(Yaml.loadPipeline(resolvePath(path, None)), overrides)
+
+  /** Resolve relative pipeline refs: sibling-relative first
+    * (`requires_pipelines: ../cdl/...`,
+    * pipelines/prism/prism-mi-corn-ppt-county.yml:3-7), then asset roots
+    * in priority order. */
+  def resolvePath(p: Path, relativeTo: Option[Path]): Path = {
+    if (p.isAbsolute && Files.exists(p)) return p
+    val candidates =
+      relativeTo.map(_.resolveSibling(p.toString).normalize).toSeq ++
+        assetRoots.map(_.resolve(p.toString).normalize)
+    candidates.find(Files.exists(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"pipeline not found: $p (tried ${candidates.mkString(", ")})"))
+  }
+
+  /** Memoized dependency run — once per session per canonical path. */
+  def runRequired(ref: String, requiredBy: Option[String]): RunResult = {
+    val path = resolvePath(Paths.get(ref), requiredBy.map(Paths.get(_)))
+    memo.computeIfAbsent(path.toRealPath().toString,
+      _ => runPipeline(Yaml.loadPipeline(path), Map.empty))
+  }
+
+  /** pipeline_execute entry: resolve relative to the invoking pipeline
+    * first, then asset roots. */
+  def runRelative(ref: String, relativeTo: Option[String],
+                  overrides: Map[String, Any]): RunResult = {
+    val path = resolvePath(Paths.get(ref), relativeTo.map(Paths.get(_)))
+    runPipeline(Yaml.loadPipeline(path), overrides)
+  }
+
+  def runPipeline(p: Pipeline,
+                  overrides: Map[String, Any]): RunResult = {
+    // 0. dependencies first (§3.3)
+    p.requiresPipelines.foreach(runRequired(_, p.sourcePath))
+
+    // 1. bind scope: env → sys → vars → dirs (§3.1 step 3)
+    var scope = Scope(env = env, vars = p.vars, dirs = p.dirs,
+      overrides = overrides,
+      sys = sysContext.getOrElse(SysContext.fresh()))
+
+    // 2. dirs auto-created at run start (SURVEY §1.1 `dirs`)
+    p.dirs.keys.foreach { k =>
+      Interpolator.resolve(p.dirs(k), scope) match {
+        case s: String if s.nonEmpty => Files.createDirectories(Paths.get(s))
+        case _ => ()
+      }
+    }
+
+    // 3. execute steps in file order
+    val results = List.newBuilder[StepResult]
+    p.steps.zipWithIndex.foreach { case (step, i) =>
+      val stepScope = scope.withStep(i + 1)
+      val result = runStep(step, stepScope, p.sourcePath)
+      results += result
+      step.outputVar.foreach { name =>
+        scope = scope.withOutput(name, result.fields)
+      }
+    }
+    RunResult(p, scope, results.result())
+  }
+
+  private def runStep(step: Step, scope: Scope,
+                      sourcePath: Option[String]): StepResult = {
+    val plugin = registry.resolve(step.plugin)
+
+    def invoke(itemScope: Scope): StepResult = {
+      val args = Interpolator.resolve(step.args, itemScope)
+        .asInstanceOf[Map[String, Any]]
+      val overwrite = args.get("overwrite").exists(_.toString.toBoolean)
+      if (Ledger.stepSkippable(args, overwrite)) StepResult(skipped = true)
+      else plugin.run(
+        StepContext(args, itemScope, sparkProvider, this, sourcePath))
+    }
+
+    def items(varName: String): List[Any] =
+      Interpolator.resolve(s"{$varName}", scope) match {
+        case l: Seq[_] => l.toList
+        case other => throw new IllegalArgumentException(
+          s"foreach '$varName' is not a list: $other")
+      }
+
+    (step.foreach, step.sequentialForeach) match {
+      case (Some(varName), _) =>
+        val list = items(varName)
+        implicit val ec: ExecutionContext = poolFor(step.parallelWith)
+        val futures = list.map(it => Future(invoke(scope.withItem(it))))
+        val all = Await.result(Future.sequence(futures), Duration.Inf)
+        mergeResults(all)
+      case (None, Some(varName)) =>
+        mergeResults(items(varName).map(it => invoke(scope.withItem(it))))
+      case (None, None) => invoke(scope)
+    }
+  }
+
+  /** Fan-out result record: last non-skipped fields win plus counts. */
+  private def mergeResults(rs: Seq[StepResult]): StepResult = {
+    val ran = rs.filterNot(_.skipped)
+    StepResult(
+      fields = ran.lastOption.map(_.fields).getOrElse(Map.empty) ++
+        Map("n_invocations" -> rs.size, "n_skipped" -> (rs.size - ran.size)),
+      skipped = ran.isEmpty && rs.nonEmpty)
+  }
+
+  /** Daemon threads: a completed run must never pin the JVM open (the
+    * CLI would otherwise hang after its last step). */
+  private def poolFor(group: Option[String]): ExecutionContext =
+    groupPools.computeIfAbsent(group.getOrElse("__default"), g =>
+      ExecutionContext.fromExecutorService(
+        Executors.newFixedThreadPool(foreachParallelism, r => {
+          val t = new Thread(r, s"graft-foreach-$g")
+          t.setDaemon(true)
+          t
+        })))
+}

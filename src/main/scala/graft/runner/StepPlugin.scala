@@ -1,0 +1,72 @@
+package graft.runner
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spec.Scope
+
+/** Plugin SPI (SURVEY §7.2) — the engine's operator registry surface,
+  * keyed by the YAML plugin names. The reference dispatches each step to
+  * an external Python program (`plugin: echo.py`,
+  * /root/reference/pipelines/sample_steps.yml:8); here a step is an
+  * in-process Scala call, usually submitting Spark jobs.
+  */
+trait StepPlugin extends Serializable {
+  /** Canonical name (without `.py`, with namespace: `geo/geo_raster_spi`). */
+  def name: String
+  def run(ctx: StepContext): StepResult
+}
+
+/** Everything a plugin sees for one invocation. */
+final case class StepContext(
+    /** Fully interpolated argument map for this invocation. */
+    args: Map[String, Any],
+    scope: Scope,
+    /** Lazy session — pure-driver plugins never start Spark. */
+    sparkProvider: () => SparkSession,
+    runner: PipelineRunner,
+    /** Source path of the invoking pipeline (sibling-relative refs). */
+    currentPipeline: Option[String] = None) {
+
+  def spark: SparkSession = sparkProvider()
+
+  def arg(key: String): Any = args.getOrElse(key,
+    throw new IllegalArgumentException(s"missing arg '$key' in $args"))
+  def argStr(key: String): String = arg(key).toString
+  def argOpt(key: String): Option[Any] = args.get(key)
+  def argBool(key: String, default: Boolean): Boolean =
+    args.get(key).map(_.toString.toBoolean).getOrElse(default)
+  def argInt(key: String, default: Int): Int =
+    args.get(key).map(_.toString.toInt).getOrElse(default)
+  /** `overwrite: false` is the reference's idempotence contract
+    * (e.g. /root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:22). */
+  def overwrite: Boolean = argBool("overwrite", default = false)
+}
+
+/** Structured step result; fields are visible to later steps via
+  * `{output_var.field}` (/root/reference/pipelines/tiger/county.yml:41,47). */
+final case class StepResult(fields: Map[String, Any] = Map.empty,
+                            skipped: Boolean = false)
+
+/** Plugin registry. Lookup normalizes the reference's naming variants:
+  * with/without `.py`, with/without the `geo/` namespace
+  * (`plugin: echo` vs `echo.py` vs `geo/geo_raster_spi.py` —
+  * /root/reference/pipelines/sample.yml:7, sample_steps.yml:8,
+  * pipelines/prism/stage-ts-ppt-day-mi-spi-3d.yml:22).
+  */
+final class Registry(plugins: Seq[StepPlugin]) {
+  private val byName: Map[String, StepPlugin] =
+    plugins.flatMap { p =>
+      val base = p.name.stripSuffix(".py")
+      val short = base.split('/').last
+      Seq(base -> p, short -> p)
+    }.toMap
+
+  def resolve(yamlName: String): StepPlugin = {
+    val norm = yamlName.stripSuffix(".py")
+    byName.get(norm).orElse(byName.get(norm.split('/').last)).getOrElse(
+      throw new IllegalArgumentException(s"unknown plugin: $yamlName"))
+  }
+
+  def withPlugins(more: Seq[StepPlugin]): Registry =
+    new Registry(byName.values.toSeq.distinct ++ more)
+}

@@ -1,0 +1,288 @@
+package graft.runner.plugins
+
+import java.io.{FileOutputStream, InputStream}
+import java.net.URI
+import java.nio.file.{FileSystems, Files, Path, Paths, StandardCopyOption}
+import java.util.zip.{GZIPInputStream, ZipInputStream}
+
+import scala.jdk.CollectionConverters._
+
+import graft.runner._
+
+/** `echo` / `echo.py` — smoke no-op with optional message
+  * (/root/reference/pipelines/sample.yml:7, sample_mutlisteps.yml:10-21). */
+object EchoPlugin extends StepPlugin {
+  val name = "echo"
+  def run(ctx: StepContext): StepResult = {
+    val msg = ctx.argOpt("message").map(_.toString).getOrElse("")
+    if (msg.nonEmpty) println(s"[echo] $msg")
+    StepResult(Map("message" -> msg))
+  }
+}
+
+/** `exec_script.py` — run an arbitrary script with env passthrough
+  * (/root/reference/pipelines/testdb.yml:8-10). The engine's escape
+  * hatch; exit code surfaces as a field, non-zero raises. */
+object ExecScriptPlugin extends StepPlugin {
+  val name = "exec_script"
+  def run(ctx: StepContext): StepResult = {
+    import scala.sys.process._
+    val script = ctx.argStr("script")
+    val extraEnv = ctx.argOpt("env").map {
+      case m: Map[_, _] => m.map { case (k, v) => (k.toString, v.toString) }.toSeq
+      case _ => Seq.empty
+    }.getOrElse(Seq.empty)
+    val code = Process(Seq("/bin/sh", "-c", script), None, extraEnv: _*).!
+    if (code != 0)
+      throw new RuntimeException(s"exec_script failed with exit code $code")
+    StepResult(Map("exit_code" -> code))
+  }
+}
+
+/** `pipeline_execute.py` — run another pipeline as a step, with
+  * `vars_kv` overrides and `mode: synchronized`
+  * (/root/reference/pipelines/prism/county_daily_aggregate_parent.yml:14-22).
+  * Combined with `foreach` + `parallel_with`, the runner gives parallel
+  * parameterized sub-runs; `synchronized` (the only observed mode) blocks
+  * until the child completes.
+  */
+object PipelineExecutePlugin extends StepPlugin {
+  val name = "pipeline_execute"
+  def run(ctx: StepContext): StepResult = {
+    val path = ctx.argStr("pipeline_path")
+    val overrides = ctx.argOpt("vars_kv").map(kv => parseVarsKv(kv.toString))
+      .getOrElse(Map.empty[String, Any])
+    val result = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
+    StepResult(Map("pipeline" -> path, "n_steps" -> result.results.size))
+  }
+
+  /** `vars_kv: "year=2024"` — values arrive already interpolated; scalars
+    * re-typed so the child sees `year: 2024` (int), matching the child's
+    * own `vars` typing (county_daily_aggregate_child.yml:5). */
+  def parseVarsKv(kv: String): Map[String, Any] =
+    kv.split(",").filter(_.nonEmpty).map { pair =>
+      val Array(k, v) = pair.split("=", 2)
+      k.trim -> retype(v.trim)
+    }.toMap
+
+  private def retype(s: String): Any =
+    if (s.matches("-?\\d+")) s.toInt
+    else if (s.matches("-?\\d*\\.\\d+")) s.toDouble
+    else if (s == "true" || s == "false") s.toBoolean
+    else s
+}
+
+/** `web_download_list` — HTTP(S)/file staging of a url, a url list, or a
+  * `urls_file`; idempotent via `overwrite: false`, freshness via
+  * `conditional_get` (If-Modified-Since)
+  * (/root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:17-26,
+  * pipelines/tiger/county.yml:21-28 urls_file form).
+  * `file://` URLs stage by copy, keeping tests network-free.
+  */
+object WebDownloadPlugin extends StepPlugin {
+  val name = "web_download_list"
+  def run(ctx: StepContext): StepResult = {
+    val out = Paths.get(ctx.argStr("out"))
+    Files.createDirectories(out)
+    val urls: Seq[String] = ctx.argOpt("url").map(u => Seq(u.toString))
+      .orElse(ctx.argOpt("urls").map {
+        case l: Seq[_] => l.map(_.toString)
+        case s => Seq(s.toString)
+      })
+      .orElse(ctx.argOpt("urls_file").map(f =>
+        Files.readAllLines(Paths.get(f.toString)).asScala.toSeq
+          .map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(throw new IllegalArgumentException(
+        "web_download_list needs url/urls/urls_file"))
+    val timeoutMs = ctx.argInt("timeout_seconds", 180) * 1000
+    var fetched, skipped = 0
+    urls.foreach { u =>
+      val fname = u.split('/').last
+      val target = out.resolve(fname)
+      if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
+      else { fetch(u, target, timeoutMs); fetched += 1 }
+    }
+    StepResult(Map("n_urls" -> urls.size, "n_fetched" -> fetched,
+      "n_skipped" -> skipped, "out" -> out.toString))
+  }
+
+  private def fetch(url: String, target: Path, timeoutMs: Int): Unit = {
+    val uri = URI.create(url)
+    if (uri.getScheme == "file") {
+      Files.copy(Paths.get(uri), target, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val conn = uri.toURL.openConnection()
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val in = conn.getInputStream
+      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
+  }
+}
+
+/** `ftp_download_tree` — recursive mirror with `filename_glob`
+  * (/root/reference/pipelines/prism/download-ts-ppt-day.yml:17-27).
+  * `file://` trees mirror recursively (tests + local staging); `ftp://`
+  * single files go through the JDK's built-in ftp URL handler. A full
+  * remote LIST-walking client is a deliberate non-goal here — PRISM-style
+  * mirrors enumerate per-year URLs anyway.
+  */
+object FtpDownloadTreePlugin extends StepPlugin {
+  val name = "ftp_download_tree"
+  def run(ctx: StepContext): StepResult = {
+    val url = ctx.argStr("url")
+    val out = Paths.get(ctx.argStr("out"))
+    val glob = ctx.argOpt("filename_glob").map(_.toString).getOrElse("*")
+    val recursive = ctx.argBool("recursive", default = true)
+    Files.createDirectories(out)
+    val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    val uri = URI.create(url)
+    var fetched, skipped = 0
+    if (uri.getScheme == "file") {
+      val root = Paths.get(uri)
+      val stream = if (recursive) Files.walk(root) else Files.list(root)
+      try {
+        stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))
+          .foreach { p =>
+            val target = out.resolve(root.relativize(p).toString)
+            Files.createDirectories(target.getParent)
+            if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
+            else {
+              Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+              fetched += 1
+            }
+          }
+      } finally stream.close()
+    } else {
+      val target = out.resolve(url.split('/').last)
+      if (Ledger.shouldWrite(target, ctx.overwrite)) {
+        val in = uri.toURL.openStream()
+        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        fetched += 1
+      } else skipped += 1
+    }
+    StepResult(Map("n_fetched" -> fetched, "n_skipped" -> skipped,
+      "out" -> out.toString))
+  }
+}
+
+/** `archive_extract` — unzip one archive or a (recursive `**`) glob
+  * (/root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:27-34;
+  * glob form pipelines/prism/download-ts-ppt-day.yml:28-35). */
+object ArchiveExtractPlugin extends StepPlugin {
+  val name = "archive_extract"
+  def run(ctx: StepContext): StepResult = {
+    val out = Paths.get(ctx.argStr("out"))
+    Files.createDirectories(out)
+    val archives: Seq[Path] = ctx.argOpt("archive") match {
+      case Some(a) => Seq(Paths.get(a.toString))
+      case None =>
+        val glob = ctx.argStr("archive_glob")
+        globPaths(glob)
+    }
+    var extracted, skipped = 0
+    archives.foreach { a =>
+      val marker = out.resolve(s".extracted_${a.getFileName}")
+      if (!Ledger.shouldWrite(marker, ctx.overwrite)) skipped += 1
+      else {
+        unzip(a, out)
+        Files.writeString(marker, a.toString)
+        extracted += 1
+      }
+    }
+    StepResult(Map("n_archives" -> archives.size, "n_extracted" -> extracted,
+      "n_skipped" -> skipped, "out" -> out.toString))
+  }
+
+  /** Expand a glob that may contain `**` (walk from the fixed prefix). */
+  def globPaths(glob: String): Seq[Path] = {
+    val firstMeta = glob.indexWhere(c => c == '*' || c == '?' || c == '[')
+    if (firstMeta < 0) return Seq(Paths.get(glob)).filter(Files.exists(_))
+    val lastSep = glob.lastIndexOf('/', firstMeta)
+    val root = Paths.get(if (lastSep <= 0) "/" else glob.substring(0, lastSep))
+    if (!Files.exists(root)) return Seq.empty
+    val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && matcher.matches(p))
+      .toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
+
+  private def unzip(archive: Path, out: Path): Unit = {
+    val zin = new ZipInputStream(Files.newInputStream(archive))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val target = out.resolve(e.getName).normalize
+        require(target.startsWith(out), s"zip slip blocked: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          copyStream(zin, target)
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+  }
+
+  private def copyStream(in: InputStream, target: Path): Unit = {
+    val os = new FileOutputStream(target.toFile)
+    try in.transferTo(os) finally os.close()
+  }
+}
+
+/** `gzip_extract` — gunzip a single file into a directory
+  * (/root/reference/pipelines/usda_nass/download-quickstats-crops-census-and-crop-progress.yml:39-45).
+  * Kept for DSL parity; Spark reads `.gz` text natively so migrated
+  * pipelines drop this step entirely (SURVEY §2.1 S5). */
+object GzipExtractPlugin extends StepPlugin {
+  val name = "gzip_extract"
+  def run(ctx: StepContext): StepResult = {
+    val src = Paths.get(ctx.argStr("archive"))
+    val out = Paths.get(ctx.argStr("out"))
+    Files.createDirectories(out)
+    val target = out.resolve(src.getFileName.toString.stripSuffix(".gz"))
+    if (!Ledger.shouldWrite(target, ctx.overwrite))
+      StepResult(Map("out" -> target.toString), skipped = true)
+    else {
+      val in = new GZIPInputStream(Files.newInputStream(src))
+      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      StepResult(Map("out" -> target.toString))
+    }
+  }
+}
+
+/** `combine_files.py` — schema-aligned union of a CSV glob into ONE
+  * output file (/root/reference/pipelines/prism/county_daily_aggregate.yml:38-44).
+  * Spark form: read glob → `coalesce(1)` write → move the single part
+  * file to `output_file`. The coalesce serializes only the final write of
+  * an already-aggregated (small) result — the upstream computation keeps
+  * full parallelism.
+  */
+object CombineFilesPlugin extends StepPlugin {
+  val name = "combine_files"
+  def run(ctx: StepContext): StepResult = {
+    val glob = ctx.argStr("input_glob")
+    val outFile = Paths.get(ctx.argStr("output_file"))
+    if (!Ledger.shouldWrite(outFile, ctx.overwrite))
+      return StepResult(Map("output_file" -> outFile.toString), skipped = true)
+    val spark = ctx.spark
+    val df = spark.read.option("header", "true").csv(glob)
+    val tmp = Files.createTempDirectory("combine_files")
+    val tmpOut = tmp.resolve("out")
+    df.coalesce(1).write.option("header", "true").csv(tmpOut.toString)
+    val part = Files.list(tmpOut).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("no part file written"))
+    Files.createDirectories(outFile.getParent)
+    Files.move(part, outFile, StandardCopyOption.REPLACE_EXISTING)
+    StepResult(Map("output_file" -> outFile.toString,
+      "n_rows" -> df.count()))
+  }
+}

