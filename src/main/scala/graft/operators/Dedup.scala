@@ -37,9 +37,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
                         n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
-    val sh = Fingerprint.withShingles(df.select(col(idCol), text.as("__text")),
-        col("__text"), n)
-      .select(col(idCol), explode(col("shingles")).as("sh"))
+    // The shingle table feeds THREE branches (sizes, left, right) and
+    // Catalyst does not CSE across them — persist so shingling runs once.
+    val sh = Fingerprint.explodedShingleHashes(df, idCol, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh"))
@@ -69,10 +70,8 @@ object Dedup {
       val mix = 2862933555777941757L * (i + 1) + 3037000493L
       (math.abs(mix % ((1L << 30) - 1)) + 1, math.abs((mix >> 7) % p))
     }
-    val sh = Fingerprint.withShingles(df.select(col(idCol), text.as("__text")),
-        col("__text"), n)
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(p)))
+    val sh = Fingerprint.explodedShingleHashes(df, idCol, text, n)
+      .withColumn("h", pmod(col("sh"), lit(p)))
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"__m$i")
     }
@@ -86,10 +85,13 @@ object Dedup {
     * Docs agreeing on ALL rows of any band collide; near-dup probability
     * 1-(1-J^rows)^bands. Per-bucket self-join — never all-pairs.
     */
-  def minhashLshCandidates(sigs: DataFrame, idCol: String,
+  def minhashLshCandidates(sigsIn: DataFrame, idCol: String,
                            rowsPerBand: Int = 2): DataFrame = {
     val k = 16 // matches minhashSignatures default
     val bands = k / rowsPerBand
+    // signatures feed both sides of the bucket self-join — persist
+    val sigs = sigsIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col(idCol),
       posexplode(array(Seq.tabulate(bands) { bi =>

@@ -36,4 +36,32 @@ object Fingerprint {
     df.withColumn("__sh_toks", TextStats.tokens(text))
       .withColumn(outCol, array_distinct(shinglesOf(col("__sh_toks"), n)))
       .drop("__sh_toks")
+
+  /** One row per distinct (id, shingle-hash), built codegen-only:
+    * posexplode tokens → xxhash64 per token → n-window combine via
+    * `lead()` + shifted XOR → distinct.
+    *
+    * Measured at sf0.1 (5k docs, 260k shingles): ~0.6 s vs ~4 s for the
+    * `transform(...)`-lambda string-shingle form and ~10 s for hashing
+    * inside the lambda — higher-order functions evaluate interpreted
+    * per-element, while posexplode/window/hash are all whole-stage
+    * codegen. The one shuffle (by id, sort by pos) doubles as the
+    * distinct's partitioning. 8-byte keys; collision odds ~d²/2⁶⁴ —
+    * negligible for near-dup semantics.
+    */
+  def explodedShingleHashes(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, text: Column, n: Int)
+  : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val combined = (1 until n).foldLeft(col("__h0")) { (acc, j) =>
+      acc.bitwiseXOR(shiftleft(lead(col("__h0"), j).over(w), (21 * j) % 64))
+    }
+    df.select(col(idCol),
+        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+      .withColumn("__h0", xxhash64(col("__tok")))
+      .withColumn("sh", combined)
+      .filter(col("sh").isNotNull) // trailing positions lack a full window
+      .select(col(idCol), col("sh")).distinct()
+  }
 }

@@ -4,41 +4,53 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Embedding similarity search (north-star scope, SURVEY §7.6).
   *
-  * [[cosine]] is a sequential-fold dot product over array columns —
-  * `aggregate(zip_with(...))` stays inside codegen (no UDF, no explode)
-  * and its left-to-right summation is bit-identical to DuckDB's
-  * `list_dot_product`, so brute-force results are oracle-checkable.
+  * The dot product is [[graft.functions.DotProductExpr]] — a native
+  * codegen Catalyst expression (multiply-accumulate loop over ArrayData,
+  * no allocation). The previous `aggregate(zip_with(...))` formulation
+  * materialized an intermediate array per pair and measured ~100× slower
+  * than a vectorized engine at sf0.1; the native expression closes that
+  * gap while keeping left-to-right summation (bit-identical to DuckDB's
+  * `list_dot_product`, so brute-force results stay oracle-checkable).
   *
-  * [[bruteForceTopK]] is the exact baseline: |Q|×|N| fold evaluations,
-  * embarrassingly parallel, no shuffle until the final per-query top-k.
-  * Right answer when |Q| is small or recall must be 1.0.
+  * Norms are computed ONCE per vector before any pair join — an
+  * all-pairs join must never recompute O(dim) work that is O(n) outside
+  * it. Cosine = dot(a,b) / (norm_a * norm_b), the exact expression the
+  * oracle uses.
   *
-  * [[lshBucketTopK]] is the scale path: random-hyperplane signs bucket
-  * the vectors (signed projections against deterministic pseudo-random
-  * planes), the join is bucket-equi instead of cross, and each query
-  * only scans its bucket — recall trades against `planes`. At 100 TB the
-  * bucketed table is written partitioned by bucket so queries prune
-  * partitions at scan time (an IVF layout, LSH-assigned).
+  * [[bruteForceTopK]] is the exact baseline (|Q|×|N| pairs, no shuffle
+  * until the final per-query top-k). [[lshBucketTopK]] is the scale
+  * path: deterministic random-hyperplane sign buckets turn the cross
+  * join into a bucket-equi join; recall trades against `planes`. At
+  * 100 TB the bucketed corpus is written `partitionBy(bucket)` so
+  * queries prune partitions at scan time (an IVF layout, LSH-assigned).
   */
 object Similarity {
 
   /** Arrays must be double (cast float embeddings with [[asDouble]]). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val dot = VectorFunctions.dot(a, b)
+    dot / (sqrt(VectorFunctions.dot(a, a)) * sqrt(VectorFunctions.dot(b, b)))
   }
 
   def asDouble(arr: Column): Column = transform(arr, x => x.cast("double"))
 
+  private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame =
+    df.withColumn(norm, sqrt(VectorFunctions.dot(col(vec), col(vec))))
+
   /** Exact top-k neighbours for each query vector.
     * @param queries (qid, qvec double-array); @param corpus (id, vec). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = queries.crossJoin(corpus)
+    val q = withNorm(queries, "qvec", "__qn")
+    val c = withNorm(corpus, "vec", "__cn")
+    val scored = q.crossJoin(c)
       .filter(col("qid") =!= col("id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("vec")) /
+          (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -49,10 +61,13 @@ object Similarity {
   /** All pairs with cosine >= tau (embedding near-dup detection).
     * Brute force at test scale; at cluster scale feed LSH buckets in. */
   def nearDupPairs(vecs: DataFrame, tau: Double): DataFrame = {
-    val a = vecs.select(col("id").as("id_a"), col("vec").as("va"))
-    val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
+    val a = withNorm(vecs, "vec", "__n")
+      .select(col("id").as("id_a"), col("vec").as("va"), col("__n").as("__na"))
+    val b = withNorm(vecs, "vec", "__n")
+      .select(col("id").as("id_b"), col("vec").as("vb"), col("__n").as("__nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }
@@ -80,11 +95,15 @@ object Similarity {
   /** ANN top-k: queries only scan their own sign bucket. */
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     planes: Int = 4): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
-    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), planes))
+    val qb = withNorm(queries.withColumn("bucket",
+      lshBucket(col("qvec"), planes)), "qvec", "__qn")
+    val cb = withNorm(corpus.withColumn("bucket",
+      lshBucket(col("vec"), planes)), "vec", "__cn")
     val scored = qb.join(cb, Seq("bucket"))
       .filter(col("qid") =!= col("id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("qvec"), col("vec")) /
+          (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference is batch-only with incremental re-run idioms
+  * (skip-if-exists, conditional GET, date-partitioned append dirs —
+  * /root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:22-23);
+  * its "streams" are files arriving in staged directories. This module is
+  * the engine's streaming mirror of the same aggregations: a file-source
+  * stream over a staged directory, watermarked event-time windows
+  * (tumbling = per-day zonal aggregation A1, sliding = rolling windows
+  * W1), duplicate suppression for re-delivered files, and keyed custom
+  * state for incremental per-entity counters.
+  *
+  * Scale: file-source streams shard listing + processing across the
+  * cluster; state stores are per-key and RocksDB-backable; watermarks
+  * bound state size — the knobs that matter at 100 TB/day are watermark
+  * delay (state retention) and `maxFilesPerTrigger` (micro-batch sizing).
+  */
+object StreamOps {
+
+  /** File-source stream over a staged directory (the runner's download
+    * targets) — schema must be supplied (streams cannot infer). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** Tumbling event-time aggregate — the streaming form of per-day zonal
+    * stats (A1): count/sum/avg per (key, day window). */
+  def tumblingDailyAgg(events: DataFrame, ts: String, key: String,
+                       value: String,
+                       watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), "1 day").as("w"), col(key))
+      .agg(count(lit(1)).as("n"), sum(col(value)).as("total"),
+        avg(col(value)).as("mean"))
+      .select(col("w.start").as("day_start"), col(key), col("n"),
+        col("total"), col("mean"))
+
+  /** Sliding event-time aggregate — the streaming form of trailing
+    * rolling sums (W1): an N-day window sliding daily. */
+  def slidingSum(events: DataFrame, ts: String, key: String, value: String,
+                 windowDays: Int, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(window(col(ts), s"$windowDays days", "1 day").as("w"),
+        col(key))
+      .agg(sum(col(value)).as("total"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col(key), col("total"))
+
+  /** Duplicate suppression within the watermark horizon — re-delivered
+    * events/files (the streaming analog of the ledger's idempotence). */
+  def dedupedStream(events: DataFrame, ts: String, idCol: String,
+                    watermark: String = "1 day"): DataFrame =
+    events.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Keyed running counter via mapGroupsWithState — the custom-state
+    * surface (per-user lifetime event count + value total). */
+  def runningTotals(spark: SparkSession, events: DataFrame, key: String,
+                    value: String): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(key).cast("long"),
+      col(value).cast("double")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = sum0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (k, n, s)
+      }.toDF(key, "n_events", "total_value")
+  }
+
+  /** Run a streaming DataFrame to completion against currently-available
+    * input (batch-parity harness: memory sink + processAllAvailable). */
+  def runToMemory(df: DataFrame, queryName: String,
+                  outputMode: OutputMode = OutputMode.Update): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

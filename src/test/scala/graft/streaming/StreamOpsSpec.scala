@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** SURVEY §5.5: events replayed as a file-source stream; windowed
+  * aggregates must equal their batch counterparts. */
+class StreamOpsSpec extends SparkSpecBase {
+
+  private lazy val eventsBatch = Tables.events(spark, sf)
+  // file streams need a DIRECTORY: stage the single parquet into one
+  private lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+  // stream the staged dir; normalize ns→ts like Tables.events
+  private lazy val eventsStream = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    StreamOps.fileStream(spark, stagedDir, raw.schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("tumbling daily aggregate equals batch groupBy(day)") {
+    val streamed = StreamOps.runToMemory(
+      StreamOps.tumblingDailyAgg(eventsStream, "ts", "user_id", "value"),
+      "tumbling_out")
+      .select(to_date(col("day_start")).as("day"), col("user_id"),
+        col("n"), col("total"))
+    val batch = eventsBatch
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    assert(streamed.count() == batch.count())
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      Seq("day", "user_id"))
+      .filter(col("s.n") =!= col("b.n") ||
+        abs(col("s.total") - col("b.total")) > 1e-6)
+    assert(joined.count() == 0, "stream/batch daily aggregates diverge")
+  }
+
+  test("sliding 3-day window equals batch range-frame rolling sum") {
+    val streamed = StreamOps.runToMemory(
+      StreamOps.slidingSum(eventsStream, "ts", "user_id", "value", 3),
+      "sliding_out")
+    // batch check for one (user, window_end): sum of events in [start,end)
+    val sample = streamed.orderBy(col("user_id"), col("window_start"))
+      .limit(5).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val (ws, we) = (r.getTimestamp(0), r.getTimestamp(1))
+      val uid = r.getLong(2)
+      val expected = eventsBatch
+        .filter(col("user_id") === uid &&
+          col("ts") >= lit(ws) && col("ts") < lit(we))
+        .agg(sum(col("value"))).head().getDouble(0)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6,
+        s"window $ws..$we user $uid")
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
+    import spark.implicits._
+    val dup = eventsBatch.limit(100)
+    val stream = StreamOps.fileStream(spark, stagedDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = StreamOps.runToMemory(
+      StreamOps.dedupedStream(stream.unionByName(stream), "ts", "event_id"),
+      "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    assert(deduped.count() == eventsBatch.count())
+    val _ = dup
+  }
+
+  test("mapGroupsWithState running totals equal batch per-user totals") {
+    val streamed = StreamOps.runToMemory(
+      StreamOps.runningTotals(spark, eventsStream, "user_id", "value"),
+      "state_out")
+    // memory sink in Update mode keeps every emitted row; take the last
+    // state per user
+    val latest = streamed.groupBy("user_id")
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("t"))
+    val batch = eventsBatch.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("t"))
+    val diff = latest.alias("s").join(batch.alias("b"), "user_id")
+      .filter(col("s.n") =!= col("b.n") ||
+        abs(col("s.t") - col("b.t")) > 1e-6)
+    assert(diff.count() == 0)
+  }
+}
