@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioned dataset sinks (SURVEY §4: the reference's year/day
+  * directory layout + filename globs are its partition pruning —
+  * /root/reference/pipelines/prism/download-ts-ppt-day.yml:21-22 stages
+  * per-year trees; stage-ts-ppt-day-mi-rollsum-14d.yml:26-27 filters by
+  * filename glob).
+  *
+  * In the engine that becomes `partitionBy` directory layout, and
+  * Catalyst's `PruneFileSourcePartitions` turns day/year predicates into
+  * scans that never touch the other partitions — the difference between
+  * reading 100 TB and reading one day of it.
+  */
+object Sink {
+  /** Write with a derived `day` (and optionally `year`) partition column.
+    * Rule of thumb at scale: partition by the coarsest column queries
+    * filter on; aim for >=100 MB files per partition (tune upstream
+    * repartition), and NEVER partition by a high-cardinality key. */
+  def writeDayPartitioned(df: DataFrame, ts: Column, path: String,
+                          alsoYear: Boolean = false): Unit = {
+    val withDay = df.withColumn("day", to_date(ts))
+    val (out, cols) =
+      if (alsoYear) (withDay.withColumn("year", year(col("day"))),
+        Seq("year", "day"))
+      else (withDay, Seq("day"))
+    out.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+  }
+}

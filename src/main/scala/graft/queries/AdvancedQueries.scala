@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.functions.Exact
+
+/** Relational capabilities beyond the reference's authored surface that
+  * SURVEY §2 notes as "free in Spark" (grouping sets, ranking/lead-lag,
+  * semi/anti joins, sketches, JSON) — implemented as first-class,
+  * oracle-checked queries so the engine's completeness is demonstrated,
+  * not asserted.
+  */
+object AdvancedQueries extends QueryGroup {
+
+  /** CUBE over (status, priority) — grouping-set aggregation. Subtotal
+    * rows' NULL keys are coalesced to '(all)' so results sort stably in
+    * any comparator (and both engines emit the identical sentinel). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("total"))
+
+  /** ROLLUP over (returnflag, linestatus). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n"), col("qty"))
+
+  /** lead/lag over each customer's order sequence (deterministic
+    * tie-break on the unique key). */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0))
+        .as("prev_price"),
+      coalesce(datediff(lead(to_date(col("o_orderdate")), 1).over(w),
+        to_date(col("o_orderdate"))), lit(-1)).as("next_gap_days"))
+  }
+
+  /** As-of lookup: per event, the most recent PRIOR 'error' event time
+    * of the same user (ms precision — ns/µs-safe across engines). */
+  def asofPrevError(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("__prev_us",
+        max(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .over(w))
+      // integer division: '/' would round on the oracle side (DuckDB
+      // BIGINT '/' yields DOUBLE and CAST rounds; Spark cast truncates)
+      .select(col("event_id"), col("user_id"),
+        coalesce(expr("__prev_us div 1000"), lit(-1L)).as("prev_error_ms"))
+  }
+
+  /** Anti join: customers with no URGENT-priority order (every customer
+    * has SOME order in the test data, so the filter keeps it non-empty
+    * at every scale factor). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").startsWith("1"))
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** JSON extraction from the events props column. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+
+  /** HLL sketch (no SQL oracle — estimator internals are engine-
+    * specific; accuracy pinned by spec to within 5% of exact). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> (cubeAgg _),
+    "rollup_agg" -> (rollupAgg _),
+    "lead_lag" -> (leadLag _),
+    "asof_prev_error" -> (asofPrevError _),
+    "anti_join" -> (antiJoin _),
+    "json_funcs" -> (jsonFuncs _),
+    "hll_distinct" -> (hllDistinct _))
+
+  def oracles: Map[String, String] = {
+    import Exact.sql._
+    Map(
+      "cube_agg" ->
+        s"""SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+           |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           |  COUNT(*) AS n,
+           |  ${dsum("o_totalprice")} AS total
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+      "rollup_agg" ->
+        s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           |  COUNT(*) AS n,
+           |  ${dsum("l_quantity")} AS qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "lead_lag" ->
+        """SELECT o_custkey, o_orderkey,
+          |  COALESCE(LAG(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+          |  CAST(COALESCE(date_diff('day', CAST(o_orderdate AS DATE),
+          |    LEAD(CAST(o_orderdate AS DATE), 1) OVER w), -1) AS INT) AS next_gap_days
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+      "asof_prev_error" ->
+        """SELECT event_id, user_id,
+          |  COALESCE(MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+          |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000,
+          |    -1) AS prev_error_ms
+          |FROM events""".stripMargin,
+      "anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |    AND o_orderpriority LIKE '1%')""".stripMargin,
+      "json_funcs" ->
+        """SELECT event_id,
+          |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+          |FROM events""".stripMargin)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sink
+
+/** Physical-plan shape assertions — the 100 TB design contract.
+  * Correctness tests prove the small-scale answer; these prove the PLAN
+  * is the one that survives a 1000-executor scale-up: broadcasts where a
+  * side is small, partition pruning on day-partitioned data, parquet
+  * filter/column pushdown, native expressions inside codegen.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("j1_multiply broadcasts the part dimension (no shuffle of facts)") {
+    val p = plan(queries.RelationalQueries.j1Multiply(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("p1_clip is a broadcast LEFT SEMI join") {
+    val p = plan(queries.RelationalQueries.p1Clip(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2000))
+  }
+
+  test("q1_agg scan prunes columns and pushes the date filter") {
+    val p = plan(queries.CoreQueries.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(3000))
+    // projection pruning: partkey/suppkey/extended columns not in scan
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"), p.take(3000))
+  }
+
+  test("similarity hot path: native dot_product in a broadcast pair join") {
+    val p = plan(queries.VectorQueries.nearDupCosine(spark, sf))
+    assert(p.contains("dot_product"), p.take(3000))
+    // pair join stays a broadcast nested-loop with the threshold pushed
+    // into the join condition (no shuffle, no materialized cross product)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains(">= 0.3"), p.take(3000))
+  }
+
+  test("day-partitioned writes prune partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events"
+    Sink.writeDayPartitioned(Tables.events(spark, sf), col("ts"), dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters"), p.take(3000))
+    // pruned scan must touch exactly the one matching partition
+    val scanned = read.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
+  }
+
+  test("hll approx distinct within 5% of exact") {
+    val rows = queries.AdvancedQueries.hllDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("w1 rolling window: one shuffle, window sums share the sort") {
+    val df = queries.AggregateQueries.w1Rollsum(spark, sf)
+    val p = plan(df)
+    // all four windows must evaluate in ONE Window node after one sort
+    val windowNodes = "(?m)^\\s*\\*?\\(?\\d*\\)? ?Window ".r
+      .findAllIn(p).size
+    assert(p.contains("Window"), p.take(2000))
+    assert(windowNodes <= 1, s"expected a single Window node, got:\n${p.take(3000)}")
+  }
+}

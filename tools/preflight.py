@@ -28,6 +28,11 @@ def norm(v):
     return v
 
 
+def sort_key(row):
+    # None-safe, mixed-type-safe deterministic ordering
+    return tuple((v is None, str(type(v)), repr(v)) for v in row)
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -52,9 +57,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_fail += 1
                 continue
             mrows = sorted([tuple(norm(v) for v in r)
-                            for r in mine.select(", ".join(f'"{c}"' for c in mcols)).fetchall()])
+                            for r in mine.select(", ".join(f'"{c}"' for c in mcols)).fetchall()],
+                           key=sort_key)
             rrows = sorted([tuple(norm(v) for v in r)
-                            for r in ref.select(", ".join(f'"{c}"' for c in rcols)).fetchall()])
+                            for r in ref.select(", ".join(f'"{c}"' for c in rcols)).fetchall()],
+                           key=sort_key)
             if len(mrows) != len(rrows):
                 print(f"FAIL {name}: rows mine={len(mrows)} oracle={len(rrows)}")
                 n_fail += 1
