@@ -17,8 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session DataFrame cache: re-creating a parquet DataFrame
+    * re-lists files and re-reads footers — measurable constant overhead
+    * when dozens of queries touch the same tables. The cached object is
+    * only the analyzed plan (no data); invalidate by new session. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/$table.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
