@@ -89,7 +89,18 @@ object AdvancedQueries extends QueryGroup {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count_distinct(col("l_partkey")).as("exact_parts"))
 
+  /** Weighted median/quartile of price, weighted by quantity, per
+    * supplier — the reference's weighted-aggregate family extended to
+    * percentiles (lower weighted quantile; window form, see
+    * [[graft.functions.WeightedQuantile]]). */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.WeightedQuantile.weightedQuantileByWindow(
+      Tables.lineitem(spark, dir), Seq("l_suppkey"),
+      col("l_extendedprice"), col("l_quantity"),
+      Seq("wq1" -> 0.25, "wmed" -> 0.5, "wq3" -> 0.75))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_median" -> (weightedMedian _),
     "cube_agg" -> (cubeAgg _),
     "rollup_agg" -> (rollupAgg _),
     "lead_lag" -> (leadLag _),
@@ -101,6 +112,19 @@ object AdvancedQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      "weighted_median" ->
+        """WITH cw AS (
+          |  SELECT l_suppkey, l_extendedprice AS v,
+          |    SUM(l_quantity) OVER (PARTITION BY l_suppkey
+          |      ORDER BY l_extendedprice
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+          |    SUM(l_quantity) OVER (PARTITION BY l_suppkey) AS tot_w
+          |  FROM lineitem)
+          |SELECT l_suppkey,
+          |  MIN(CASE WHEN cum_w >= tot_w * 0.25 THEN v END) AS wq1,
+          |  MIN(CASE WHEN cum_w >= tot_w * 0.5 THEN v END) AS wmed,
+          |  MIN(CASE WHEN cum_w >= tot_w * 0.75 THEN v END) AS wq3
+          |FROM cw GROUP BY l_suppkey""".stripMargin,
       "cube_agg" ->
         s"""SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
            |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,

@@ -82,6 +82,19 @@ object StreamOps {
       }.toDF(key, "n_events", "total_value")
   }
 
+  /** Session windows: activity bursts separated by >= `gap` of quiet.
+    * Spark's native `session_window` — state merges adjacent windows as
+    * late events arrive; watermark bounds retained state. Works
+    * identically in batch (used by the parity spec). */
+  def sessionAgg(events: DataFrame, ts: String, key: String, value: String,
+                 gap: String, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap).as("sw"), col(key))
+      .agg(count(lit(1)).as("n"), sum(col(value)).as("total"))
+      .select(col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col(key), col("n"), col("total"))
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (batch-parity harness: memory sink + processAllAvailable). */
   def runToMemory(df: DataFrame, queryName: String,

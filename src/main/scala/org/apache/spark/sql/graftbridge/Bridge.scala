@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL function on an EXISTING
+    * session (SparkSessionExtensions only applies at session build —
+    * this is the post-hoc path for sessions we don't construct). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

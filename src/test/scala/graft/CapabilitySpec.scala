@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WeightedQuantile
+import graft.operators.Skew
+import graft.streaming.StreamOps
+
+/** Specs for the capability extensions: weighted quantiles (both forms
+  * agree), SQL registration of native expressions, skew salting
+  * (results identical to unsalted), and session windows (stream ==
+  * batch).
+  */
+class CapabilitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("weighted quantile: Aggregator (single-pass) == window form") {
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice").as("v"),
+        col("l_quantity").as("w"))
+    val windowed = WeightedQuantile.weightedQuantileByWindow(
+      df, Seq("l_suppkey"), col("v"), col("w"), Seq("wmed" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val typed = df.as[(Long, Double, Double)]
+      .map { case (k, v, w) => (k, WeightedQuantile.VW(v, w)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(WeightedQuantile.weightedQuantile(0.5))
+      .collect().toMap
+    assert(typed.keySet == windowed.keySet)
+    typed.foreach { case (k, v) =>
+      assert(v == windowed(k), s"suppkey $k: aggregator $v vs window ${windowed(k)}")
+    }
+  }
+
+  test("weighted quantile with weight 1 equals unweighted lower quantile") {
+    val df = Seq.tabulate(100)(i => ("g", (i + 1).toDouble, 1.0))
+      .toDF("g", "v", "w")
+    val out = WeightedQuantile.weightedQuantileByWindow(
+      df, Seq("g"), col("v"), col("w"), Seq("med" -> 0.5)).head()
+    assert(out.getDouble(1) == 50.0) // smallest v with cum >= 50
+  }
+
+  test("dot_product registers as a SQL function on an existing session") {
+    GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("saltedSum equals plain sum on every key") {
+    val df = Tables.events(spark, sf)
+    val plain = df.groupBy("event_type")
+      .agg(sum(col("value").cast(functions.Exact.DecimalT)).cast("double")
+        .as("sum"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(df, Seq("event_type"), col("value"),
+      col("event_id"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val facts = Tables.events(spark, sf).select("event_id", "user_id")
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tag", concat(lit("u"), col("user_id")))
+    val plain = facts.join(dim, "user_id").count()
+    val salted = Skew.saltedJoin(facts, dim, "user_id",
+      col("event_id"), salts = 4).count()
+    assert(salted == plain)
+  }
+
+  test("session windows: stream equals batch on the same input") {
+    val stagedDir = {
+      val dir = java.nio.file.Files.createTempDirectory("events_sess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("events.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = StreamOps.runToMemory(
+      StreamOps.sessionAgg(
+        normalize(StreamOps.fileStream(spark, stagedDir, schema)),
+        "ts", "user_id", "value", "2 hours"),
+      "session_out",
+      // session windows only support Append/Complete; Complete emits
+      // every session regardless of watermark progress
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val batch = StreamOps.sessionAgg(normalize(
+      spark.read.parquet(s"$sf/events.parquet")),
+      "ts", "user_id", "value", "2 hours")
+    assert(streamed.count() == batch.count())
+    val diff = streamed.alias("s").join(batch.alias("b"),
+        Seq("session_start", "user_id"))
+      .filter(col("s.n") =!= col("b.n")).count()
+    assert(diff == 0)
+  }
+}
