@@ -99,7 +99,13 @@ object AdvancedQueries extends QueryGroup {
       col("l_extendedprice"), col("l_quantity"),
       Seq("wq1" -> 0.25, "wmed" -> 0.5, "wq3" -> 0.75))
 
+  /** Fixed-width value histogram per event type. */
+  def histogramQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Histogram(Tables.events(spark, dir),
+      Seq("event_type"), col("value"), width = 25.0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "histogram" -> (histogramQ _),
     "weighted_median" -> (weightedMedian _),
     "cube_agg" -> (cubeAgg _),
     "rollup_agg" -> (rollupAgg _),
@@ -112,6 +118,13 @@ object AdvancedQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      "histogram" ->
+        """SELECT event_type, bin, COUNT(*) AS n,
+          |  bin * 25.0 + 0.0 AS bin_lo, (bin + 1) * 25.0 + 0.0 AS bin_hi
+          |FROM (SELECT event_type,
+          |  CAST(FLOOR(("value" - 0.0) / 25.0) AS BIGINT) AS bin
+          |  FROM events) t
+          |GROUP BY event_type, bin""".stripMargin,
       "weighted_median" ->
         """WITH cw AS (
           |  SELECT l_suppkey, l_extendedprice AS v,

@@ -34,7 +34,12 @@ object TextQueries extends QueryGroup {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, minJaccard = 0.05)
 
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
+      size = 200, overlap = 40)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprintQ _),
@@ -45,6 +50,14 @@ object TextQueries extends QueryGroup {
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      """SELECT doc_id AS id,
+        |  CAST((s - 1) // 160 AS INT) AS chunk_idx,
+        |  substring(text, CAST(s AS INT), 200) AS chunk_text,
+        |  CAST(length(substring(text, CAST(s AS INT), 200)) AS INT) AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(1, greatest(length(text) - 40, 1) + 1, 160)) AS s
+        |  FROM documents) t""".stripMargin,
     "text_stats" -> {
       val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
       s"""SELECT doc_id,

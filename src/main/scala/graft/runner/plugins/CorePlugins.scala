@@ -95,28 +95,57 @@ object WebDownloadPlugin extends StepPlugin {
       .getOrElse(throw new IllegalArgumentException(
         "web_download_list needs url/urls/urls_file"))
     val timeoutMs = ctx.argInt("timeout_seconds", 180) * 1000
-    var fetched, skipped = 0
+    // `conditional_get: true` = refresh only when the remote changed
+    // (If-Modified-Since / 304 —
+    // /root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:23).
+    // Distinct from `overwrite`: overwrite=false never re-checks;
+    // conditional_get re-checks freshness even when the file exists.
+    val conditional = ctx.argBool("conditional_get", default = false)
+    var fetched, skipped, notModified = 0
     urls.foreach { u =>
       val fname = u.split('/').last
       val target = out.resolve(fname)
-      if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
-      else { fetch(u, target, timeoutMs); fetched += 1 }
+      if (!conditional && !Ledger.shouldWrite(target, ctx.overwrite))
+        skipped += 1
+      else fetch(u, target, timeoutMs, conditional) match {
+        case Fetched => fetched += 1
+        case NotModified => notModified += 1
+      }
     }
     StepResult(Map("n_urls" -> urls.size, "n_fetched" -> fetched,
-      "n_skipped" -> skipped, "out" -> out.toString))
+      "n_skipped" -> skipped, "n_not_modified" -> notModified,
+      "out" -> out.toString))
   }
 
-  private def fetch(url: String, target: Path, timeoutMs: Int): Unit = {
+  private sealed trait FetchOutcome
+  private case object Fetched extends FetchOutcome
+  private case object NotModified extends FetchOutcome
+
+  private def fetch(url: String, target: Path, timeoutMs: Int,
+                    conditional: Boolean): FetchOutcome = {
     val uri = URI.create(url)
     if (uri.getScheme == "file") {
-      Files.copy(Paths.get(uri), target, StandardCopyOption.REPLACE_EXISTING)
+      val src = Paths.get(uri)
+      if (conditional && Files.exists(target) &&
+        !Files.getLastModifiedTime(src)
+          .toInstant.isAfter(Files.getLastModifiedTime(target).toInstant))
+        return NotModified
+      Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
+      Fetched
     } else {
       val conn = uri.toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
-      val in = conn.getInputStream
-      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      if (conditional && Files.exists(target))
+        conn.setIfModifiedSince(Files.getLastModifiedTime(target).toMillis)
+      if (conn.getResponseCode == 304) { conn.disconnect(); NotModified }
+      else {
+        val in = conn.getInputStream
+        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        Fetched
+      }
     }
   }
 }

@@ -60,6 +60,7 @@ object DefaultRegistry {
     GeoClipPlugin, GeoValueMaskPlugin, GeoReprojectPlugin,
     GeoMultiplyPlugin, GeoRunningWindowPlugin, GeoSpiPlugin,
     GeoCountyAggregatePlugin, GeoCountyWeightedAggregatePlugin,
+    SqlTransformPlugin,
     VectorFactsPlugin, EvidenceBundlePlugin, DatasetResearchPlugin,
     CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin))
 }

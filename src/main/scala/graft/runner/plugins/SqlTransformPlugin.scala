@@ -1,0 +1,49 @@
+package graft.runner.plugins
+
+import graft.runner._
+
+/** `sql_transform` — run a SQL statement over registered parquet/csv
+  * inputs, write the result as parquet (or single CSV).
+  *
+  * Not present in the reference (its transforms are fixed-function
+  * plugins); this is the engine-native generalization that lets a YAML
+  * pipeline express ANY relational step — the DSL surface over the same
+  * Catalyst planner the library uses. Args:
+  *
+  * {{{
+  * plugin: sql_transform
+  * args:
+  *   tables:            # name -> path, registered as temp views
+  *     events: "{basedir}/events.parquet"
+  *   query: "SELECT user_id, CAST(ts AS DATE) AS day, ... FROM events GROUP BY 1, 2"
+  *   output_path: "{stage}/daily.parquet"
+  * }}}
+  *
+  * Interpolation applies to the query text like any arg, so `{vars}`
+  * and `{item}` parameterize the SQL (the DSL's fan-out composes:
+  * `foreach` + a `{item}`-predicate = partitioned backfill).
+  */
+object SqlTransformPlugin extends StepPlugin {
+  val name = "sql_transform"
+
+  def run(ctx: StepContext): StepResult = {
+    val spark = ctx.spark
+    val tables = ctx.argOpt("tables") match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+      case _ => Map.empty[String, String]
+    }
+    tables.foreach { case (tname, path) =>
+      val df =
+        if (path.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(path)
+        else spark.read.parquet(path)
+      df.createOrReplaceTempView(tname)
+    }
+    val result = spark.sql(ctx.argStr("query"))
+    val out = ctx.argStr("output_path")
+    if (out.endsWith(".csv")) GeoPluginUtil.writeSingleCsv(result, out)
+    else result.write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out, "n_tables" -> tables.size))
+  }
+}

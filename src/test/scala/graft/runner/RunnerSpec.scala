@@ -241,6 +241,31 @@ class RunnerSpec extends SparkSpecBase {
     assert(cat2.contains("TIGER counties") && cat2.contains("updated"))
   }
 
+  test("conditional_get refetches only when the source is newer (S1)") {
+    val root = tmpDir()
+    val src = root.resolve("fresh.txt")
+    Files.writeString(src, "v1")
+    val p = write(root, "cond.yml",
+      s"""steps:
+         |  - plugin: web_download_list
+         |    args:
+         |      url: "file://$src"
+         |      out: "{env.basedir}/staged"
+         |      conditional_get: true
+         |""".stripMargin)
+    val r = runner(root)
+    assert(r.runFile(p).results.head.fields("n_fetched") == 1)
+    // unchanged source -> not modified
+    val second = r.runFile(p).results.head.fields
+    assert(second("n_not_modified") == 1 && second("n_fetched") == 0)
+    // touch the source newer -> refetched even though target exists
+    Files.writeString(src, "v2")
+    Files.setLastModifiedTime(src, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 5000))
+    assert(r.runFile(p).results.head.fields("n_fetched") == 1)
+    assert(Files.readString(root.resolve("staged/fresh.txt")) == "v2")
+  }
+
   test("archive_extract + gzip_extract round-trip with ** glob (S4/S5)") {
     val root = tmpDir()
     // build a zip and a gz under nested dirs
