@@ -28,4 +28,20 @@ object Sink {
       else (withDay, Seq("day"))
     out.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
   }
+
+  /** Bucketed managed table: co-locates join/aggregation keys at WRITE
+    * time so repeated joins on `keys` between same-bucketed tables run
+    * with NO shuffle exchange — the cheapest join at 100 TB when the
+    * join key is known upfront (SURVEY §4: the reference re-partitions
+    * by writing files into differently-keyed directories; bucketing is
+    * the engine-native form). Bucket count rule: total size / bucket ≈
+    * 100-500 MB at the target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

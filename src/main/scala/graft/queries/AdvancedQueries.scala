@@ -104,7 +104,31 @@ object AdvancedQueries extends QueryGroup {
     graft.operators.Histogram(Tables.events(spark, dir),
       Seq("event_type"), col("value"), width = 25.0)
 
+  /** Pivot: order counts per year × status (fixed column set so the
+    * schema is deterministic; missing cells coalesced to 0). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  /** Ordered collect: per customer, their order keys as a sorted CSV
+    * string (collect_list is order-nondeterministic — array_sort makes
+    * it comparable; string form avoids list-type compare quirks). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",",
+        array_sort(collect_list(col("o_orderkey")))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_agg" -> (pivotAgg _),
+    "array_agg" -> (arrayAgg _),
     "histogram" -> (histogramQ _),
     "weighted_median" -> (weightedMedian _),
     "cube_agg" -> (cubeAgg _),
@@ -118,6 +142,17 @@ object AdvancedQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      "pivot_agg" ->
+        """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+          |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+          |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+          |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending
+          |FROM orders GROUP BY 1""".stripMargin,
+      "array_agg" ->
+        """SELECT o_custkey,
+          |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+          |  COUNT(*) AS n_orders
+          |FROM orders GROUP BY o_custkey""".stripMargin,
       "histogram" ->
         """SELECT event_type, bin, COUNT(*) AS n,
           |  bin * 25.0 + 0.0 AS bin_lo, (bin + 1) * 25.0 + 0.0 AS bin_hi

@@ -57,6 +57,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Sink.writeBucketed(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", Seq("o_orderkey"), 4)
+    Sink.writeBucketed(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "lineitem_b", Seq("o_orderkey"), 4)
+    // at test scale Catalyst would broadcast (hiding the bucket path);
+    // disable auto-broadcast to observe the bucketed join itself
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), "o_orderkey")
+      joined.write.format("noop").mode("overwrite").save()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("hll approx distinct within 5% of exact") {
     val rows = queries.AdvancedQueries.hllDistinct(spark, sf).collect()
     rows.foreach { r =>
