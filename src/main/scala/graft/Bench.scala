@@ -22,11 +22,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // FAIR + one pool per query: multi-stage queries (e.g. iterative
+      // IVF training) would otherwise starve behind big single-stage
+      // scans in FIFO order
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbour — the second scale
+  * path for similarity search alongside [[Similarity.lshBucketTopK]]
+  * (SURVEY §7.6: "an IVF or LSH-bucketed variant as the scale path").
+  *
+  * Train: k-means with DETERMINISTIC init (first k vectors by id) and a
+  * fixed iteration count — reproducible across runs/engines, no RNG.
+  * Every step is a DataFrame op: assignment is a corpus × centroids
+  * cross join (centroids are tiny → broadcast) + `min_by`, centroid
+  * update is posexplode + per-(cluster, dim) mean. Nothing is collected
+  * to the driver.
+  *
+  * Search: route each query to its `nprobe` nearest centroids, then
+  * score ONLY vectors in those clusters — the cross join shrinks by
+  * ~k/nprobe. At 100 TB the assigned corpus is written
+  * `partitionBy("cluster_id")` so probes prune partitions at scan time;
+  * recall trades against nprobe exactly like any IVF index.
+  */
+object Ivf {
+
+  private def dist2(a: Column, b: Column): Column = {
+    // squared L2 via dots: |a|² − 2a·b + |b|² (same ranking as L2)
+    VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
+      VectorFunctions.dot(b, b)
+  }
+
+  /** @param corpus (id LONG, vec ARRAY<DOUBLE>); returns
+    * (cluster_id INT, centroid ARRAY<DOUBLE>). */
+  def train(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var centroids = corpus.orderBy("id").limit(k)
+      .select(row_number().over(Window.orderBy("id")).cast("int")
+        .as("cluster_id"), col("vec").as("centroid"))
+      .persist()
+    centroids.count()
+    (1 to iters).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      val next = assigned
+        .select(col("cluster_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cluster_id", "pos").agg(avg("v").as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("sorted"))
+        .select(col("cluster_id"),
+          expr("transform(sorted, s -> s.m)").as("centroid"))
+      val old = centroids
+      centroids = next.persist()
+      centroids.count()
+      old.unpersist()
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector: (id, vec, cluster_id). */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", dist2(col("vec"), col("centroid")))
+      .groupBy("id")
+      .agg(min_by(col("cluster_id"), col("__d")).as("cluster_id"),
+        first(col("vec")).as("vec"))
+
+  /** Top-k by cosine among the query's `nprobe` nearest clusters. */
+  def searchTopK(queries: DataFrame, assigned: DataFrame,
+                 centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy("qid").orderBy(col("__qd").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qd", dist2(col("qvec"), col("centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster_id"))
+    val scored = probes.join(assigned, Seq("cluster_id"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", Similarity.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cluster_id", "id", "cosine", "rank")
+  }
+}

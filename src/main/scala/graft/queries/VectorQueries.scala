@@ -30,6 +30,17 @@ object VectorQueries extends QueryGroup {
   def lshAnn(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshBucketTopK(queriesDf(spark, dir), corpus(spark, dir), 5)
 
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    // sampled centroids (no refinement): the harness exercises the
+    // assign/probe path with the shortest job chain — under concurrent
+    // execution a long chain of tiny jobs dominates wall time; k-means
+    // refinement quality itself is pinned by IvfSpec
+    val centroids = Ivf.train(c, k = 8, iters = 0)
+    Ivf.searchTopK(queriesDf(spark, dir), Ivf.assign(c, centroids),
+      centroids, k = 5, nprobe = 2)
+  }
+
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id",
       col("text"))
@@ -61,6 +72,7 @@ object VectorQueries extends QueryGroup {
     "sim_topk" -> (simTopK _),
     "near_dup_cosine" -> (nearDupCosine _),
     "lsh_ann" -> (lshAnn _),
+    "ivf_ann" -> (ivfAnn _),
     "minhash_signatures" -> (minhashSigs _),
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),

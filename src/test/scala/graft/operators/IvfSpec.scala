@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+class IvfSpec extends SparkSpecBase {
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("vec"))
+  private lazy val queries = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"),
+      Similarity.asDouble(col("embedding")).as("qvec"))
+
+  test("train produces k centroids of the right dimension; assignment total") {
+    val centroids = Ivf.train(corpus, k = 8, iters = 2)
+    assert(centroids.count() == 8)
+    assert(centroids.select(size(col("centroid"))).head().getInt(0) == 64)
+    val assigned = Ivf.assign(corpus, centroids)
+    assert(assigned.count() == corpus.count()) // every vector assigned once
+    assert(assigned.select(count_distinct(col("cluster_id"))).head()
+      .getLong(0) > 1) // not degenerate
+  }
+
+  test("IVF search recall vs brute force is substantial and exact@nprobe=k") {
+    val centroids = Ivf.train(corpus, k = 8, iters = 2)
+    val assigned = Ivf.assign(corpus, centroids)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.searchTopK(queries, assigned, centroids, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall too low for nprobe=3")
+    // probing ALL clusters must reproduce brute force exactly
+    val full = Ivf.searchTopK(queries, assigned, centroids, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+}
