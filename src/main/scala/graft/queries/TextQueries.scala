@@ -38,7 +38,25 @@ object TextQueries extends QueryGroup {
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
 
+  /** The composed training-data quality filter: stats + language ID
+    * fused into one keep/drop decision with a reason column — the query
+    * shape an actual corpus-cleaning pipeline runs. One pass, all
+    * codegen projections, then a single filter. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangId(
+      TextStats(Tables.documents(spark, dir), col("text")), col("text"))
+    scored.select(
+      col("doc_id"),
+      col("n_tokens"), col("stopword_ratio"), col("lang_pred"),
+      when(col("n_tokens") < 20, "too_short")
+        .when(col("n_tokens") > 500, "too_long")
+        .when(col("stopword_ratio") < 0.01, "no_stopwords")
+        .when(col("lang_pred") =!= "en", "not_english")
+        .otherwise("keep").as("verdict"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filter" -> (qualityFilter _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -50,6 +68,33 @@ object TextQueries extends QueryGroup {
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "quality_filter" -> {
+      val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
+      val scores = LangId.markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(",")
+        s"CAST(len(list_filter($toks, x -> x IN ($in))) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    len(list_filter($toks, x -> x IN ($sw))) / len($toks) AS stopword_ratio,
+         |    $scores
+         |  FROM documents),
+         |l AS (
+         |  SELECT *, CASE
+         |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |    WHEN score_fr >= score_es THEN 'fr'
+         |    ELSE 'es' END AS lang_pred
+         |  FROM s)
+         |SELECT doc_id, n_tokens, stopword_ratio, lang_pred,
+         |  CASE WHEN n_tokens < 20 THEN 'too_short'
+         |       WHEN n_tokens > 500 THEN 'too_long'
+         |       WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+         |       WHEN lang_pred != 'en' THEN 'not_english'
+         |       ELSE 'keep' END AS verdict
+         |FROM l""".stripMargin
+    },
     "text_chunks" ->
       """SELECT doc_id AS id,
         |  CAST((s - 1) // 160 AS INT) AS chunk_idx,
