@@ -34,30 +34,50 @@ object Dedup {
   /** Exact n-gram Jaccard over pairs sharing at least one shingle.
     * Output: (doc_a, doc_b, n_common, jaccard) with doc_a < doc_b,
     * jaccard >= minJaccard.
+    *
+    * Join shapes are all shuffle-based — NOTHING here is driver-bound:
+    * the posting self-join uses a SHUFFLE_HASH hint (build side is
+    * per-partition, scales out with partition count; a broadcast of the
+    * posting table would OOM the driver beyond one corpus partition),
+    * and the two size joins are left to AQE (the sizes table is
+    * one-row-per-doc — also not broadcastable at corpus scale).
+    *
+    * `maxDocFreq`: optional hot-shingle cap — drop shingles appearing in
+    * more than this many documents BEFORE the self-join (boilerplate
+    * shingles, the stopwords of dedup). The shuffle is O(Σ postings²)
+    * per shingle, so one ubiquitous shingle creates a quadratic hot key;
+    * the cap bounds every posting list. Sizes (`n_sh`) are computed
+    * BEFORE the cap so Jaccard denominators stay exact; pairs whose ONLY
+    * shared shingles are capped are missed — at a sane cap those pairs
+    * are far below any useful `minJaccard` anyway. `None` = exact.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
-                        n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.05,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     // The shingle table feeds THREE branches (sizes, left, right) and
     // Catalyst does not CSE across them — persist so shingling runs once.
     val sh = Fingerprint.explodedShingleHashes(df, idCol, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
-    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
-    // The posting self-join: broadcast the build side — post-window/
-    // distinct stats are unknown to Catalyst so it would pick a
-    // sort-merge join (measured 3× slower at sf0.1). The hint is right
-    // whenever one corpus partition's shingles fit in memory; beyond
-    // that, partition-local LSH (minhashLshCandidates) is the intended
-    // path and this exact all-pairs operator isn't.
-    val inter = a.join(broadcast(b), Seq("sh"))
+    val postings = maxDocFreq match {
+      case Some(cap) =>
+        // document frequency per shingle → keep only sub-cap shingles.
+        // One aggregate + a semi join, both shuffle-partitioned by `sh`.
+        val keep = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("sh")
+        sh.join(keep, Seq("sh"), "left_semi")
+      case None => sh
+    }
+    val a = postings.select(col(idCol).as("doc_a"), col("sh"))
+    val b = postings.select(col(idCol).as("doc_b"), col("sh"))
+    val inter = a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     inter
-      .join(broadcast(sizes.select(col(idCol).as("doc_a"),
-        col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col(idCol).as("doc_b"),
-        col("n_sh").as("n_b"))), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
@@ -110,8 +130,13 @@ object Dedup {
       .select(col(idCol), col("col.band"), col("col.key"))
     val l = banded.select(col(idCol).as("doc_a"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("doc_b"), col("band"), col("key"))
-    // banded table is bands-per-doc rows — small; broadcast the probe
-    l.join(broadcast(r), Seq("band", "key"))
+    // Shuffle equi-join on (band, key): the banded table is O(docs ×
+    // bands) — it GROWS with the corpus, so it must never be broadcast
+    // (driver-bound). The bucket key IS the partitioning: each reducer
+    // sees only its own buckets, which is the entire point of LSH at
+    // 100 TB. SHUFFLE_HASH keeps the per-bucket build in-memory without
+    // a sort; AQE handles skewed buckets.
+    l.join(r.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }

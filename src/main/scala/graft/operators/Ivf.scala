@@ -34,10 +34,14 @@ object Ivf {
   /** @param corpus (id LONG, vec ARRAY<DOUBLE>); returns
     * (cluster_id INT, centroid ARRAY<DOUBLE>). */
   def train(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    var centroids = corpus.orderBy("id").limit(k)
+    val init = corpus.orderBy("id").limit(k)
       .select(row_number().over(Window.orderBy("id")).cast("int")
         .as("cluster_id"), col("vec").as("centroid"))
-      .persist()
+    // iters=0 (sampled centroids, no refinement): return the plan as-is —
+    // a persist+count here would cost an extra job chain for a k-row DF
+    // that downstream broadcasts anyway
+    if (iters == 0) return init
+    var centroids = init.persist()
     centroids.count()
     (1 to iters).foreach { _ =>
       val assigned = assign(corpus, centroids)

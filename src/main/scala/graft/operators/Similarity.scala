@@ -58,14 +58,85 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
-  /** All pairs with cosine >= tau (embedding near-dup detection).
-    * Brute force at test scale; at cluster scale feed LSH buckets in. */
+  /** All pairs with cosine >= tau — EXACT brute force. O(n²) pairs via a
+    * nested-loop join: the spec-level cross-check for
+    * [[nearDupPairsBlocked]], never the production path. */
   def nearDupPairs(vecs: DataFrame, tau: Double): DataFrame = {
     val a = withNorm(vecs, "vec", "__n")
       .select(col("id").as("id_a"), col("vec").as("va"), col("__n").as("__na"))
     val b = withNorm(vecs, "vec", "__n")
       .select(col("id").as("id_b"), col("vec").as("vb"), col("__n").as("__nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** All pairs with cosine >= tau — EXACT, cluster-blocked. The scale
+    * path for embedding near-dup detection.
+    *
+    * Why not LSH here: random-hyperplane LSH loses recall on pairs near
+    * the threshold (p_agree ≈ 1 − θ/π per plane), so an LSH-candidates →
+    * verify pipeline is only *probably* equal to the exact answer. This
+    * operator is *provably* equal, by the triangle inequality:
+    *
+    * On unit-normalized vectors, cosine(a,b) ≥ τ ⟺ ‖â−b̂‖ ≤ r where
+    * r = √(2−2τ). Assign every vector to its nearest centroid; let
+    * rad_i = max member distance to centroid i. For a ∈ C_i, b ∈ C_j:
+    * ‖c_i−c_j‖ ≤ rad_i + ‖â−b̂‖ + rad_j, so any pair within r forces
+    * ‖c_i−c_j‖ ≤ rad_i + rad_j + r — cluster pairs violating that bound
+    * CANNOT contain a qualifying pair and are pruned with zero recall
+    * loss. Surviving cluster pairs are verified with the exact cosine
+    * (original vectors, same expression as the brute force → bit-equal).
+    *
+    * Scale shape: centroids/radii are k rows (broadcast — constant, not
+    * corpus-sized); the pair generation is a SHUFFLE equi-join on the
+    * cluster-pair key, partitioned across executors. Worst case (no
+    * prunable structure) it degrades to *distributed* all-pairs — never
+    * a driver-bound broadcast — and on real, clustered embedding corpora
+    * the bound removes most cluster pairs. A small ε absorbs the ulp
+    * difference between blocking math on normalized vectors and the
+    * final exact cosine (slack only ADDS candidates — still exact).
+    */
+  def nearDupPairsBlocked(vecs: DataFrame, tau: Double,
+                          k: Int = 16): DataFrame = {
+    val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * tau)) + 1e-6
+    def eucl(a: Column, b: Column): Column =
+      sqrt(greatest(lit(0.0),
+        VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
+          VectorFunctions.dot(b, b)))
+    val withU = withNorm(vecs, "vec", "__n")
+      .withColumn("__u", transform(col("vec"), x => x / col("__n")))
+    // deterministic centroids (first k by id, unit space) — ANY centroid
+    // set yields a correct bound; quality only affects pruning power
+    val centroids = Ivf.train(withU.select(col("id"), col("__u").as("vec")),
+      k, iters = 0)
+    val assigned = withU.crossJoin(broadcast(centroids))
+      .withColumn("__d", eucl(col("__u"), col("centroid")))
+      .groupBy("id")
+      .agg(min_by(col("cluster_id"), col("__d")).as("cluster_id"),
+        min(col("__d")).as("__d"),
+        first(col("vec")).as("vec"), first(col("__n")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val radii = assigned.groupBy("cluster_id").agg(max(col("__d")).as("rad"))
+    val cstats = centroids.join(radii, Seq("cluster_id"))
+    // full k×k grid (both orientations: the id_a < id_b filter below
+    // needs a-side and b-side clusters in either order), distance-pruned
+    val grid = cstats.select(col("cluster_id").as("__ca"),
+        col("centroid").as("__cca"), col("rad").as("__ra"))
+      .crossJoin(cstats.select(col("cluster_id").as("__cb"),
+        col("centroid").as("__ccb"), col("rad").as("__rb")))
+      .filter(eucl(col("__cca"), col("__ccb")) <=
+        col("__ra") + col("__rb") + lit(r))
+      .select("__ca", "__cb")
+    val a = assigned.select(col("id").as("id_a"), col("vec").as("va"),
+      col("__n").as("__na"), col("cluster_id").as("__ca"))
+    val b = assigned.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("__n").as("__nb"), col("cluster_id").as("__cb"))
+    a.join(broadcast(grid), Seq("__ca")) // k² rows of metadata — tiny
+      .join(b.hint("shuffle_hash"), Seq("__cb"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         VectorFunctions.dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= tau)

@@ -24,7 +24,15 @@ object VectorQueries extends QueryGroup {
   def simTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(queriesDf(spark, dir), corpus(spark, dir), 5)
 
+  /** Production near-dup: exact cluster-blocked pairs (triangle-
+    * inequality pruning, shuffle joins only — no O(n²) broadcast plan).
+    * Bit-equal to the brute-force oracle by construction. */
   def nearDupCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsBlocked(corpus(spark, dir), 0.3, k = 8)
+
+  /** Brute-force cross-check of the same answer (kept under the oracle
+    * so the exact baseline stays driver-verified too). */
+  def nearDupCosineExact(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(corpus(spark, dir), 0.3)
 
   def lshAnn(spark: SparkSession, dir: String): DataFrame =
@@ -32,21 +40,26 @@ object VectorQueries extends QueryGroup {
 
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    // sampled centroids (no refinement): the harness exercises the
-    // assign/probe path with the shortest job chain — under concurrent
-    // execution a long chain of tiny jobs dominates wall time; k-means
-    // refinement quality itself is pinned by IvfSpec
-    val centroids = Ivf.train(c, k = 8, iters = 0)
+    // one k-means refinement pass: exercises the full train→assign→probe
+    // path under the driver (recall quality itself is pinned by IvfSpec)
+    val centroids = Ivf.train(c, k = 8, iters = 1)
     Ivf.searchTopK(queriesDf(spark, dir), Ivf.assign(c, centroids),
       centroids, k = 5, nprobe = 2)
   }
 
+  /** Signature emitted as `sig_str` (underscore-joined) — the driver's
+    * pandas comparator sorts output columns, and a raw array column is
+    * unhashable there; the string form keeps the row verifiable. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id",
       col("text"))
+      .select(col("doc_id"), col("n_shingles"),
+        concat_ws("_", col("sig")).as("sig_str"))
 
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshCandidates(minhashSigs(spark, dir), "doc_id")
+    Dedup.minhashLshCandidates(
+      Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id",
+        col("text")), "doc_id")
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash64(Tables.documents(spark, dir), "doc_id", col("text"))
@@ -71,6 +84,7 @@ object VectorQueries extends QueryGroup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopK _),
     "near_dup_cosine" -> (nearDupCosine _),
+    "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
     "ivf_ann" -> (ivfAnn _),
     "minhash_signatures" -> (minhashSigs _),
@@ -78,6 +92,16 @@ object VectorQueries extends QueryGroup {
     "simhash" -> (simhash _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _))
+
+  /** One oracle, two plans: blocked and brute force must both equal it. */
+  private val nearDupOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "sim_topk" ->
@@ -90,14 +114,8 @@ object VectorQueries extends QueryGroup {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, id) AS rank FROM s) t
         |WHERE rank <= 5""".stripMargin,
-    "near_dup_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin,
+    "near_dup_cosine" -> nearDupOracle,
+    "near_dup_cosine_exact" -> nearDupOracle,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

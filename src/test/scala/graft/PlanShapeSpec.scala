@@ -35,13 +35,51 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("ReadSchema") && !p.contains("l_partkey"), p.take(3000))
   }
 
-  test("similarity hot path: native dot_product in a broadcast pair join") {
-    val p = plan(queries.VectorQueries.nearDupCosine(spark, sf))
+  test("near_dup_cosine ships the blocked plan: no unbounded cross join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    val df = queries.VectorQueries.nearDupCosine(spark, sf)
+    val p = plan(df)
     assert(p.contains("dot_product"), p.take(3000))
-    // pair join stays a broadcast nested-loop with the threshold pushed
-    // into the join condition (no shuffle, no materialized cross product)
+    // the corpus-pair join must be a shuffle equi-join on the cluster
+    // key (partitioned across executors); any cross join in the plan
+    // must have a constant-bounded side (the limit-k centroid set) —
+    // an unbounded corpus × corpus nested loop is the O(n²) shape the
+    // brute-force _exact cross-check alone is allowed to carry
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(4000))
+    val crosses = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    crosses.foreach { j =>
+      val bounded = Seq(j.left, j.right).exists(
+        _.collectFirst { case g: GlobalLimit => g }.isDefined)
+      assert(bounded, s"unbounded cross join in plan:\n$j")
+    }
+  }
+
+  test("near_dup_cosine_exact keeps the brute-force shape (cross-check)") {
+    val p = plan(queries.VectorQueries.nearDupCosineExact(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains(">= 0.3"), p.take(3000))
+  }
+
+  test("LSH candidate join carries no broadcast of the banded side") {
+    val df = queries.VectorQueries.lshCandidates(spark, sf)
+    // the banded table is O(docs × bands): it grows with the corpus, so
+    // the plan must never pin it to the driver via a broadcast HINT.
+    // (An AQE runtime conversion based on measured size would be fine —
+    // the static plan is what ships to 100 TB.)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"), logical.take(3000))
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(4000))
+  }
+
+  test("dedup_jaccard posting self-join is shuffle-based, not broadcast") {
+    val df = queries.TextQueries.dedupJaccard(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"), logical.take(3000))
   }
 
   test("day-partitioned writes prune partitions on read") {

@@ -73,6 +73,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("nearDupPairsBlocked == brute force on real embeddings (exactness)") {
+    // The blocked plan prunes cluster pairs by the triangle-inequality
+    // bound, so its candidate set provably covers every pair >= tau;
+    // this pins the end-to-end guarantee: identical (id_a, id_b) sets
+    // AND bit-identical cosines against the brute-force cross product.
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val brute = Similarity.nearDupPairs(emb, 0.3).collect().map(key).toSet
+    val blocked = Similarity.nearDupPairsBlocked(emb, 0.3, k = 8)
+      .collect().map(key).toSet
+    assert(brute.nonEmpty)
+    assert(blocked == brute,
+      s"blocked missed ${(brute -- blocked).take(5)} / extra ${(blocked -- brute).take(5)}")
+  }
+
   test("LSH buckets: close vectors collide, opposite vectors do not") {
     val b = vecs.withColumn("bucket", Similarity.lshBucket(col("vec"), 4))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
