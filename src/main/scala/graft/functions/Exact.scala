@@ -51,14 +51,23 @@ object Exact {
 
   /** DuckDB SQL fragment equivalents, used when authoring oracle queries.
     *
-    * DuckDB's DECIMAL(>18)→DOUBLE cast computes int128/10^s in double
-    * arithmetic (two roundings, off by ulps); routing through VARCHAR uses
-    * strtod, which is correctly rounded and matches the JVM's
-    * BigDecimal.doubleValue that Spark's decimal→double cast uses.
+    * Both directions of the double↔decimal conversion route through
+    * VARCHAR to match JVM semantics bit-for-bit:
+    *  - decimal→double: DuckDB's native DECIMAL(>18)→DOUBLE computes
+    *    int128/10^s in double arithmetic (two roundings, off by ulps);
+    *    VARCHAR→DOUBLE uses strtod (correctly rounded), matching
+    *    BigDecimal.doubleValue on the Spark side.
+    *  - double→decimal: Spark's Cast uses BigDecimal.valueOf(d) — the
+    *    SHORTEST decimal string of the double, then HALF_UP at scale 10.
+    *    DuckDB's native cast quantizes the exact binary value, which can
+    *    land on the other side of a rounding boundary (observed ±1e-10 on
+    *    long-tailed products like ppt×frac); DOUBLE→VARCHAR prints the
+    *    same shortest string, so casting that to DECIMAL reproduces the
+    *    JVM result exactly.
     */
   object sql {
     def dsum(x: String): String =
-      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
     def davg(x: String): String = s"(${dsum(x)} / COUNT($x))"
     def dvarSamp(x: String): String =
       s"(CASE WHEN COUNT($x) < 2 THEN NULL ELSE " +

@@ -56,6 +56,44 @@ object AggregateQueries extends QueryGroup {
   def a5Profile(spark: SparkSession, dir: String): DataFrame =
     Profile(Tables.customer(spark, dir))
 
+  /** §3.3 vertical slice — the reference's flagship chain
+    * (pipelines/prism/prism-mi-corn-ppt-county.yml:30-85) as ONE plan:
+    * clip (P1) → mask (P2) → regrid-fraction (A3) → multiply (J1) →
+    * weighted zonal (A2), mapped onto the driver tables: events = fine
+    * "CDL" grid (clip to ASIA-nation users = Michigan, click/purchase =
+    * corn), orders = the daily "PRISM ppt" stack on the coarse grid,
+    * customer buckets = the cell→county assignment. Catalyst fuses the
+    * whole chain: the mask never materializes, the fraction grid and
+    * county map broadcast, the only shuffles are the two aggregates. */
+  def sliceCornWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val asiaUsers = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("c_nationkey"))), Seq("c_nationkey"))
+      .select(col("c_custkey").as("user_id"))
+    val clipped = Clip.semiOn(Tables.events(spark, dir), asiaUsers,
+      lit(true), "user_id")                                     // P1
+    val masked = ValueMask(clipped, col("event_type"),
+      Seq("click", "purchase"))                                 // P2
+    val frac = Regrid.meanByBucket(masked,
+      Regrid.affineBucket(col("user_id"), 0.0, 10.0), col("mask")) // A3
+      .select("bucket", "frac")
+    val ppt = Tables.orders(spark, dir).select(
+      Regrid.affineBucket(col("o_custkey"), 0.0, 10.0).as("bucket"),
+      to_date(col("o_orderdate")).as("day"),
+      col("o_totalprice").as("ppt"))
+    val cellToCounty = Tables.customer(spark, dir)
+      .groupBy(Regrid.affineBucket(col("c_custkey"), 0.0, 10.0).as("bucket"))
+      .agg(min(col("c_nationkey")).as("geoid"))
+    val weighted = MultiplyJoin(ppt, frac, Seq("bucket"),
+      col("ppt"), col("frac"))                                  // J1
+      .join(broadcast(cellToCounty), Seq("bucket"))
+    WeightedZonal(weighted, Seq("geoid", "day"),
+      col("ppt"), col("frac"), "corn_ppt")                      // A2
+  }
+
   /** O8: keyed catalog upsert (full-outer merge, updates win). */
   def o8CatalogUpsert(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -74,6 +112,7 @@ object AggregateQueries extends QueryGroup {
     "a4_zscore" -> (a4Zscore _),
     "w1_rollsum" -> (w1Rollsum _),
     "a5_profile" -> (a5Profile _),
+    "slice_corn_weighted" -> (sliceCornWeighted _),
     "o8_catalog_upsert" -> (o8CatalogUpsert _))
 
   def oracles: Map[String, String] = {
@@ -147,6 +186,39 @@ object AggregateQueries extends QueryGroup {
              |FROM customer""".stripMargin
         }.mkString("\nUNION ALL\n")
       },
+      "slice_corn_weighted" ->
+        s"""WITH asia AS (
+           |  SELECT n_nationkey FROM nation
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'ASIA'),
+           |masked AS (
+           |  SELECT e.user_id,
+           |    CASE WHEN e.event_type IN ('click','purchase')
+           |         THEN 1.0 ELSE 0.0 END AS mask
+           |  FROM events e
+           |  WHERE e.user_id IN (
+           |    SELECT c_custkey FROM customer
+           |    WHERE c_nationkey IN (SELECT n_nationkey FROM asia))),
+           |frac AS (
+           |  SELECT CAST(FLOOR((user_id - 0.0) / 10.0) AS BIGINT) AS bucket,
+           |    ${davg("mask")} AS frac
+           |  FROM masked GROUP BY 1),
+           |c2c AS (
+           |  SELECT CAST(FLOOR((c_custkey - 0.0) / 10.0) AS BIGINT) AS bucket,
+           |    MIN(c_nationkey) AS geoid
+           |  FROM customer GROUP BY 1),
+           |ppt AS (
+           |  SELECT CAST(FLOOR((o_custkey - 0.0) / 10.0) AS BIGINT) AS bucket,
+           |    CAST(o_orderdate AS DATE) AS day, o_totalprice AS ppt
+           |  FROM orders)
+           |SELECT geoid, day,
+           |  ${dsum("ppt * frac")} / ${dsum("frac")} AS corn_ppt,
+           |  ${dsum("ppt * frac")} AS corn_ppt_num,
+           |  ${dsum("frac")} AS corn_ppt_den
+           |FROM ppt
+           |JOIN frac USING (bucket)
+           |JOIN c2c USING (bucket)
+           |GROUP BY 1, 2""".stripMargin,
       "o8_catalog_upsert" ->
         """WITH cat_e AS (
           |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
