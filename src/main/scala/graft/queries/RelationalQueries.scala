@@ -62,6 +62,29 @@ object RelationalQueries extends QueryGroup {
     Combine.unionAll(Seq(a, b))
   }
 
+  /** Skew-mitigation (SURVEY §7.7): two-phase salted aggregate. The salt
+    * spreads a hot group key over `salts` reducers; decimal partials make
+    * the re-aggregation bit-equal to the unsalted sum, which is exactly
+    * what the oracle computes — the query PROVES salting preserves
+    * answers. */
+  def saltedSum(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(Tables.lineitem(spark, dir), Seq("l_suppkey"),
+      col("l_extendedprice"), col("l_orderkey"), salts = 8, "sum_price")
+
+  /** Skew-mitigation: salted equi-join (dim replicated per salt) feeding
+    * the same aggregate as [[j1Multiply]] — oracle-equal to the plain
+    * join, proving the rewrite is answer-preserving. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+        col("p_retailprice"))
+    Skew.saltedJoin(Tables.lineitem(spark, dir), part, "l_partkey",
+      col("l_orderkey"), salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(Exact.dsum(col("l_quantity") * col("p_retailprice")).as("qty_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** §2.6 top-k per group with deterministic tie-break. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
     TopK.perGroup(
@@ -114,6 +137,8 @@ object RelationalQueries extends QueryGroup {
     "p5_filename_day" -> (p5FilenameDay _),
     "j1_multiply" -> (j1Multiply _),
     "s6_combine" -> (s6Combine _),
+    "salted_sum" -> (saltedSum _),
+    "salted_join" -> (saltedJoin _),
     "topk_per_group" -> (topkPerGroup _),
     "sort_limit" -> (sortLimit _),
     "set_intersect" -> (setIntersect _),
@@ -151,6 +176,15 @@ object RelationalQueries extends QueryGroup {
           |UNION ALL BY NAME
           |SELECT o_orderkey, o_custkey, o_orderpriority, 'b' AS src
           |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+      "salted_sum" ->
+        s"""SELECT l_suppkey, ${dsum("l_extendedprice")} AS sum_price
+           |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+      "salted_join" ->
+        s"""SELECT p_brand,
+           |  ${dsum("l_quantity * p_retailprice")} AS qty_price,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin,
       "topk_per_group" ->
         """SELECT * FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,

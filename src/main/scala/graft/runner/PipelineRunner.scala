@@ -1,7 +1,7 @@
 package graft.runner
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors}
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -40,7 +40,23 @@ final class PipelineRunner(
 
   /** path → completed run (memoized requires_pipelines, §3.3). */
   private val memo = new ConcurrentHashMap[String, RunResult]()
+  /** path → latch while a run is in flight (so concurrent requirers wait
+    * instead of re-running; computeIfAbsent is NOT usable here — the
+    * mapping function recurses into runPipeline → runRequired, and a
+    * re-entrant computeIfAbsent on the same map is forbidden). */
+  private val inFlight = new ConcurrentHashMap[String, CountDownLatch]()
+  /** per-thread chain of requires_pipelines being resolved — cycles in
+    * the dependency graph fail fast instead of recursing forever. */
+  private val requireChain: ThreadLocal[List[String]] =
+    ThreadLocal.withInitial(() => Nil)
   private val groupPools = new ConcurrentHashMap[String, ExecutionContext]()
+  /** Shared pool for `pipeline_execute mode: async` children. */
+  private[runner] lazy val asyncPool =
+    Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-async-pipeline")
+      t.setDaemon(true)
+      t
+    })
 
   final case class RunResult(pipeline: Pipeline, scope: Scope,
                              results: List[StepResult])
@@ -62,11 +78,39 @@ final class PipelineRunner(
         s"pipeline not found: $p (tried ${candidates.mkString(", ")})"))
   }
 
-  /** Memoized dependency run — once per session per canonical path. */
+  /** Memoized dependency run — once per session per canonical path.
+    * Resolution happens OUTSIDE the memo map (get → run → putIfAbsent):
+    * chained requires_pipelines recurse back into this method, and a
+    * re-entrant `computeIfAbsent` throws "Recursive update" (or
+    * livelocks when keys share a bin). Concurrent requirers of the same
+    * path wait on an in-flight latch; same-thread re-entry on a path
+    * already being resolved is a dependency CYCLE and fails fast. */
   def runRequired(ref: String, requiredBy: Option[String]): RunResult = {
     val path = resolvePath(Paths.get(ref), requiredBy.map(Paths.get(_)))
-    memo.computeIfAbsent(path.toRealPath().toString,
-      _ => runPipeline(Yaml.loadPipeline(path), Map.empty))
+    val key = path.toRealPath().toString
+    val chain = requireChain.get()
+    if (chain.contains(key))
+      throw new IllegalStateException(
+        s"requires_pipelines cycle: ${(key :: chain).reverse.mkString(" -> ")}")
+    var result = memo.get(key)
+    while (result == null) {
+      val latch = new CountDownLatch(1)
+      val existing = inFlight.putIfAbsent(key, latch)
+      if (existing == null) {
+        try {
+          requireChain.set(key :: chain)
+          try {
+            val r = runPipeline(Yaml.loadPipeline(path), Map.empty)
+            memo.put(key, r)
+          } finally requireChain.set(chain)
+        } finally {
+          inFlight.remove(key)
+          latch.countDown()
+        }
+      } else existing.await() // another thread is running it; retry loop
+      result = memo.get(key)
+    }
+    result
   }
 
   /** pipeline_execute entry: resolve relative to the invoking pipeline
@@ -95,21 +139,28 @@ final class PipelineRunner(
       }
     }
 
-    // 3. execute steps in file order
+    // 3. execute steps in file order; async children merge at the end
+    val asyncRuns = new AsyncRuns(Some(asyncPool))
     val results = List.newBuilder[StepResult]
     p.steps.zipWithIndex.foreach { case (step, i) =>
       val stepScope = scope.withStep(i + 1)
-      val result = runStep(step, stepScope, p.sourcePath)
+      val result = runStep(step, stepScope, p.sourcePath, asyncRuns)
       results += result
       step.outputVar.foreach { name =>
         scope = scope.withOutput(name, result.fields)
       }
     }
+    // 4. merge async pipeline_execute children (the run is not complete
+    // until every async child is — reference `mode` contract, O3)
+    asyncRuns.drain().foreach { case (label, r) =>
+      results += r.copy(fields = r.fields + ("async_child" -> label))
+    }
     RunResult(p, scope, results.result())
   }
 
   private def runStep(step: Step, scope: Scope,
-                      sourcePath: Option[String]): StepResult = {
+                      sourcePath: Option[String],
+                      asyncRuns: AsyncRuns): StepResult = {
     val plugin = registry.resolve(step.plugin)
 
     def invoke(itemScope: Scope): StepResult = {
@@ -117,8 +168,10 @@ final class PipelineRunner(
         .asInstanceOf[Map[String, Any]]
       val overwrite = args.get("overwrite").exists(_.toString.toBoolean)
       if (Ledger.stepSkippable(args, overwrite)) StepResult(skipped = true)
-      else plugin.run(
-        StepContext(args, itemScope, sparkProvider, this, sourcePath))
+      else withResources(step) {
+        plugin.run(StepContext(args, itemScope, sparkProvider, this,
+          sourcePath, asyncRuns))
+      }
     }
 
     def items(varName: String): List[Any] =
@@ -131,13 +184,53 @@ final class PipelineRunner(
     (step.foreach, step.sequentialForeach) match {
       case (Some(varName), _) =>
         val list = items(varName)
-        implicit val ec: ExecutionContext = poolFor(step.parallelWith)
-        val futures = list.map(it => Future(invoke(scope.withItem(it))))
-        val all = Await.result(Future.sequence(futures), Duration.Inf)
-        mergeResults(all)
+        val group = step.parallelWith.getOrElse("__default")
+        if (Thread.currentThread().getName.startsWith(s"graft-foreach-$group"))
+          // Re-entrant fan-out on the SAME bounded pool (a foreach'd
+          // pipeline_execute whose child also runs a foreach in this
+          // group): parents would block in Await holding every pool
+          // thread while children can never be scheduled — a permanent
+          // deadlock. Run the items on the caller thread instead; total
+          // concurrency stays bounded by the group's pool size because
+          // this thread IS one of its workers.
+          mergeResults(list.map(it => invoke(scope.withItem(it))))
+        else {
+          implicit val ec: ExecutionContext = poolFor(step.parallelWith)
+          val futures = list.map(it => Future(invoke(scope.withItem(it))))
+          val all = Await.result(Future.sequence(futures), Duration.Inf)
+          mergeResults(all)
+        }
       case (None, Some(varName)) =>
         mergeResults(items(varName).map(it => invoke(scope.withItem(it))))
       case (None, None) => invoke(scope)
+    }
+  }
+
+  /** Honor a step's `resources:` request (reference
+    * pipelines/prism/stage-ts-ppt-day-mi-spi-3d.yml:23-24 `mem: 16G`).
+    * A live Spark session cannot resize executor memory per job; the
+    * faithful mapping is scheduling metadata, set as thread-local job
+    * properties for the duration of the step: a dedicated FAIR pool per
+    * resource class (so heavy steps don't starve light ones) plus a
+    * `graft.step.mem` property that external cluster managers (or a
+    * listener) can consume. Set on the INVOKING thread — foreach workers
+    * call this inside the task, so concurrent items inherit correctly. */
+  private def withResources[T](step: Step)(body: => T): T = {
+    if (step.resources.isEmpty) body
+    else {
+      val sc = sparkProvider().sparkContext
+      val oldPool = sc.getLocalProperty("spark.scheduler.pool")
+      val oldMem = sc.getLocalProperty("graft.step.mem")
+      val mem = step.resources.get("mem").map(_.toString)
+      try {
+        sc.setLocalProperty("spark.scheduler.pool",
+          "resources-" + mem.getOrElse("default"))
+        mem.foreach(m => sc.setLocalProperty("graft.step.mem", m))
+        body
+      } finally {
+        sc.setLocalProperty("spark.scheduler.pool", oldPool)
+        sc.setLocalProperty("graft.step.mem", oldMem)
+      }
     }
   }
 

@@ -16,6 +16,42 @@ trait StepPlugin extends Serializable {
   def run(ctx: StepContext): StepResult
 }
 
+/** Collector for `pipeline_execute mode: async` children: a step submits
+  * work and returns immediately; the RUNNER awaits every handle at the
+  * end of the invoking pipeline and merges the results (the reference's
+  * synchronized/async contract, SURVEY §2.1 O3). The default `inline`
+  * instance runs the body synchronously — directly-constructed contexts
+  * (tests, ad-hoc embedding) keep synchronized semantics. */
+final class AsyncRuns(exec: Option[java.util.concurrent.ExecutorService]) {
+  private val handles =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, java.util.concurrent.Future[StepResult])]()
+
+  def submit(label: String)(body: => StepResult): Unit = exec match {
+    case Some(pool) =>
+      handles.add(label -> pool.submit(
+        new java.util.concurrent.Callable[StepResult] { def call() = body }))
+    case None => val r = body; val _ = r // inline: synchronized fallback
+  }
+
+  /** Await every submitted child; a failed child fails the merge. */
+  def drain(): List[(String, StepResult)] = {
+    var out = List.empty[(String, StepResult)]
+    var h = handles.poll()
+    while (h != null) {
+      out = (h._1 -> h._2.get()) :: out
+      h = handles.poll()
+    }
+    out.reverse
+  }
+}
+
+object AsyncRuns {
+  /** Executes submissions on the calling thread (no pipeline-end merge
+    * needed — results are complete when submit returns). */
+  def inline: AsyncRuns = new AsyncRuns(None)
+}
+
 /** Everything a plugin sees for one invocation. */
 final case class StepContext(
     /** Fully interpolated argument map for this invocation. */
@@ -25,7 +61,9 @@ final case class StepContext(
     sparkProvider: () => SparkSession,
     runner: PipelineRunner,
     /** Source path of the invoking pipeline (sibling-relative refs). */
-    currentPipeline: Option[String] = None) {
+    currentPipeline: Option[String] = None,
+    /** Async-child collector for this pipeline run. */
+    async: AsyncRuns = AsyncRuns.inline) {
 
   def spark: SparkSession = sparkProvider()
 

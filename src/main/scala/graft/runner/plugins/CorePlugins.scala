@@ -40,11 +40,15 @@ object ExecScriptPlugin extends StepPlugin {
 }
 
 /** `pipeline_execute.py` — run another pipeline as a step, with
-  * `vars_kv` overrides and `mode: synchronized`
-  * (/root/reference/pipelines/prism/county_daily_aggregate_parent.yml:14-22).
+  * `vars_kv` overrides and `mode: synchronized | async`
+  * (/root/reference/pipelines/prism/county_daily_aggregate_parent.yml:14-22
+  * pins `synchronized`, which implies the async alternative).
   * Combined with `foreach` + `parallel_with`, the runner gives parallel
-  * parameterized sub-runs; `synchronized` (the only observed mode) blocks
-  * until the child completes.
+  * parameterized sub-runs. `synchronized` (default) blocks until the
+  * child completes; `async` returns a handle immediately — the runner
+  * awaits and merges every async child at the END of the invoking
+  * pipeline, so later steps overlap with the child but the run itself
+  * never completes before its children do.
   */
 object PipelineExecutePlugin extends StepPlugin {
   val name = "pipeline_execute"
@@ -52,8 +56,17 @@ object PipelineExecutePlugin extends StepPlugin {
     val path = ctx.argStr("pipeline_path")
     val overrides = ctx.argOpt("vars_kv").map(kv => parseVarsKv(kv.toString))
       .getOrElse(Map.empty[String, Any])
-    val result = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
-    StepResult(Map("pipeline" -> path, "n_steps" -> result.results.size))
+    ctx.argOpt("mode").map(_.toString).getOrElse("synchronized") match {
+      case "async" =>
+        ctx.async.submit(path) {
+          val r = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
+          StepResult(Map("pipeline" -> path, "n_steps" -> r.results.size))
+        }
+        StepResult(Map("pipeline" -> path, "mode" -> "async"))
+      case _ =>
+        val result = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
+        StepResult(Map("pipeline" -> path, "n_steps" -> result.results.size))
+    }
   }
 
   /** `vars_kv: "year=2024"` — values arrive already interpolated; scalars

@@ -102,6 +102,18 @@ object StacAssetDownloadPlugin extends StepPlugin {
     finally in.close()
   }
 
+  /** ISO timestamp or date-only string → Instant; date-only parses to
+    * start-of-day (or end-of-day for interval end bounds, per STAC). */
+  private def parseDt(s: String, endOfDay: Boolean): java.time.Instant = {
+    val t = s.trim
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}")) {
+      val d = java.time.LocalDate.parse(t)
+      val ldt = if (endOfDay) d.atTime(java.time.LocalTime.MAX)
+                else d.atStartOfDay()
+      ldt.toInstant(java.time.ZoneOffset.UTC)
+    } else java.time.OffsetDateTime.parse(t).toInstant
+  }
+
   /** bbox intersection + datetime range + query_json property filters. */
   private def matches(item: Map[String, Any], ctx: StepContext): Boolean = {
     val props = item.getOrElse("properties", Map.empty)
@@ -121,8 +133,14 @@ object StacAssetDownloadPlugin extends StepPlugin {
       case Some(range) =>
         val Array(start, end) = range.toString.split("/", 2)
         props.get("datetime").forall { d =>
-          val s = d.toString
-          (start == ".." || s >= start) && (end == ".." || s <= end)
+          // Compare as Instants, not raw strings: a date-only end bound
+          // must cover the whole day (STAC interval semantics — the
+          // string compare dropped items stamped later that day), and
+          // mixed offset spellings ('+00:00' vs 'Z') order incorrectly
+          // lexicographically.
+          val t = parseDt(d.toString, endOfDay = false)
+          (start == ".." || !t.isBefore(parseDt(start, endOfDay = false))) &&
+            (end == ".." || !t.isAfter(parseDt(end, endOfDay = true)))
         }
       case None => true
     }

@@ -32,7 +32,9 @@ class IvfSpec extends SparkSpecBase {
     val approx = Ivf.searchTopK(queries, assigned, centroids, 5, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.25, s"recall $recall too low for nprobe=3")
+    // measured 0.925 at sf0.001/sf0.01 (iters∈{0,1,2}); pinned with a
+    // small margin — a regression below this means probe routing broke
+    assert(recall >= 0.85, s"recall $recall too low for nprobe=3")
     // probing ALL clusters must reproduce brute force exactly
     val full = Ivf.searchTopK(queries, assigned, centroids, 5, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -173,6 +173,127 @@ class RunnerSpec extends SparkSpecBase {
     assert(counter.get() == 1, "dependency must run exactly once per session")
   }
 
+  test("requires_pipelines cycle fails fast with the chain in the message") {
+    val root = tmpDir()
+    write(root, "x.yml",
+      "requires_pipelines:\n  - y.yml\nsteps:\n  - plugin: echo\n")
+    write(root, "y.yml",
+      "requires_pipelines:\n  - x.yml\nsteps:\n  - plugin: echo\n")
+    val e = intercept[IllegalStateException] {
+      runner(root).runFile(root.resolve("x.yml"))
+    }
+    assert(e.getMessage.contains("cycle"))
+    assert(e.getMessage.contains("x.yml") && e.getMessage.contains("y.yml"))
+  }
+
+  test("chained requires_pipelines resolve through the memo (re-entrancy)") {
+    // a -> b -> c: resolving b happens INSIDE resolving a — the memo must
+    // tolerate re-entrant resolution (a computeIfAbsent would throw)
+    val root = tmpDir()
+    counter.set(0)
+    write(root, "c.yml", "steps:\n  - plugin: count_runs\n")
+    write(root, "b.yml",
+      "requires_pipelines:\n  - c.yml\nsteps:\n  - plugin: count_runs\n")
+    val a = write(root, "a2.yml",
+      "requires_pipelines:\n  - b.yml\n  - c.yml\nsteps:\n  - plugin: echo\n")
+    runner(root).runFile(a)
+    assert(counter.get() == 2, "b and c each run exactly once")
+  }
+
+  test("pipeline_execute mode:async overlaps and merges at pipeline end") {
+    val root = tmpDir()
+    write(root, "slow_child.yml",
+      """steps:
+        |  - plugin: write_file
+        |    args:
+        |      path: "{env.basedir}/async/child.txt"
+        |      content: "child done"
+        |""".stripMargin)
+    val parent = write(root, "apar.yml",
+      """steps:
+        |  - plugin: pipeline_execute
+        |    args:
+        |      pipeline_path: slow_child.yml
+        |      mode: async
+        |  - plugin: echo
+        |    args:
+        |      message: "parent continues"
+        |""".stripMargin)
+    val res = runner(root).runFile(parent)
+    // async step returns a handle record immediately...
+    assert(res.results.head.fields("mode") == "async")
+    // ...but the run does not complete before the child: merged result
+    // present and the child's side effect visible
+    assert(res.results.exists(_.fields.get("async_child")
+      .contains("slow_child.yml")))
+    assert(Files.readString(root.resolve("async/child.txt")) == "child done")
+  }
+
+  test("nested same-group foreach runs caller-side instead of deadlocking") {
+    val root = tmpDir()
+    // child fans out on the DEFAULT pool; the parent foreach'd into the
+    // same pool — saturating it with parents used to deadlock
+    write(root, "nest_child.yml",
+      """vars:
+        |  parts: "{expr.range(0, 2)}"
+        |  idx: 0
+        |steps:
+        |  - plugin: write_file
+        |    foreach: parts
+        |    args:
+        |      path: "{env.basedir}/nest/{idx}_{item}.txt"
+        |      content: "ok"
+        |""".stripMargin)
+    val parent = write(root, "nest_parent.yml",
+      """vars:
+        |  kids: "{expr.range(0, 8)}"
+        |steps:
+        |  - plugin: pipeline_execute
+        |    foreach: kids
+        |    args:
+        |      pipeline_path: nest_child.yml
+        |      vars_kv: "idx={item}"
+        |""".stripMargin)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => { runner(root).runFile(parent); done.countDown() })
+    t.setDaemon(true)
+    t.start()
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "nested foreach deadlocked")
+    assert((0 until 8).forall(i => (0 until 2).forall(j =>
+      Files.exists(root.resolve(s"nest/${i}_$j.txt")))))
+  }
+
+  test("resources: mem maps to scheduler-pool/job conf during the step") {
+    val root = tmpDir()
+    object SnoopPlugin extends StepPlugin {
+      val name = "snoop_props"
+      def run(ctx: StepContext): StepResult = {
+        val sc = ctx.spark.sparkContext
+        StepResult(Map(
+          "pool" -> String.valueOf(sc.getLocalProperty("spark.scheduler.pool")),
+          "mem" -> String.valueOf(sc.getLocalProperty("graft.step.mem"))))
+      }
+    }
+    val r = new PipelineRunner(
+      DefaultRegistry().withPlugins(Seq(SnoopPlugin)),
+      env = Map("basedir" -> root.toString),
+      sparkProvider = () => spark,
+      assetRoots = Seq(root))
+    val p = write(root, "res.yml",
+      """steps:
+        |  - plugin: snoop_props
+        |    resources:
+        |      mem: 16G
+        |  - plugin: snoop_props
+        |""".stripMargin)
+    val res = r.runFile(p)
+    assert(res.results.head.fields("pool") == "resources-16G")
+    assert(res.results.head.fields("mem") == "16G")
+    // restored after the step — the second (resource-less) step sees none
+    assert(res.results(1).fields("mem") == "null")
+  }
+
   test("output_var fields feed later steps (tiger/county.yml:41-47)") {
     val root = tmpDir()
     val data = root.resolve("data.parquet")
