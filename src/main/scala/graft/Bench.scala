@@ -84,7 +84,17 @@ object Bench {
 }
 
 private object CoreWarmup {
-  def run(spark: SparkSession, sfDir: String): Unit =
+  def run(spark: SparkSession, sfDir: String): Unit = {
+    // flagship query end-to-end: JIT, codegen, shuffle machinery
     graft.queries.CoreQueries.q1Agg(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // touch every table once: parquet footer reads + file listing are
+    // per-table constant costs that would otherwise land on whichever
+    // measured query happens to read the table first
+    graft.Tables.names.foreach { t =>
+      try graft.Tables.load(spark, sfDir, t).write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+  }
 }

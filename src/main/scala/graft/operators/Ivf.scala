@@ -31,18 +31,22 @@ object Ivf {
       VectorFunctions.dot(b, b)
   }
 
+  /** Materialize a k-row centroid plan as a LocalRelation: one job, then
+    * every downstream broadcast/reuse is instant — no persist+count
+    * chains, no recompute when the centroids feed several joins. The
+    * collect is CONSTANT-size (k rows, k ≪ corpus), the same driver-side
+    * footprint any broadcast of them would have. */
+  private def localize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** @param corpus (id LONG, vec ARRAY<DOUBLE>); returns
     * (cluster_id INT, centroid ARRAY<DOUBLE>). */
   def train(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    val init = corpus.orderBy("id").limit(k)
+    var centroids = localize(corpus.orderBy("id").limit(k)
       .select(row_number().over(Window.orderBy("id")).cast("int")
-        .as("cluster_id"), col("vec").as("centroid"))
-    // iters=0 (sampled centroids, no refinement): return the plan as-is —
-    // a persist+count here would cost an extra job chain for a k-row DF
-    // that downstream broadcasts anyway
-    if (iters == 0) return init
-    var centroids = init.persist()
-    centroids.count()
+        .as("cluster_id"), col("vec").as("centroid")))
     (1 to iters).foreach { _ =>
       val assigned = assign(corpus, centroids)
       val next = assigned
@@ -53,10 +57,7 @@ object Ivf {
           .as("sorted"))
         .select(col("cluster_id"),
           expr("transform(sorted, s -> s.m)").as("centroid"))
-      val old = centroids
-      centroids = next.persist()
-      centroids.count()
-      old.unpersist()
+      centroids = localize(next)
     }
     centroids
   }

