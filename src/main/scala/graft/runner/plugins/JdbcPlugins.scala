@@ -62,5 +62,6 @@ object DefaultRegistry {
     GeoCountyAggregatePlugin, GeoCountyWeightedAggregatePlugin,
     SqlTransformPlugin,
     VectorFactsPlugin, EvidenceBundlePlugin, DatasetResearchPlugin,
-    CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin))
+    CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin,
+    PublishTargetPlugin))
 }

@@ -294,6 +294,37 @@ class RunnerSpec extends SparkSpecBase {
     assert(res.results(1).fields("mem") == "null")
   }
 
+  test("publish_target: file:// copies, gdrive:// stages with manifest (S9)") {
+    val root = tmpDir()
+    Files.createDirectories(root.resolve("artifact"))
+    Files.writeString(root.resolve("artifact/a.csv"), "x,y\n1,2\n")
+    Files.writeString(root.resolve("artifact/b.csv"), "x,y\n3,4\n")
+    val p = write(root, "pub.yml",
+      s"""vars:
+         |  published_target_uri: "gdrive://data/etl/Tiger/States"
+         |steps:
+         |  - plugin: publish_target
+         |    args:
+         |      source: "{env.basedir}/artifact"
+         |      target_uri: "file://$root/published_local"
+         |  - plugin: publish_target
+         |    args:
+         |      source: "{env.basedir}/artifact"
+         |      target_uri: "{published_target_uri}"
+         |      publish_root: "$root/publish_root"
+         |""".stripMargin)
+    val res = runner(root).runFile(p)
+    assert(res.results.head.fields("n_published") == 2)
+    assert(Files.readString(root.resolve("published_local/a.csv"))
+      .contains("1,2"))
+    // remote scheme: staged mirror + manifest with hashes
+    val staged = root.resolve("publish_root/gdrive/data/etl/Tiger/States")
+    assert(Files.readString(staged.resolve("b.csv")).contains("3,4"))
+    val manifest = Files.readString(staged.resolve("_manifest.json"))
+    assert(manifest.contains("gdrive://data/etl/Tiger/States"))
+    assert(manifest.contains("\"sha256\"") && manifest.contains("a.csv"))
+  }
+
   test("output_var fields feed later steps (tiger/county.yml:41-47)") {
     val root = tmpDir()
     val data = root.resolve("data.parquet")
