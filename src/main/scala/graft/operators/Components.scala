@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step a real
+  * dedup pipeline runs AFTER pair generation: near-dup pairs are edges,
+  * a component is one duplicate cluster, and `component` (the minimum
+  * member id, a deterministic canonical label) picks the keeper.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labelled with its own id; each round takes the min of its own and its
+  * neighbours' labels; fixpoint = every vertex carries its component's
+  * minimum id. Converges in O(component diameter) rounds — near-dup
+  * graphs are clique-ish, so 2–4 rounds in practice.
+  *
+  * Scale shape: each round is one shuffle equi-join (edges × labels,
+  * both partitioned by vertex) plus one aggregate — no driver-side
+  * graph, no broadcast of anything corpus-sized. Convergence is detected
+  * by the label-sum (strictly decreasing until fixpoint), one tiny agg
+  * per round. This is the standard large-graph CC recipe (alternating
+  * small/large-star joins degenerate to exactly this on undirected
+  * min-propagation).
+  */
+object Components {
+
+  /** @param edges undirected edges (aCol, bCol); vertices not present in
+    *   any edge are absent from the output (no self-components).
+    * @return (id, component) — component = min id reachable. */
+  def connected(edges: DataFrame, aCol: String, bCol: String,
+                maxIters: Int = 30): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labelSum = checksum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = checksum(next)
+      labels.unpersist()
+      labels = next
+      done = nextSum == labelSum // labels only ever decrease; equal = fixpoint
+      labelSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Exact decimal sum of labels — monotone under propagation, so equal
+    * consecutive sums prove the fixpoint. */
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+
+  /** Convenience: duplicate clusters with sizes and the keeper id. */
+  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    connected(edges, aCol, bCol)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keeper"))
+}

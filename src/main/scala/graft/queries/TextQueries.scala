@@ -34,6 +34,16 @@ object TextQueries extends QueryGroup {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, minJaccard = 0.05)
 
+  /** Pairs → duplicate clusters: connected components over the n-gram
+    * Jaccard graph (J ≥ 0.5), the keeper-selection step of a real dedup
+    * pipeline. Oracle: DuckDB recursive CTE computing min reachable id. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Components.connected(
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
+        col("text"), n = 3, minJaccard = 0.5),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
@@ -63,7 +73,8 @@ object TextQueries extends QueryGroup {
     "text_fingerprint" -> (fingerprintQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
-    "dedup_jaccard" -> (dedupJaccard _))
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_components" -> (dedupComponents _))
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -139,6 +150,29 @@ object TextQueries extends QueryGroup {
       s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp,
          |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper
          |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END)) AS s FROM tok),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.5),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT u, u FROM sym
+         |  UNION
+         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -45,6 +45,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("Components: chains collapse to the min id; clusters pick keepers") {
+    // 1-2, 2-3 chain (diameter 2, needs >1 propagation round), 5-6 pair
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val comp = Components.connected(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val cl = Components.clusters(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cl == Map(1L -> (3L, 1L), 5L -> (2L, 5L)))
+  }
+
   test("SimHash: equal texts hash equal; near dups within small hamming") {
     val sh = Dedup.simhash64(docs, "doc_id", col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
