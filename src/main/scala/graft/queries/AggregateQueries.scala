@@ -212,8 +212,8 @@ object AggregateQueries extends QueryGroup {
            |    CAST(o_orderdate AS DATE) AS day, o_totalprice AS ppt
            |  FROM orders)
            |SELECT geoid, day,
-           |  ${dsum("ppt * frac")} / ${dsum("frac")} AS corn_ppt,
-           |  ${dsum("ppt * frac")} AS corn_ppt_num,
+           |  ${dsumStr("ppt * frac")} / ${dsum("frac")} AS corn_ppt,
+           |  ${dsumStr("ppt * frac")} AS corn_ppt_num,
            |  ${dsum("frac")} AS corn_ppt_den
            |FROM ppt
            |JOIN frac USING (bucket)
