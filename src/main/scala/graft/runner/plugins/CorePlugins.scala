@@ -165,13 +165,21 @@ object WebDownloadPlugin extends StepPlugin {
 
 /** `ftp_download_tree` — recursive mirror with `filename_glob`
   * (/root/reference/pipelines/prism/download-ts-ppt-day.yml:17-27).
-  * `file://` trees mirror recursively (tests + local staging); `ftp://`
-  * single files go through the JDK's built-in ftp URL handler. A full
-  * remote LIST-walking client is a deliberate non-goal here — PRISM-style
-  * mirrors enumerate per-year URLs anyway.
+  *
+  * `file://` trees mirror via `Files.walk`. Remote (`ftp://`) trees walk
+  * through a [[RemoteTreeWalker.Lister]]: list a directory URL, recurse
+  * into entries that themselves list (try-descend — the portable
+  * strategy when LIST output formats vary), fetch leaf files matching
+  * the glob. The default lister reads the JDK ftp URL handler's
+  * directory listing (one name per line); the SPI keeps the WALK logic
+  * — recursion, glob filtering, ledger idempotence, relative layout —
+  * fully unit-testable without a network (RunnerSpec drives it with an
+  * in-memory lister over a local tree).
   */
-object FtpDownloadTreePlugin extends StepPlugin {
+class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
+                       fetch: (String, Path) => Unit) extends StepPlugin {
   val name = "ftp_download_tree"
+
   def run(ctx: StepContext): StepResult = {
     val url = ctx.argStr("url")
     val out = Paths.get(ctx.argStr("out"))
@@ -181,35 +189,81 @@ object FtpDownloadTreePlugin extends StepPlugin {
     val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
     val uri = URI.create(url)
     var fetched, skipped = 0
+
+    def stage(sourceUrl: String, rel: String): Unit = {
+      val target = out.resolve(rel)
+      Files.createDirectories(
+        Option(target.getParent).getOrElse(out))
+      if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
+      else { fetch(sourceUrl, target); fetched += 1 }
+    }
+
     if (uri.getScheme == "file") {
       val root = Paths.get(uri)
       val stream = if (recursive) Files.walk(root) else Files.list(root)
       try {
         stream.iterator().asScala
           .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))
-          .foreach { p =>
-            val target = out.resolve(root.relativize(p).toString)
-            Files.createDirectories(target.getParent)
-            if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
-            else {
-              Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
-              fetched += 1
-            }
-          }
+          .foreach(p => stage(p.toUri.toString, root.relativize(p).toString))
       } finally stream.close()
-    } else {
-      val target = out.resolve(url.split('/').last)
-      if (Ledger.shouldWrite(target, ctx.overwrite)) {
-        val in = uri.toURL.openStream()
-        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
-        fetched += 1
-      } else skipped += 1
+    } else lister.list(url) match {
+      case Some(_) => // directory URL: recursive walk
+        def walk(dirUrl: String, relPrefix: String): Unit = {
+          val entries = lister.list(dirUrl).getOrElse(Seq.empty)
+          entries.foreach { name =>
+            val clean = name.stripSuffix("/")
+            val childUrl = dirUrl.stripSuffix("/") + "/" + clean
+            val childRel =
+              if (relPrefix.isEmpty) clean else s"$relPrefix/$clean"
+            val isDir = name.endsWith("/") ||
+              (recursive && lister.list(childUrl).isDefined)
+            if (isDir) { if (recursive) walk(childUrl, childRel) }
+            else if (matcher.matches(Paths.get(clean).getFileName))
+              stage(childUrl, childRel)
+          }
+        }
+        walk(url, "")
+      case None => // single remote file
+        stage(url, url.split('/').last)
     }
     StepResult(Map("n_fetched" -> fetched, "n_skipped" -> skipped,
       "out" -> out.toString))
   }
 }
+
+object RemoteTreeWalker {
+  /** Directory listing provider: Some(entries) when `url` is a listable
+    * directory (names, dirs marked with a trailing "/" when the server
+    * says so), None when it is a file (or listing fails). */
+  trait Lister { def list(url: String): Option[Seq[String]] }
+
+  /** JDK ftp URL handler: opening a directory URL (trailing slash)
+    * streams its listing one name per line. A read failure or an entry
+    * that streams bytes instead of names means "file". */
+  object JdkFtpLister extends Lister {
+    def list(url: String): Option[Seq[String]] =
+      try {
+        val in = URI.create(url.stripSuffix("/") + "/;type=d").toURL
+          .openStream()
+        try {
+          val names = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\r?\n").map(_.trim).filter(_.nonEmpty).toSeq
+          Some(names)
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  def jdkFetch(url: String, target: Path): Unit = {
+    val in = URI.create(url).toURL.openStream()
+    try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+  }
+}
+
+/** Default instance: JDK ftp listing + URL fetch. */
+object FtpDownloadTreePlugin extends RemoteTreeWalker(
+  RemoteTreeWalker.JdkFtpLister, RemoteTreeWalker.jdkFetch)
 
 /** `archive_extract` — unzip one archive or a (recursive `**`) glob
   * (/root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:27-34;

@@ -294,6 +294,50 @@ class RunnerSpec extends SparkSpecBase {
     assert(res.results(1).fields("mem") == "null")
   }
 
+  test("ftp tree walk: remote listing recursion + glob + ledger (S2)") {
+    import graft.runner.plugins.RemoteTreeWalker
+    // an in-memory "FTP server": directories list their entries (dirs
+    // carry trailing slashes), files stream bytes — exercises the REAL
+    // remote walk path (recursion, glob, relative layout, idempotence)
+    val tree = Map(
+      "ftp://host/data" -> Seq("2020/", "2021/", "README.txt"),
+      "ftp://host/data/2020" -> Seq("PRISM_ppt_20200101_bil.zip",
+        "PRISM_ppt_20200102_bil.zip", "notes.md"),
+      "ftp://host/data/2021" -> Seq("PRISM_ppt_20210101_bil.zip"))
+    val lister = new RemoteTreeWalker.Lister {
+      def list(url: String) = tree.get(url.stripSuffix("/"))
+    }
+    val fetched = collection.mutable.ListBuffer[String]()
+    val walker = new RemoteTreeWalker(lister,
+      (url, target) => { fetched += url; Files.writeString(target, url) })
+    val root = tmpDir()
+    val r = new PipelineRunner(
+      DefaultRegistry().withPlugins(Seq(walker)),
+      env = Map("basedir" -> root.toString),
+      sparkProvider = () => spark, assetRoots = Seq(root))
+    val p = write(root, "ftp.yml",
+      s"""steps:
+         |  - plugin: ftp_download_tree
+         |    args:
+         |      url: "ftp://host/data"
+         |      out: "{env.basedir}/mirror"
+         |      filename_glob: "*.zip"
+         |      recursive: true
+         |      overwrite: false
+         |""".stripMargin)
+    val res = r.runFile(p)
+    assert(res.results.head.fields("n_fetched") == 3) // .md/.txt excluded
+    assert(Files.exists(root.resolve(
+      "mirror/2020/PRISM_ppt_20200102_bil.zip")))
+    assert(Files.exists(root.resolve(
+      "mirror/2021/PRISM_ppt_20210101_bil.zip")))
+    assert(!Files.exists(root.resolve("mirror/README.txt")))
+    // idempotent re-run: ledger skips everything
+    val again = r.runFile(p)
+    assert(again.results.head.fields("n_skipped") == 3)
+    assert(again.results.head.fields("n_fetched") == 0)
+  }
+
   test("publish_target: file:// copies, gdrive:// stages with manifest (S9)") {
     val root = tmpDir()
     Files.createDirectories(root.resolve("artifact"))
