@@ -70,6 +70,14 @@ object Ivf {
       .agg(min_by(col("cluster_id"), col("__d")).as("cluster_id"),
         first(col("vec")).as("vec"))
 
+  /** Write the assigned corpus as the on-disk IVF index:
+    * `partitionBy(cluster_id)` parquet. At 100 TB a probe reads ONLY its
+    * `nprobe` cluster directories — Catalyst partition pruning turns the
+    * ANN search into a scan of k/nprobe-th of the corpus (asserted in
+    * PlanShapeSpec). */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
   /** Top-k by cosine among the query's `nprobe` nearest clusters. */
   def searchTopK(queries: DataFrame, assigned: DataFrame,
                  centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {

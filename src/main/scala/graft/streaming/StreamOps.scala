@@ -82,6 +82,46 @@ object StreamOps {
       }.toDF(key, "n_events", "total_value")
   }
 
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * pair each right-stream event with same-key left-stream events it
+    * follows within `maxDelay` (e.g. purchase ≤ 1 h after click). Both
+    * sides carry watermarks so the join state is bounded: left rows are
+    * droppable once `leftTs + maxDelay` passes the right watermark.
+    * Right columns come back prefixed `r_`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, maxDelay: String,
+                   watermark: String = "1 day"): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(s"r_$rightTs", watermark),
+        col(key) === col(s"r_$key") &&
+          col(s"r_$rightTs") >= col(leftTs) &&
+          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** Threshold-crossing alerts via flatMapGroupsWithState — the 0..n
+    * output custom-state surface: one alert row each time a key's
+    * running value total crosses another multiple of `threshold`. */
+  def thresholdAlerts(spark: SparkSession, events: DataFrame, key: String,
+                      value: String, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(key).cast("long"),
+      col(value).cast("double")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          val after = before + rows.map(_._2).sum
+          state.update(after)
+          val firstLevel = math.floor(before / threshold).toLong + 1
+          val lastLevel = math.floor(after / threshold).toLong
+          (firstLevel to lastLevel).iterator
+            .map(level => (k, level, level * threshold))
+      }.toDF(key, "level", "level_value")
+  }
+
   /** Session windows: activity bursts separated by >= `gap` of quiet.
     * Spark's native `session_window` — state merges adjacent windows as
     * late events arrive; watermark bounds retained state. Works

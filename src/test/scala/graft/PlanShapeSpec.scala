@@ -85,6 +85,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!logical.toLowerCase.contains("broadcast"), logical.take(3000))
   }
 
+  test("IVF index layout: probes prune to their cluster partitions") {
+    import graft.operators.{Ivf, Similarity}
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/index"
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+    val centroids = Ivf.train(corpus, k = 4, iters = 0)
+    Ivf.writeIndex(Ivf.assign(corpus, centroids), dir)
+    // a probe of clusters {1,2} must scan ONLY those two directories
+    val probe = spark.read.parquet(dir)
+      .filter(col("cluster_id").isin(1, 2))
+    assert(plan(probe).contains("PartitionFilters"), plan(probe).take(2000))
+    val scanned = probe.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(f =>
+      f.contains("cluster_id=1") || f.contains("cluster_id=2")),
+      scanned.take(5).mkString("\n"))
+  }
+
   test("day-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     Sink.writeDayPartitioned(Tables.events(spark, sf), col("ts"), dir)

@@ -74,6 +74,46 @@ class StreamOpsSpec extends SparkSpecBase {
     val _ = dup
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // click→purchase attribution within 2 hours, same user
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val streamed = StreamOps.runToMemory(
+      StreamOps.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "p_ts", "2 hours"),
+      "ssjoin_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    val bc = eventsBatch.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val bp = eventsBatch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user_id"), col("ts").as("p_ts"))
+    val batch = bc.join(bp,
+      col("user_id") === col("r_user_id") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 2 hours"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+  }
+
+  test("flatMapGroupsWithState emits one alert per crossed threshold") {
+    val streamed = StreamOps.runToMemory(
+      StreamOps.thresholdAlerts(spark, eventsStream, "user_id", "value",
+        threshold = 500.0),
+      "alerts_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    // batch truth: per user, floor(total/500) alerts, levels 1..floor
+    val batch = eventsBatch.groupBy("user_id")
+      .agg(floor(sum(col("value")) / 500.0).cast("long").as("n_levels"))
+      .filter(col("n_levels") >= 1)
+    val got = streamed.groupBy("user_id")
+      .agg(count(lit(1)).as("n_alerts"), max("level").as("max_level"))
+    val diff = got.join(batch, "user_id")
+      .filter(col("n_alerts") =!= col("n_levels") ||
+        col("max_level") =!= col("n_levels"))
+    assert(diff.count() == 0, "alert counts diverge from batch truth")
+    assert(got.count() == batch.count())
+  }
+
   test("mapGroupsWithState running totals equal batch per-user totals") {
     val streamed = StreamOps.runToMemory(
       StreamOps.runningTotals(spark, eventsStream, "user_id", "value"),
