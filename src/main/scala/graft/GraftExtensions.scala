@@ -21,11 +21,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "cosine_sim"),
+      GraftExtensions.cosineBuilder))
   }
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+
+  /** cosine_sim(a, b) = dot(a,b) / (√dot(a,a) · √dot(b,b)) — composed
+    * entirely from codegen expressions, so the SQL surface matches the
+    * Column-level [[graft.operators.Similarity.cosine]] bit-for-bit. */
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = exprs => {
+    val (a, b) = (exprs(0), exprs(1))
+    Divide(DotProductExpr(a, b),
+      Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+  }
+
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "cosine_sim", cosineBuilder)
+  }
 }

@@ -58,13 +58,30 @@ object WeightedQuantile {
   final case class VW(v: Double, w: Double)
 
   /** Typed aggregator: collects (v, w) pairs, merges buffers, finalizes
-    * by sorting once. Exact same definition as the window form. */
-  class WeightedQuantileAgg(q: Double)
+    * by sorting once. Exact same definition as the window form.
+    *
+    * MEMORY CONTRACT: the buffer holds every (v, w) pair of its group in
+    * executor heap — exactly like Spark's own exact `percentile`. That
+    * is safe for bounded groups (cells per county: ~10⁵) and WRONG for
+    * unbounded ones; `maxGroupSize` (default 10M pairs ≈ 160 MB) fails
+    * fast with a clear message instead of an opaque executor OOM. For
+    * unbounded groups use [[weightedQuantileByWindow]] (sort-based,
+    * spills) or an approximate sketch. */
+  class WeightedQuantileAgg(q: Double, maxGroupSize: Int = 10_000_000)
       extends Aggregator[VW, ArrayBuffer[VW], Double] {
+    private def guard(b: ArrayBuffer[VW]): ArrayBuffer[VW] = {
+      if (b.size > maxGroupSize)
+        throw new IllegalStateException(
+          s"WeightedQuantileAgg group exceeds $maxGroupSize pairs; " +
+            "use weightedQuantileByWindow (sort-based, spillable) for " +
+            "unbounded groups")
+      b
+    }
     def zero: ArrayBuffer[VW] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[VW], a: VW): ArrayBuffer[VW] = { b += a; b }
+    def reduce(b: ArrayBuffer[VW], a: VW): ArrayBuffer[VW] =
+      guard({ b += a; b })
     def merge(b1: ArrayBuffer[VW], b2: ArrayBuffer[VW]): ArrayBuffer[VW] =
-      b1 ++= b2
+      guard(b1 ++= b2)
     def finish(b: ArrayBuffer[VW]): Double = {
       if (b.isEmpty) return Double.NaN
       val sorted = b.sortBy(_.v)

@@ -49,6 +49,20 @@ class CapabilitySpec extends SparkSpecBase {
     assert(v == 11.0)
   }
 
+  test("cosine_sim SQL matches the Column-level Similarity.cosine") {
+    GraftExtensions.register(spark)
+    val sqlV = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d, 0.0d), array(2.0d, 4.0d, 1.0d))")
+      .head().getDouble(0)
+    import spark.implicits._
+    val colV = Seq((Array(1.0, 2.0, 0.0), Array(2.0, 4.0, 1.0)))
+      .toDF("a", "b")
+      .select(operators.Similarity.cosine(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(sqlV == colV) // bit-identical: same expression tree
+    assert(math.abs(sqlV - 10.0 / (math.sqrt(5) * math.sqrt(21))) < 1e-12)
+  }
+
   test("saltedSum equals plain sum on every key") {
     val df = Tables.events(spark, sf)
     val plain = df.groupBy("event_type")
