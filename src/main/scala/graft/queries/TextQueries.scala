@@ -65,6 +65,27 @@ object TextQueries extends QueryGroup {
         .otherwise("keep").as("verdict"))
   }
 
+  /** The composed corpus-cleaning flagship: quality filter → exact-dedup
+    * keeper selection in ONE plan. Every doc comes back with its quality
+    * verdict, its dup-group keeper (among quality-keeps; -1 when the doc
+    * itself was dropped), and the final keep decision a training-data
+    * pipeline would act on. Shapes: one projection battery (codegen),
+    * one window over md5(text) — a single shuffle by hash key. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__md5")
+    val scored = qualityFilter(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("__md5")), "doc_id")
+    scored
+      .withColumn("keeper",
+        when(col("verdict") === "keep",
+          min(when(col("verdict") === "keep", col("doc_id"))).over(w))
+          .otherwise(lit(-1L)))
+      .withColumn("final_keep",
+        col("verdict") === "keep" && col("keeper") === col("doc_id"))
+      .select("doc_id", "verdict", "keeper", "final_keep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filter" -> (qualityFilter _),
     "text_chunks" -> (textChunks _),
@@ -74,38 +95,59 @@ object TextQueries extends QueryGroup {
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
-    "dedup_components" -> (dedupComponents _))
+    "dedup_components" -> (dedupComponents _),
+    "corpus_clean" -> (corpusClean _))
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Shared CTE prefix: the quality-filter verdict per doc (also the
+    * base of the corpus_clean oracle). */
+  private def qualityCte: String = {
+    val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
+    val scores = LangId.markers.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter($toks, x -> x IN ($in))) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    s"""s AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    len(list_filter($toks, x -> x IN ($sw))) / len($toks) AS stopword_ratio,
+       |    $scores
+       |  FROM documents),
+       |l AS (
+       |  SELECT *, CASE
+       |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |    WHEN score_fr >= score_es THEN 'fr'
+       |    ELSE 'es' END AS lang_pred
+       |  FROM s),
+       |v AS (
+       |  SELECT doc_id, n_tokens, stopword_ratio, lang_pred,
+       |    CASE WHEN n_tokens < 20 THEN 'too_short'
+       |         WHEN n_tokens > 500 THEN 'too_long'
+       |         WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+       |         WHEN lang_pred != 'en' THEN 'not_english'
+       |         ELSE 'keep' END AS verdict
+       |  FROM l)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "quality_filter" -> {
-      val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
-      val scores = LangId.markers.map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString(",")
-        s"CAST(len(list_filter($toks, x -> x IN ($in))) AS BIGINT) AS score_$l"
-      }.mkString(", ")
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    CAST(len($toks) AS BIGINT) AS n_tokens,
-         |    len(list_filter($toks, x -> x IN ($sw))) / len($toks) AS stopword_ratio,
-         |    $scores
-         |  FROM documents),
-         |l AS (
-         |  SELECT *, CASE
-         |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-         |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-         |    WHEN score_fr >= score_es THEN 'fr'
-         |    ELSE 'es' END AS lang_pred
-         |  FROM s)
-         |SELECT doc_id, n_tokens, stopword_ratio, lang_pred,
-         |  CASE WHEN n_tokens < 20 THEN 'too_short'
-         |       WHEN n_tokens > 500 THEN 'too_long'
-         |       WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
-         |       WHEN lang_pred != 'en' THEN 'not_english'
-         |       ELSE 'keep' END AS verdict
-         |FROM l""".stripMargin
-    },
+    "quality_filter" ->
+      s"""WITH $qualityCte
+         |SELECT doc_id, n_tokens, stopword_ratio, lang_pred, verdict
+         |FROM v""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH $qualityCte,
+         |m AS (SELECT doc_id, md5(text) AS m5 FROM documents)
+         |SELECT v.doc_id, verdict,
+         |  CASE WHEN verdict = 'keep'
+         |    THEN MIN(CASE WHEN verdict = 'keep' THEN v.doc_id END)
+         |      OVER (PARTITION BY m5)
+         |    ELSE -1 END AS keeper,
+         |  (verdict = 'keep' AND v.doc_id =
+         |    MIN(CASE WHEN verdict = 'keep' THEN v.doc_id END)
+         |      OVER (PARTITION BY m5)) AS final_keep
+         |FROM v JOIN m ON v.doc_id = m.doc_id""".stripMargin,
     "text_chunks" ->
       """SELECT doc_id AS id,
         |  CAST((s - 1) // 160 AS INT) AS chunk_idx,
