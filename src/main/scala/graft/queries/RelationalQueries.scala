@@ -85,6 +85,31 @@ object RelationalQueries extends QueryGroup {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Interval join as a bin equi-join (no theta/nested-loop plan):
+    * orders priced into overlapping price bands. Aggregated per band so
+    * the result is compact and the residual filter is fully exercised. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 20).select(
+      col("id").as("band"),
+      (col("id") * 20000.0).as("lo"),
+      (col("id") * 20000.0 + 30000.0).as("hi"))
+    RangeJoin.binned(
+      Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+      "o_totalprice", bands, "lo", "hi", binWidth = 20000.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  /** Exact corpus-wide top-k frequent tokens (explode → count → top-k,
+    * tie-broken by token). */
+  def tokenTopk(spark: SparkSession, dir: String): DataFrame =
+    TopK.global(
+      Tables.documents(spark, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("token").asc), 20)
+
   /** §2.6 top-k per group with deterministic tie-break. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
     TopK.perGroup(
@@ -139,6 +164,8 @@ object RelationalQueries extends QueryGroup {
     "s6_combine" -> (s6Combine _),
     "salted_sum" -> (saltedSum _),
     "salted_join" -> (saltedJoin _),
+    "range_join" -> (rangeJoin _),
+    "token_topk" -> (tokenTopk _),
     "topk_per_group" -> (topkPerGroup _),
     "sort_limit" -> (sortLimit _),
     "set_intersect" -> (setIntersect _),
@@ -179,6 +206,22 @@ object RelationalQueries extends QueryGroup {
       "salted_sum" ->
         s"""SELECT l_suppkey, ${dsum("l_extendedprice")} AS sum_price
            |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+      "range_join" ->
+        s"""WITH bands AS (
+           |  SELECT i AS band, i * 20000.0 AS lo, i * 20000.0 + 30000.0 AS hi
+           |  FROM range(0, 20) t(i))
+           |SELECT band, COUNT(*) AS n_orders,
+           |  ${dsum("o_totalprice")} AS total_price
+           |FROM orders JOIN bands
+           |  ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY band""".stripMargin,
+      "token_topk" ->
+        """SELECT token, COUNT(*) AS n
+          |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |      FROM documents) t
+          |GROUP BY token
+          |ORDER BY n DESC, token
+          |LIMIT 20""".stripMargin,
       "salted_join" ->
         s"""SELECT p_brand,
            |  ${dsum("l_quantity * p_retailprice")} AS qty_price,

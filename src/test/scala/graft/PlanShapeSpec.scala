@@ -85,6 +85,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!logical.toLowerCase.contains("broadcast"), logical.take(3000))
   }
 
+  test("range_join executes as a hash equi-join on the bin, never a theta plan") {
+    val df = queries.RelationalQueries.rangeJoin(spark, sf)
+    val p = plan(df)
+    // a naive interval theta join can only run as BNLJ/cartesian —
+    // the bin rewrite must produce a HASH join keyed on the bin
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("IVF index layout: probes prune to their cluster partitions") {
     import graft.operators.{Ivf, Similarity}
     val dir = Files.createTempDirectory("graft_ivf").toString + "/index"
