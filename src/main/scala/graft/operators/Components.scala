@@ -68,6 +68,11 @@ object Components {
       // a second pass)
       val next = step(step(labels)).localCheckpoint(false)
       val nextSum = checksum(next)
+      // drop the previous round's cached blocks eagerly — only the
+      // latest labels are ever read again (ContextCleaner would reclaim
+      // unreferenced checkpoint RDDs on GC anyway; this just bounds the
+      // window)
+      unpersistLabels(labels)
       labels = next
       done = nextSum == labelSum // labels only ever decrease; equal = fixpoint
       labelSum = nextSum
@@ -76,6 +81,17 @@ object Components {
     sym.unpersist()
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** Release a superseded round's cached blocks: a localCheckpoint'ed
+    * DataFrame caches via its backing RDD (not the CacheManager), so the
+    * RDD is unpersisted directly; a plain persisted DF (round 0's
+    * labels) goes through unpersist(). */
+  private def unpersistLabels(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => df.unpersist()
+    }
 
   /** Exact decimal sum of labels — monotone under propagation, so equal
     * consecutive sums prove the fixpoint. */

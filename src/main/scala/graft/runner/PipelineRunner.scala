@@ -46,9 +46,24 @@ final class PipelineRunner(
     * re-entrant computeIfAbsent on the same map is forbidden). */
   private val inFlight = new ConcurrentHashMap[String, CountDownLatch]()
   /** per-thread chain of requires_pipelines being resolved — cycles in
-    * the dependency graph fail fast instead of recursing forever. */
+    * the dependency graph fail fast instead of recursing forever. The
+    * chain must FOLLOW the run across thread hops (foreach futures,
+    * async pipeline_execute children), or a cycle crossing a pool
+    * boundary would park forever on the in-flight latch instead of
+    * failing — [[capturedChain]]/[[withChain]] carry it over. */
   private val requireChain: ThreadLocal[List[String]] =
     ThreadLocal.withInitial(() => Nil)
+
+  /** Snapshot of the calling thread's requires-resolution chain. */
+  private[runner] def capturedChain: List[String] = requireChain.get()
+
+  /** Run `body` with the given chain installed (restores the previous
+    * value) — used when a run continues on a different thread. */
+  private[runner] def withChain[T](chain: List[String])(body: => T): T = {
+    val prev = requireChain.get()
+    requireChain.set(chain)
+    try body finally requireChain.set(prev)
+  }
   private val groupPools = new ConcurrentHashMap[String, ExecutionContext]()
   /** Shared pool for `pipeline_execute mode: async` children. */
   private[runner] lazy val asyncPool =
@@ -185,7 +200,10 @@ final class PipelineRunner(
       case (Some(varName), _) =>
         val list = items(varName)
         val group = step.parallelWith.getOrElse("__default")
-        if (Thread.currentThread().getName.startsWith(s"graft-foreach-$group"))
+        // pool threads are named exactly "graft-foreach-<group>" — use
+        // equality, not startsWith (group "io" must not match a thread
+        // of group "io2")
+        if (Thread.currentThread().getName == s"graft-foreach-$group")
           // Re-entrant fan-out on the SAME bounded pool (a foreach'd
           // pipeline_execute whose child also runs a foreach in this
           // group): parents would block in Await holding every pool
@@ -196,7 +214,9 @@ final class PipelineRunner(
           mergeResults(list.map(it => invoke(scope.withItem(it))))
         else {
           implicit val ec: ExecutionContext = poolFor(step.parallelWith)
-          val futures = list.map(it => Future(invoke(scope.withItem(it))))
+          val chain = capturedChain // follow the run onto pool threads
+          val futures = list.map(it =>
+            Future(withChain(chain)(invoke(scope.withItem(it)))))
           val all = Await.result(Future.sequence(futures), Duration.Inf)
           mergeResults(all)
         }

@@ -58,9 +58,15 @@ object PipelineExecutePlugin extends StepPlugin {
       .getOrElse(Map.empty[String, Any])
     ctx.argOpt("mode").map(_.toString).getOrElse("synchronized") match {
       case "async" =>
+        // carry the requires-resolution chain onto the async thread so a
+        // dependency cycle through this child still fails fast instead
+        // of deadlocking on the in-flight latch
+        val chain = ctx.runner.capturedChain
         ctx.async.submit(path) {
-          val r = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
-          StepResult(Map("pipeline" -> path, "n_steps" -> r.results.size))
+          ctx.runner.withChain(chain) {
+            val r = ctx.runner.runRelative(path, ctx.currentPipeline, overrides)
+            StepResult(Map("pipeline" -> path, "n_steps" -> r.results.size))
+          }
         }
         StepResult(Map("pipeline" -> path, "mode" -> "async"))
       case _ =>
@@ -191,7 +197,11 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
     var fetched, skipped = 0
 
     def stage(sourceUrl: String, rel: String): Unit = {
-      val target = out.resolve(rel)
+      val target = out.resolve(rel).normalize
+      // path-traversal guard: a hostile/misbehaving server listing
+      // "../../x" must not escape the mirror root (same contract as
+      // ArchiveExtractPlugin's zip-slip check)
+      require(target.startsWith(out), s"tree-walk slip blocked: $rel")
       Files.createDirectories(
         Option(target.getParent).getOrElse(out))
       if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
@@ -207,22 +217,33 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
           .foreach(p => stage(p.toUri.toString, root.relativize(p).toString))
       } finally stream.close()
     } else lister.list(url) match {
-      case Some(_) => // directory URL: recursive walk
-        def walk(dirUrl: String, relPrefix: String): Unit = {
-          val entries = lister.list(dirUrl).getOrElse(Seq.empty)
+      case Some(rootEntries) => // directory URL: recursive walk
+        // each directory is listed exactly ONCE — the probe that
+        // classifies an entry as a directory returns the listing that
+        // the recursion then consumes
+        def walk(dirUrl: String, relPrefix: String,
+                 entries: Seq[String]): Unit =
           entries.foreach { name =>
             val clean = name.stripSuffix("/")
             val childUrl = dirUrl.stripSuffix("/") + "/" + clean
             val childRel =
               if (relPrefix.isEmpty) clean else s"$relPrefix/$clean"
-            val isDir = name.endsWith("/") ||
-              (recursive && lister.list(childUrl).isDefined)
-            if (isDir) { if (recursive) walk(childUrl, childRel) }
-            else if (matcher.matches(Paths.get(clean).getFileName))
-              stage(childUrl, childRel)
+            def stageFile(): Unit =
+              if (matcher.matches(Paths.get(clean).getFileName))
+                stage(childUrl, childRel)
+            if (name.endsWith("/")) {
+              if (recursive)
+                lister.list(childUrl).foreach(walk(childUrl, childRel, _))
+            } else if (recursive) lister.list(childUrl) match {
+              // NLST on a FILE answers with the file's own name on many
+              // servers — a single self-entry means "file", not "dir"
+              case Some(es) if es.isEmpty => () // empty directory
+              case Some(es) if es != Seq(clean) =>
+                walk(childUrl, childRel, es)
+              case _ => stageFile()
+            } else stageFile()
           }
-        }
-        walk(url, "")
+        walk(url, "", rootEntries)
       case None => // single remote file
         stage(url, url.split('/').last)
     }

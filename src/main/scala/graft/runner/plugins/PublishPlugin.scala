@@ -36,7 +36,11 @@ object PublishTargetPlugin extends StepPlugin {
     val scheme = Option(uri.getScheme).getOrElse("file")
 
     val targetDir: Path = scheme match {
-      case "file" => Paths.get(uri)
+      case "file" =>
+        // a schemeless target_uri is a plain local path — Paths.get(URI)
+        // requires an explicit scheme and would throw on it
+        if (uri.getScheme == null) Paths.get(ctx.argStr("target_uri"))
+        else Paths.get(uri)
       case remote =>
         val root = ctx.argOpt("publish_root").map(_.toString)
           .orElse(ctx.scope.env.get("publish_root").map(_.toString))
@@ -48,10 +52,12 @@ object PublishTargetPlugin extends StepPlugin {
     Files.createDirectories(targetDir)
 
     val files: Seq[Path] =
-      if (Files.isDirectory(source))
-        Files.walk(source).iterator().asScala
+      if (Files.isDirectory(source)) {
+        val stream = Files.walk(source)
+        try stream.iterator().asScala
           .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-      else Seq(source)
+        finally stream.close()
+      } else Seq(source)
 
     var published, skipped = 0
     val entries = files.map { f =>

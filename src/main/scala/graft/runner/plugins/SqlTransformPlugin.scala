@@ -35,29 +35,25 @@ object SqlTransformPlugin extends StepPlugin {
     // Temp views live in the SESSION-global namespace: concurrent
     // invocations of this step (foreach backfill items, parallel sibling
     // pipelines) registering the same view name with different paths
-    // would race — one invocation silently reading another's table. The
-    // views are therefore suffixed with an invocation-unique id and the
-    // query rewritten to match; views are dropped after the write.
-    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    def unique(t: String) = s"${t}__$runId"
+    // would race — one invocation silently reading another's table.
+    // Each invocation therefore runs in its OWN session (newSession
+    // shares the SparkContext and cached data but has an isolated temp
+    // catalog), so views keep their declared names — no query rewriting,
+    // which could never distinguish an identifier from a same-spelled
+    // string literal or column name.
+    val session = spark.newSession()
     tables.foreach { case (tname, path) =>
       val df =
         if (path.endsWith(".csv"))
-          spark.read.option("header", "true").option("inferSchema", "true")
+          session.read.option("header", "true").option("inferSchema", "true")
             .csv(path)
-        else spark.read.parquet(path)
-      df.createOrReplaceTempView(unique(tname))
+        else session.read.parquet(path)
+      df.createOrReplaceTempView(tname)
     }
-    try {
-      val query = tables.keys.foldLeft(ctx.argStr("query")) { (q, t) =>
-        q.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b",
-          java.util.regex.Matcher.quoteReplacement(unique(t)))
-      }
-      val result = spark.sql(query)
-      val out = ctx.argStr("output_path")
-      if (out.endsWith(".csv")) GeoPluginUtil.writeSingleCsv(result, out)
-      else result.write.mode("overwrite").parquet(out)
-      StepResult(Map("output_path" -> out, "n_tables" -> tables.size))
-    } finally tables.keys.foreach(t => spark.catalog.dropTempView(unique(t)))
+    val result = session.sql(ctx.argStr("query"))
+    val out = ctx.argStr("output_path")
+    if (out.endsWith(".csv")) GeoPluginUtil.writeSingleCsv(result, out)
+    else result.write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out, "n_tables" -> tables.size))
   }
 }

@@ -103,15 +103,25 @@ object StacAssetDownloadPlugin extends StepPlugin {
   }
 
   /** ISO timestamp or date-only string → Instant; date-only parses to
-    * start-of-day (or end-of-day for interval end bounds, per STAC). */
-  private def parseDt(s: String, endOfDay: Boolean): java.time.Instant = {
+    * start-of-day (or end-of-day for interval end bounds, per STAC).
+    * Tolerant: offset-less timestamps (common in real catalogs) are
+    * taken as UTC; an unparseable value yields None — the FILTER treats
+    * that as "matches" rather than aborting the whole download. */
+  private def parseDt(s: String, endOfDay: Boolean): Option[java.time.Instant] = {
     val t = s.trim
-    if (t.matches("\\d{4}-\\d{2}-\\d{2}")) {
-      val d = java.time.LocalDate.parse(t)
-      val ldt = if (endOfDay) d.atTime(java.time.LocalTime.MAX)
-                else d.atStartOfDay()
-      ldt.toInstant(java.time.ZoneOffset.UTC)
-    } else java.time.OffsetDateTime.parse(t).toInstant
+    try {
+      if (t.matches("\\d{4}-\\d{2}-\\d{2}")) {
+        val d = java.time.LocalDate.parse(t)
+        val ldt = if (endOfDay) d.atTime(java.time.LocalTime.MAX)
+                  else d.atStartOfDay()
+        Some(ldt.toInstant(java.time.ZoneOffset.UTC))
+      } else try Some(java.time.OffsetDateTime.parse(t).toInstant)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          Some(java.time.LocalDateTime.parse(t)
+            .toInstant(java.time.ZoneOffset.UTC))
+      }
+    } catch { case _: Exception => None }
   }
 
   /** bbox intersection + datetime range + query_json property filters. */
@@ -137,10 +147,14 @@ object StacAssetDownloadPlugin extends StepPlugin {
           // must cover the whole day (STAC interval semantics — the
           // string compare dropped items stamped later that day), and
           // mixed offset spellings ('+00:00' vs 'Z') order incorrectly
-          // lexicographically.
-          val t = parseDt(d.toString, endOfDay = false)
-          (start == ".." || !t.isBefore(parseDt(start, endOfDay = false))) &&
-            (end == ".." || !t.isAfter(parseDt(end, endOfDay = true)))
+          // lexicographically. Unparseable values are included, never
+          // fatal.
+          parseDt(d.toString, endOfDay = false).forall { t =>
+            (start == ".." ||
+              parseDt(start, endOfDay = false).forall(!t.isBefore(_))) &&
+              (end == ".." ||
+                parseDt(end, endOfDay = true).forall(!t.isAfter(_)))
+          }
         }
       case None => true
     }
