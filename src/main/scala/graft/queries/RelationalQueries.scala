@@ -140,6 +140,22 @@ object RelationalQueries extends QueryGroup {
       .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
   }
 
+  /** §2.5 rank-based window battery: ntile/percent_rank/cume_dist plus
+    * a running count, all sharing ONE window ordering (single sort). */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("ntile_4", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("run_n",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+  }
+
   /** §2.8 scalar string/date/math battery (all exact types). */
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
@@ -166,6 +182,7 @@ object RelationalQueries extends QueryGroup {
     "salted_join" -> (saltedJoin _),
     "range_join" -> (rangeJoin _),
     "token_topk" -> (tokenTopk _),
+    "window_funcs" -> (windowFuncs _),
     "topk_per_group" -> (topkPerGroup _),
     "sort_limit" -> (sortLimit _),
     "set_intersect" -> (setIntersect _),
@@ -215,6 +232,17 @@ object RelationalQueries extends QueryGroup {
            |FROM orders JOIN bands
            |  ON o_totalprice >= lo AND o_totalprice < hi
            |GROUP BY band""".stripMargin,
+      "window_funcs" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  CAST(ntile(4) OVER w AS INT) AS ntile_4,
+          |  percent_rank() OVER w AS pct_rank,
+          |  cume_dist() OVER w AS cume,
+          |  CAST(COUNT(*) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
       "token_topk" ->
         """SELECT token, COUNT(*) AS n
           |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -44,6 +44,23 @@ object TextQueries extends QueryGroup {
       "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Candidate verification by edit distance: the n-gram Jaccard
+    * near-dup pairs re-checked with full Levenshtein — the expensive
+    * exact measure applied ONLY to the pruned candidate set (the
+    * candidates→verify shape every dedup pipeline ends with). */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.ngramJaccardPairs(d, "doc_id", col("text"), n = 3,
+      minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("__ta")),
+        "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"))
+  }
+
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
@@ -96,7 +113,8 @@ object TextQueries extends QueryGroup {
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_components" -> (dedupComponents _),
-    "corpus_clean" -> (corpusClean _))
+    "corpus_clean" -> (corpusClean _),
+    "edit_distance" -> (editDistance _))
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -215,6 +233,26 @@ object TextQueries extends QueryGroup {
          |  UNION
          |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id)
          |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "edit_distance" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END)) AS s FROM tok),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.5)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
