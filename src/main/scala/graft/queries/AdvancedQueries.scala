@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.Exact
+import graft.operators.AsOfJoin
 
 /** Relational capabilities beyond the reference's authored surface that
   * SURVEY §2 notes as "free in Spark" (grouping sets, ranking/lead-lag,
@@ -49,6 +50,24 @@ object AdvancedQueries extends QueryGroup {
 
   /** As-of lookup: per event, the most recent PRIOR 'error' event time
     * of the same user (ms precision — ns/µs-safe across engines). */
+  /** Two-table as-of join: each order picks up the user's latest daily
+    * event (right side pre-aggregated to one row per (user, day) so the
+    * as-of is deterministic) — oracle is DuckDB's native ASOF JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dailyEvents = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("ev_day"))
+      .agg(max(col("event_id")).as("ev_id"),
+        max_by(col("value"), col("event_id")).as("ev_value"))
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey").as("user_id"),
+      to_date(col("o_orderdate")).as("o_day"))
+    AsOfJoin.lastBefore(orders, dailyEvents, "user_id",
+      "o_day", "ev_day", Seq("ev_id", "ev_value"))
+      .select(col("o_orderkey"), col("user_id"), col("o_day"),
+        coalesce(col("last_ev_id"), lit(-1L)).as("last_ev_id"),
+        coalesce(col("last_ev_value"), lit(-1.0)).as("last_ev_value"))
+  }
+
   def asofPrevError(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
@@ -135,6 +154,7 @@ object AdvancedQueries extends QueryGroup {
     "rollup_agg" -> (rollupAgg _),
     "lead_lag" -> (leadLag _),
     "asof_prev_error" -> (asofPrevError _),
+    "asof_join" -> (asofJoin _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
     "hll_distinct" -> (hllDistinct _))
@@ -199,6 +219,21 @@ object AdvancedQueries extends QueryGroup {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000,
           |    -1) AS prev_error_ms
           |FROM events""".stripMargin,
+      "asof_join" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS ev_day,
+          |    MAX(event_id) AS ev_id,
+          |    max_by("value", event_id) AS ev_value
+          |  FROM events GROUP BY 1, 2),
+          |o AS (
+          |  SELECT o_orderkey, o_custkey AS user_id,
+          |    CAST(o_orderdate AS DATE) AS o_day
+          |  FROM orders)
+          |SELECT o.o_orderkey, o.user_id, o.o_day,
+          |  COALESCE(ev.ev_id, -1) AS last_ev_id,
+          |  COALESCE(ev.ev_value, -1.0) AS last_ev_value
+          |FROM o ASOF LEFT JOIN ev
+          |  ON o.user_id = ev.user_id AND ev.ev_day <= o.o_day""".stripMargin,
       "anti_join" ->
         """SELECT c_custkey, c_name FROM customer
           |WHERE NOT EXISTS (
