@@ -45,6 +45,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("AsOfJoin: latest preceding right row; null when none precedes") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, 1.5), (1L, 15L, 2.5), (2L, 9L, 9.9))
+      .toDF("k", "t", "px")
+    val out = AsOfJoin.lastBefore(trades, quotes, "k", "t", "t", Seq("px"))
+      .collect().map(r => r.getString(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("t1").contains(1.5)) // same-instant quote IS visible
+    assert(out("t2").contains(2.5)) // latest of the two preceding
+    assert(out("t3").isEmpty)       // no quote at or before t=5
+  }
+
   test("Components: chains collapse to the min id; clusters pick keepers") {
     // 1-2, 2-3 chain (diameter 2, needs >1 propagation round), 5-6 pair
     val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
