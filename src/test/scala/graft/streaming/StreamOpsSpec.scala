@@ -74,6 +74,18 @@ class StreamOpsSpec extends SparkSpecBase {
     val _ = dup
   }
 
+  test("parquet sink: checkpointed AvailableNow drain; restart adds nothing") {
+    val out = java.nio.file.Files.createTempDirectory("stream_sink")
+    val sink = s"$out/data"
+    val ckpt = s"$out/ckpt"
+    StreamOps.toParquetSink(eventsStream, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == eventsBatch.count())
+    // same checkpoint, no new files staged -> nothing re-committed
+    StreamOps.toParquetSink(eventsStream, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == eventsBatch.count(),
+      "restart with an up-to-date checkpoint must not duplicate rows")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // click→purchase attribution within 2 hours, same user
     val clicks = eventsStream.filter(col("event_type") === "click")
