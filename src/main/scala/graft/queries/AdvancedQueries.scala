@@ -68,6 +68,28 @@ object AdvancedQueries extends QueryGroup {
         coalesce(col("last_ev_value"), lit(-1.0)).as("last_ev_value"))
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event exceeds 30 min; sessions then
+    * aggregate. One window (lag + running sum share the sort) + one
+    * hash aggregate — the batch twin of the streaming session_window. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__gap_new",
+        when(col("__us") - lag(col("__us"), 1).over(w) > 1800L * 1000000L
+          || lag(col("__us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__gap_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(__us) div 1000").as("start_ms"),
+        expr("max(__us) div 1000").as("end_ms"),
+        Exact.dsum(col("value")).as("session_value"))
+  }
+
   def asofPrevError(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
@@ -155,6 +177,7 @@ object AdvancedQueries extends QueryGroup {
     "lead_lag" -> (leadLag _),
     "asof_prev_error" -> (asofPrevError _),
     "asof_join" -> (asofJoin _),
+    "sessionize" -> (sessionize _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
     "hll_distinct" -> (hllDistinct _))
@@ -219,6 +242,28 @@ object AdvancedQueries extends QueryGroup {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000,
           |    -1) AS prev_error_ms
           |FROM events""".stripMargin,
+      "sessionize" ->
+        s"""WITH g AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us, "value",
+           |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+           |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |        > 1800 * 1000000
+           |      OR LAG(epoch_us(ts), 1)
+           |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |        IS NULL
+           |    THEN 1 ELSE 0 END AS gap_new
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, us, "value",
+           |    CAST(SUM(gap_new) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS session_idx
+           |  FROM g)
+           |SELECT user_id, session_idx, COUNT(*) AS n_events,
+           |  MIN(us) // 1000 AS start_ms, MAX(us) // 1000 AS end_ms,
+           |  ${dsum("\"value\"")} AS session_value
+           |FROM s GROUP BY 1, 2""".stripMargin,
       "asof_join" ->
         """WITH ev AS (
           |  SELECT user_id, CAST(ts AS DATE) AS ev_day,
