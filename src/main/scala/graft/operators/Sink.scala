@@ -29,6 +29,52 @@ object Sink {
     out.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
   }
 
+  /** Incremental backfill: overwrite ONLY the partitions present in
+    * `slice` (dynamic partition-overwrite), leaving every other
+    * partition's files untouched — the engine-native form of the
+    * reference's per-day skip-if-exists re-runs
+    * (pipelines/prism/county_daily_aggregate_child.yml: one day per
+    * step). Re-running one bad day rewrites one directory, not 100 TB.
+    */
+  def overwritePartitions(slice: DataFrame, partitionCols: Seq[String],
+                          path: String): Unit = {
+    val spark = slice.sparkSession
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      slice.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Small-file compaction: rewrite a parquet dataset into ~`targetMB`
+    * files. Streaming appends, per-day backfills and wide shuffles leave
+    * thousands of KB-sized files; at 100 TB the file COUNT (listing,
+    * footer reads, task scheduling) becomes the bottleneck before the
+    * bytes do. One job: size the dataset, repartition to
+    * ceil(bytes/target), rewrite atomically via a temp dir + move.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetMB: Int = 128): Long = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val nFiles = math.max(1L, bytes / (targetMB.toLong * 1024 * 1024) +
+      (if (bytes % (targetMB.toLong * 1024 * 1024) == 0) 0 else 1))
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoopPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    nFiles
+  }
+
   /** Bucketed managed table: co-locates join/aggregation keys at WRITE
     * time so repeated joins on `keys` between same-bucketed tables run
     * with NO shuffle exchange — the cheapest join at 100 TB when the

@@ -128,6 +128,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(scanned.nonEmpty && scanned.forall(_.contains("day=2024-01-05")))
   }
 
+  test("dynamic partition overwrite touches only the re-run day") {
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/events"
+    val events = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    // partition-column inference reads `day` back as DATE — stringify
+    val before = spark.read.parquet(dir)
+      .groupBy("day").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val day = before.keys.min
+    // "re-run" one day with halved data; other partitions must not change
+    val slice = events.filter(col("day") === day)
+      .filter(col("event_id") % 2 === 0)
+    Sink.overwritePartitions(slice, Seq("day"), dir)
+    val after = spark.read.parquet(dir)
+      .groupBy("day").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(after(day) < before(day), "re-run day must shrink")
+    assert(before.removed(day) == after.removed(day),
+      "untouched partitions changed")
+  }
+
+  test("compaction collapses a many-file dataset to the target count") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    Tables.orders(spark, sf).repartition(24)
+      .write.mode("overwrite").parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).count()
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(dir) == 24)
+    Sink.compact(spark, dir, targetMB = 1024) // tiny data -> 1 file
+    assert(parts(dir) == 1, "expected a single compacted file")
+    assert(spark.read.parquet(dir).count() == rowsBefore)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
