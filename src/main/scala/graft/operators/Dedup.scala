@@ -109,13 +109,43 @@ object Dedup {
       .drop(Seq.tabulate(k)(i => s"__m$i"): _*)
   }
 
+  /** Min-wise MD5 signatures — the ORACLE-CHECKABLE minhash variant:
+    * signature component i = MIN over shingles of md5(i || '|' ||
+    * shingle). md5 is bit-identical in every engine and MIN over its hex
+    * strings is a valid min-wise hash family (uniform over a totally
+    * ordered universe), so the whole signature reproduces in DuckDB
+    * SQL. The xxhash64 form ([[minhashSignatures]]) stays the
+    * production path — one 8-byte hash per shingle instead of k
+    * 16-byte digests. Shingle strings are built with window `lead`
+    * concat (codegen), not higher-order lambdas.
+    */
+  def minhashSignaturesMd5(df: DataFrame, idCol: String, text: Column,
+                           n: Int = 3, k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val parts = col("__tok") +:
+      (1 until n).map(j => lead(col("__tok"), j).over(w))
+    val sh = df.select(col(idCol),
+        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+      .withColumn("sh",
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("sh").isNotNull)
+      .select(col(idCol), col("sh")).distinct()
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"__m$i"))
+    sh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), aggs: _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"__m$i")): _*))
+      .drop((0 until k).map(i => s"__m$i"): _*)
+  }
+
   /** LSH banding over MinHash signatures → candidate pairs.
     * Docs agreeing on ALL rows of any band collide; near-dup probability
     * 1-(1-J^rows)^bands. Per-bucket self-join — never all-pairs.
+    * Works over numeric (xxhash64) or string (md5) signature arrays.
     */
   def minhashLshCandidates(sigsIn: DataFrame, idCol: String,
-                           rowsPerBand: Int = 2): DataFrame = {
-    val k = 16 // matches minhashSignatures default
+                           rowsPerBand: Int = 2, k: Int = 16): DataFrame = {
     val bands = k / rowsPerBand
     // signatures feed both sides of the bucket self-join — persist
     val sigs = sigsIn.persist(
@@ -162,4 +192,28 @@ object Dedup {
 
   /** Hamming distance between two simhash values (for bucket verify). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** MD5-based SimHash emitted as a 64-char '0'/'1' string — the
+    * oracle-checkable variant: token bit j comes from hex digit j/4 of
+    * md5(token) (digit value via position in "0123456789abcdef", bit via
+    * integer div/mod — exact integer arithmetic in every engine), and
+    * the output avoids 64-bit assembly entirely (bit 63 would overflow
+    * BIGINT differently across engines). [[simhash64]] (xxhash64 →
+    * one BIGINT) stays the production representation. */
+  def simhashMd5Bits(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextStats.tokens(text)).as("tok"))
+      .withColumn("__h", md5(col("tok")))
+    val bitSums = Seq.tabulate(64) { j =>
+      val digit = (instr(lit("0123456789abcdef"),
+        substring(col("__h"), 1 + j / 4, 1)) - 1).cast("int")
+      // integer bit extraction: '/' on Columns is DOUBLE division
+      val bit = shiftright(digit, j % 4) % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"__b$j")
+    }
+    val agg = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
+    val bits = concat(Seq.tabulate(64)(j =>
+      when(col(s"__b$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+    agg.withColumn("simhash_bits", bits)
+      .drop(Seq.tabulate(64)(j => s"__b$j"): _*)
+  }
 }

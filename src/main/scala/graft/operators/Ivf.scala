@@ -49,9 +49,13 @@ object Ivf {
         .as("cluster_id"), col("vec").as("centroid")))
     (1 to iters).foreach { _ =>
       val assigned = assign(corpus, centroids)
+      // decimal-exact per-dimension means: a double avg is summation-
+      // order-dependent (partial aggregation), which would make training
+      // irreproducible across engines and partitionings
       val next = assigned
         .select(col("cluster_id"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy("cluster_id", "pos").agg(avg("v").as("m"))
+        .groupBy("cluster_id", "pos")
+        .agg(graft.functions.Exact.davg(col("v")).as("m"))
         .groupBy("cluster_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("sorted"))
@@ -62,13 +66,16 @@ object Ivf {
     centroids
   }
 
-  /** Nearest centroid per vector: (id, vec, cluster_id). */
+  /** Nearest centroid per vector: (id, vec, cluster_id). Ties on the
+    * distance break to the smallest cluster_id (lexicographic struct
+    * min) — deterministic across engines and partitionings. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", dist2(col("vec"), col("centroid")))
       .groupBy("id")
-      .agg(min_by(col("cluster_id"), col("__d")).as("cluster_id"),
+      .agg(min(struct(col("__d"), col("cluster_id"))).as("__m"),
         first(col("vec")).as("vec"))
+      .select(col("id"), col("__m.cluster_id").as("cluster_id"), col("vec"))
 
   /** Write the assigned corpus as the on-disk IVF index:
     * `partitionBy(cluster_id)` parquet. At 100 TB a probe reads ONLY its
@@ -81,7 +88,8 @@ object Ivf {
   /** Top-k by cosine among the query's `nprobe` nearest clusters. */
   def searchTopK(queries: DataFrame, assigned: DataFrame,
                  centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val probeW = Window.partitionBy("qid").orderBy(col("__qd").asc)
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__qd").asc, col("cluster_id").asc)
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__qd", dist2(col("qvec"), col("centroid")))
       .withColumn("__pr", row_number().over(probeW))

@@ -47,22 +47,25 @@ object VectorQueries extends QueryGroup {
       centroids, k = 5, nprobe = 2)
   }
 
-  /** Signature emitted as `sig_str` (underscore-joined) — the driver's
-    * pandas comparator sorts output columns, and a raw array column is
-    * unhashable there; the string form keeps the row verifiable. */
+  /** Min-wise MD5 signatures (fully oracle-checked — md5 is bit-equal
+    * in every engine); emitted as `sig_str` because the driver's pandas
+    * comparator cannot hash an array column. The xxhash64 production
+    * variant stays spec-pinned in DedupSimilaritySpec. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id",
+    Dedup.minhashSignaturesMd5(Tables.documents(spark, dir), "doc_id",
       col("text"))
       .select(col("doc_id"), col("n_shingles"),
         concat_ws("_", col("sig")).as("sig_str"))
 
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshCandidates(
-      Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id",
-        col("text")), "doc_id")
+      Dedup.minhashSignaturesMd5(Tables.documents(spark, dir), "doc_id",
+        col("text")), "doc_id", rowsPerBand = 2, k = 8)
 
+  /** Oracle-checked md5-bit variant; the xxhash64 BIGINT form
+    * (Dedup.simhash64) stays spec-pinned as the production encoding. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64(Tables.documents(spark, dir), "doc_id", col("text"))
+    Dedup.simhashMd5Bits(Tables.documents(spark, dir), "doc_id", col("text"))
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -103,7 +106,124 @@ object VectorQueries extends QueryGroup {
       |WHERE list_dot_product(a.v, b.v) /
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin
 
+  private val shingleCte =
+    """tok AS (SELECT doc_id,
+      |  regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [] END)) AS s FROM tok)""".stripMargin
+
+  private val sigMins = (0 until 8)
+    .map(i => s"MIN(md5('$i|' || s)) AS m$i").mkString(", ")
+
   def oracles: Map[String, String] = Map(
+    "minhash_signatures" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  ${(0 until 8).map(i => s"MIN(md5('$i|' || s))")
+             .mkString(" || '_' || ")} AS sig_str
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "ivf_ann" -> {
+      // the full deterministic IVF chain: k=8 seed centroids (first by
+      // id) → assign (lexicographic tie-break) → one decimal-exact
+      // k-means update → re-assign → nprobe=2 probes → top-5 by cosine
+      def d2(a: String, b: String) =
+        s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+      val dsumV =
+        "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |init AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) AS cluster_id,
+         |    v AS c
+         |  FROM (SELECT * FROM e ORDER BY id LIMIT 8)),
+         |a0 AS (
+         |  SELECT id, v, cluster_id FROM (
+         |    SELECT e.id, e.v, i.cluster_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id
+         |        ORDER BY ${d2("e.v", "i.c")}, i.cluster_id) AS rn
+         |    FROM e, init i) t WHERE rn = 1),
+         |upd AS (
+         |  SELECT cluster_id, i AS pos, $dsumV / COUNT(*) AS m
+         |  FROM a0, range(1, 65) t(i) GROUP BY 1, 2),
+         |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+         |  FROM upd GROUP BY 1),
+         |a1 AS (
+         |  SELECT id, v, cluster_id FROM (
+         |    SELECT e.id, e.v, ct.cluster_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id
+         |        ORDER BY ${d2("e.v", "ct.c")}, ct.cluster_id) AS rn
+         |    FROM e, cent ct) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cluster_id FROM (
+         |    SELECT q.id AS qid, q.v AS qv, ct.cluster_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY ${d2("q.v", "ct.c")}, ct.cluster_id) AS rn
+         |    FROM e q, cent ct WHERE q.id < 8) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.qid, p.cluster_id, a.id,
+         |    list_dot_product(p.qv, a.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+         |  FROM probes p JOIN a1 a ON p.cluster_id = a.cluster_id
+         |  WHERE p.qid != a.id)
+         |SELECT qid, cluster_id, id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, id) AS rank FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    "lsh_ann" -> {
+      // the exact integer mix behind Similarity.planeComponent, then the
+      // same left-to-right dot products — bit-reproducible in DuckDB
+      def plane(p: Int) =
+        s"""list_transform(range(0, len(v)),
+           |    i -> (((i + ${p * 7919 + 13}) * 2654435761) % 104729)
+           |      / 104729.0 * 2.0 - 1.0)""".stripMargin
+      val bucket = (0 until 4).map(p =>
+        s"""CASE WHEN list_dot_product(v, ${plane(p)}) >= 0
+           |  THEN ${1 << p} ELSE 0 END""".stripMargin).mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($bucket AS INT) AS bucket FROM e),
+         |s AS (SELECT q.vec_id AS qid, q.bucket, c.vec_id AS id,
+         |  list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |    AND q.vec_id < 8 AND q.vec_id != c.vec_id)
+         |SELECT qid, bucket, id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, id) AS rank FROM s) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    "simhash" -> {
+      val bitSums = (0 until 64).map { j =>
+        s"""SUM(CASE WHEN (strpos('0123456789abcdef',
+           |  substr(md5(tok), ${1 + j / 4}, 1)) - 1) // ${1 << (j % 4)} % 2 = 1
+           |  THEN 1 ELSE -1 END) AS b$j""".stripMargin
+      }.mkString(",\n  ")
+      val bits = (0 until 64)
+        .map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |  $bitSums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, $bits AS simhash_bits FROM agg""".stripMargin
+    },
+    "minhash_lsh_candidates" ->
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $sigMins FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, m0 || '_' || m1 AS key FROM sigs
+         |  UNION ALL SELECT doc_id, 1, m2 || '_' || m3 FROM sigs
+         |  UNION ALL SELECT doc_id, 2, m4 || '_' || m5 FROM sigs
+         |  UNION ALL SELECT doc_id, 3, m6 || '_' || m7 FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
