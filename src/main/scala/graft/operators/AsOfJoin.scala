@@ -20,32 +20,42 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left/right inputs; @param key equi-key column name (same on
-    *   both); @param leftTime/rightTime ordering columns (same type);
-    *   @param rightVals right columns to carry (renamed as given).
+    *   both); @param leftTime/rightTime ordering columns (same type;
+    *   right rows with a NULL time never match, per SQL comparison
+    *   semantics); @param rightVals right columns to carry (may repeat
+    *   names present on the left — they come back as `last_<col>`).
     * @return left columns + one `last_<col>` per rightVal (null when no
     *   right row precedes). */
   def lastBefore(left: DataFrame, right: DataFrame, key: String,
                  leftTime: String, rightTime: String,
                  rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // common layout: key, __t, __side (right sorts before left at equal
-    // times so same-instant right rows ARE visible), right vals, left cols
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        rightVals.map(col) ++:
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
+    // The matched ROW is carried as one struct — carrying values
+    // individually with last(ignoreNulls) would skip a matched row's
+    // NULL field and resurrect an older value, diverging from as-of
+    // semantics. The struct itself is non-null for every right row, so
+    // ignoreNulls only skips interleaved LEFT rows. Struct nesting also
+    // keeps rightVal names out of the union schema (no collision with
+    // left columns).
+    val r = right
+      .filter(col(rightTime).isNotNull) // NULL time never matches (SQL)
+      .select(
+        (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+          struct(rightVals.map(col): _*).as("__rv") +:
+          leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
     val l = left.select(
       (col(key) +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        rightVals.map(c => lit(null).as(c)) ++:
+        lit(null).as("__rv") +:
         leftCols.filterNot(_ == key).map(col)): _*)
+    // right sorts before left at equal times, so same-instant right rows
+    // ARE visible; a NULL leftTime sorts first (before any right row)
+    // and therefore matches nothing — same as SQL
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(r.unionByName(l)) { (df, v) =>
-      df.withColumn(s"last_$v",
-        last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    r.unionByName(l, allowMissingColumns = false)
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightVals.map(v => col(s"last_$v"))): _*)
+        rightVals.map(v => col(s"__last.$v").as(s"last_$v"))): _*)
   }
 }

@@ -37,41 +37,53 @@ object Sink {
     * step). Re-running one bad day rewrites one directory, not 100 TB.
     */
   def overwritePartitions(slice: DataFrame, partitionCols: Seq[String],
-                          path: String): Unit = {
-    val spark = slice.sparkSession
-    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      slice.write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(path)
-    } finally saved match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+                          path: String): Unit =
+    // per-write option, NOT a session-conf flip: mutating the session
+    // setting would race with concurrent writers sharing the session
+    // (an unrelated overwrite could silently turn dynamic)
+    slice.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   /** Small-file compaction: rewrite a parquet dataset into ~`targetMB`
     * files. Streaming appends, per-day backfills and wide shuffles leave
     * thousands of KB-sized files; at 100 TB the file COUNT (listing,
     * footer reads, task scheduling) becomes the bottleneck before the
-    * bytes do. One job: size the dataset, repartition to
-    * ceil(bytes/target), rewrite atomically via a temp dir + move.
+    * bytes do.
+    *
+    * Pass `partitionCols` for a partitioned dataset — the rewrite then
+    * repartitions BY those columns and re-writes `partitionBy`, so the
+    * directory layout (and partition pruning) survives; omitting them on
+    * a partitioned dataset would flatten it.
+    *
+    * Swap order keeps the data reachable at every instant: write tmp →
+    * move original aside → move tmp in → delete the old copy. A crash
+    * leaves either the original or the fully-written replacement in
+    * place (plus a leftover dir to GC), never a missing dataset.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetMB: Int = 128): Long = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+              targetMB: Int = 128,
+              partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hadoopPath).getLength
-    val nFiles = math.max(1L, bytes / (targetMB.toLong * 1024 * 1024) +
-      (if (bytes % (targetMB.toLong * 1024 * 1024) == 0) 0 else 1))
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
-    spark.read.parquet(path)
-      .repartition(nFiles.toInt)
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoopPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    val targetBytes = targetMB.toLong * 1024 * 1024
+    val nFiles = math.max(1L,
+      bytes / targetBytes + (if (bytes % targetBytes == 0) 0 else 1))
+    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
+    val old = new Path(path.stripSuffix("/") + "__compact_old")
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partitionCols.nonEmpty)
+        df.repartition(nFiles.toInt, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(nFiles.toInt).write
+    writer.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(hadoopPath, old), s"compact: cannot move $path aside")
+    require(fs.rename(tmp, hadoopPath), s"compact: cannot move $tmp into place")
+    fs.delete(old, true)
     nFiles
   }
 

@@ -6,9 +6,13 @@ import graft.{QueryGroup, Tables}
 import graft.operators._
 
 /** Embedding similarity + scalable-dedup + multimodal surface
-  * (SURVEY §7.6). MinHash/SimHash/LSH queries use engine-specific
-  * hashing (xxhash64) so they carry no SQL oracle — the driver records a
-  * rows-only check; their semantics are pinned by ScalaTest instead.
+  * (SURVEY §7.6). Every query here is DRIVER-ORACLE-CHECKED bit-exactly:
+  * the hashing family runs md5-based variants (min-wise-md5 MinHash,
+  * md5-bit SimHash) because md5 is bit-identical in every engine, and
+  * the ANN queries' plane math / k-means chain is deterministic enough
+  * to reproduce in DuckDB SQL. The cheaper xxhash64 production forms
+  * (Dedup.minhashSignatures / simhash64) stay spec-pinned in
+  * DedupSimilaritySpec.
   */
 object VectorQueries extends QueryGroup {
 
@@ -146,7 +150,8 @@ object VectorQueries extends QueryGroup {
          |    FROM e, init i) t WHERE rn = 1),
          |upd AS (
          |  SELECT cluster_id, i AS pos, $dsumV / COUNT(*) AS m
-         |  FROM a0, range(1, 65) t(i) GROUP BY 1, 2),
+         |  FROM a0 CROSS JOIN unnest(range(1, len(v) + 1)) AS t(i)
+         |  GROUP BY 1, 2),
          |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS c
          |  FROM upd GROUP BY 1),
          |a1 AS (

@@ -58,6 +58,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out("t3").isEmpty)       // no quote at or before t=5
   }
 
+  test("AsOfJoin: matched row's NULL value stays NULL; NULL times never match") {
+    val trades = Seq((1L, 20L, "t1"), (2L, 20L, "t2"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, Some(10L), Some(1.5)),
+      (1L, Some(15L), None),        // matched row carries a NULL px
+      (2L, None, Some(9.9)))        // NULL time: must never match
+      .toDF("k", "t", "px")
+    val out = AsOfJoin.lastBefore(trades, quotes, "k", "t", "t", Seq("px"))
+      .collect().map(r => r.getString(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // as-of matches the t=15 row: its px is NULL and must NOT be
+    // replaced by the older t=10 value
+    assert(out("t1").isEmpty)
+    assert(out("t2").isEmpty)
+  }
+
   test("Components: chains collapse to the min id; clusters pick keepers") {
     // 1-2, 2-3 chain (diameter 2, needs >1 propagation round), 5-6 pair
     val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
