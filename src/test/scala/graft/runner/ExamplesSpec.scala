@@ -1,0 +1,48 @@
+package graft.runner
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+import graft.runner.plugins.DefaultRegistry
+
+/** The shipped example pipelines (examples dir) must actually run —
+  * they are the user-facing face of the DSL (README points at them), so
+  * they run here end-to-end against the real test data. */
+class ExamplesSpec extends SparkSpecBase {
+
+  private def run(example: String): (java.nio.file.Path, PipelineRunner#RunResult) = {
+    val work = Files.createTempDirectory("graft_examples")
+    val runner = new PipelineRunner(
+      DefaultRegistry(),
+      env = Map("workdir" -> work.toString),
+      sparkProvider = () => spark,
+      assetRoots = Seq(Paths.get("examples").toAbsolutePath))
+    (work, runner.runFile(Paths.get(s"examples/$example").toAbsolutePath))
+  }
+
+  test("examples/corpus_clean.yml runs: verdicts, keepers, publish") {
+    val (work, res) = run("corpus_clean.yml")
+    assert(res.results.size == 3)
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(work)
+    try {
+      val files = stream.iterator().asScala.map(_.toString).toSeq
+      assert(files.exists(_.contains("verdicts.parquet")))
+      assert(files.exists(_.endsWith("keepers.csv")))
+      assert(files.exists(_.contains("published/gdrive")))
+      assert(files.exists(_.endsWith("_manifest.json")))
+    } finally stream.close()
+  }
+
+  test("examples/daily_rollup.yml runs: 3-way fan-out + combined csv") {
+    val (work, res) = run("daily_rollup.yml")
+    assert(res.results.head.fields("n_invocations") == 3)
+    import scala.jdk.CollectionConverters._
+    val combined = Files.walk(work).iterator().asScala
+      .find(_.toString.endsWith("daily_rollup.csv"))
+    assert(combined.isDefined, "combined csv missing")
+    val lines = Files.readAllLines(combined.get).asScala
+    assert(lines.head.startsWith("user_id"))
+    assert(lines.size > 10)
+  }
+}
