@@ -68,6 +68,28 @@ object AdvancedQueries extends QueryGroup {
         coalesce(col("last_ev_value"), lit(-1.0)).as("last_ev_value"))
   }
 
+  /** Exact-moment bivariate statistics: corr + sample covariance from
+    * decimal-exact power sums (built-in corr/covar_samp are summation-
+    * order-dependent doubles — irreproducible across engines AND across
+    * partitionings; the closed form over exact sums is bit-stable). */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    val y = col("user_id").cast("double")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(x).as("sx"), Exact.dsum(y).as("sy"),
+        Exact.dsum(x * y).as("sxy"),
+        Exact.dsum(x * x).as("sxx"), Exact.dsum(y * y).as("syy"))
+      .select(col("event_type"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_samp"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr"))
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the previous event exceeds 30 min; sessions then
     * aggregate. One window (lag + running sum share the sort) + one
@@ -178,6 +200,7 @@ object AdvancedQueries extends QueryGroup {
     "asof_prev_error" -> (asofPrevError _),
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
+    "stats_moments" -> (statsMoments _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
     "hll_distinct" -> (hllDistinct _))
@@ -242,6 +265,20 @@ object AdvancedQueries extends QueryGroup {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000,
           |    -1) AS prev_error_ms
           |FROM events""".stripMargin,
+      "stats_moments" ->
+        s"""WITH m AS (
+           |  SELECT event_type, COUNT(*) AS n,
+           |    ${dsum("\"value\"")} AS sx,
+           |    ${dsum("CAST(user_id AS DOUBLE)")} AS sy,
+           |    ${dsumStr("\"value\" * CAST(user_id AS DOUBLE)")} AS sxy,
+           |    ${dsumStr("\"value\" * \"value\"")} AS sxx,
+           |    ${dsum("CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)")} AS syy
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, n,
+           |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           |  (n * sxy - sx * sy) /
+           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+           |FROM m""".stripMargin,
       "sessionize" ->
         s"""WITH g AS (
            |  SELECT user_id, event_id, epoch_us(ts) AS us, "value",
