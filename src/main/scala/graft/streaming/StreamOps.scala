@@ -155,6 +155,28 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** CDC-style streaming upsert: each micro-batch MERGEs into a keyed
+    * parquet dataset via [[graft.operators.Sink.mergeInto]] (same-key
+    * rows replaced, new keys appended). foreachBatch gives the batch
+    * writer exactly-once-per-epoch semantics through the checkpoint; the
+    * merge itself is idempotent on replay (same keys → same result), so
+    * a retried epoch converges. The dataset must exist (seed it with an
+    * initial batch write). */
+  def foreachBatchMerge(df: DataFrame, path: String, checkpointDir: String,
+                        keys: Seq[String]): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sink.mergeInto(batch.sparkSession, path,
+            batch, keys)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (batch-parity harness: memory sink + processAllAvailable). */
   def runToMemory(df: DataFrame, queryName: String,

@@ -86,6 +86,28 @@ class StreamOpsSpec extends SparkSpecBase {
       "restart with an up-to-date checkpoint must not duplicate rows")
   }
 
+  test("foreachBatch merge: streamed per-user totals upsert into parquet") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("stream_merge")
+    val target = s"$out/totals"
+    // seed: zero totals for three users
+    Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("user_id", "n_events")
+      .write.parquet(target)
+    // stream per-user counts (Update mode emits revised totals)
+    val counts = eventsStream.filter(col("user_id") < 5)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    StreamOps.foreachBatchMerge(counts, target, s"$out/ckpt", Seq("user_id"))
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = eventsBatch.filter(col("user_id") < 5)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // streamed totals overwrote the seeds; users not in the stream keep
+    // their seeded rows
+    expected.foreach { case (u, n) => assert(got(u) == n, s"user $u") }
+    assert(got.keySet == (expected.keySet ++ Set(0L, 1L, 2L)))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // click→purchase attribution within 2 hours, same user
     val clicks = eventsStream.filter(col("event_type") === "click")
