@@ -25,10 +25,15 @@ object Expect {
   def matches(c: String, regex: String): Rule =
     Rule(s"matches_$c", col(c).isNull || col(c).rlike(regex))
 
-  /** One row per rule: (rule, n_rows, n_violations). */
+  /** One row per rule: (rule, n_rows, n_violations). Sums coalesce to 0
+    * so an EMPTY input reports zero violations explicitly — a NULL here
+    * would make a `n_violations > 0` gate silently pass (fail-open) on
+    * the classic upstream-produced-nothing incident; pair the gate with
+    * an n_rows check. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expect.check: no rules given")
     val aggs = count(lit(1)).as("__n") +: rules.map(r =>
-      sum(when(r.holds, 0L).otherwise(1L)).as(r.name))
+      coalesce(sum(when(r.holds, 0L).otherwise(1L)), lit(0L)).as(r.name))
     val row = df.agg(aggs.head, aggs.tail: _*)
     rules.map { r =>
       row.select(lit(r.name).as("rule"), col("__n").as("n_rows"),
@@ -40,8 +45,8 @@ object Expect {
     * violation is every row beyond the first of a duplicated key. */
   def unique(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
-      .agg(sum(col("__c")).as("n_rows"),
-        sum(col("__c") - 1).as("n_violations"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("__c") - 1), lit(0L)).as("n_violations"))
       .select(lit(s"unique_${keys.mkString("_")}").as("rule"),
         col("n_rows").cast("long").as("n_rows"),
         col("n_violations").cast("long").as("n_violations"))

@@ -57,10 +57,8 @@ object Sink {
     * directory layout (and partition pruning) survives; omitting them on
     * a partitioned dataset would flatten it.
     *
-    * Swap order keeps the data reachable at every instant: write tmp →
-    * move original aside → move tmp in → delete the old copy. A crash
-    * leaves either the original or the fully-written replacement in
-    * place (plus a leftover dir to GC), never a missing dataset.
+    * Crash contract: see [[swapInto]] (recoverable, self-healing on the
+    * next call; parquet directories cannot be swapped atomically).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetMB: Int = 128,
@@ -72,18 +70,15 @@ object Sink {
     val targetBytes = targetMB.toLong * 1024 * 1024
     val nFiles = math.max(1L,
       bytes / targetBytes + (if (bytes % targetBytes == 0) 0 else 1))
-    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
-    val old = new Path(path.stripSuffix("/") + "__compact_old")
     val df = spark.read.parquet(path)
-    val writer =
-      if (partitionCols.nonEmpty)
-        df.repartition(nFiles.toInt, partitionCols.map(col): _*)
-          .write.partitionBy(partitionCols: _*)
-      else df.repartition(nFiles.toInt).write
-    writer.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(hadoopPath, old), s"compact: cannot move $path aside")
-    require(fs.rename(tmp, hadoopPath), s"compact: cannot move $tmp into place")
-    fs.delete(old, true)
+    swapInto(spark, path, "compact") { tmp =>
+      val writer =
+        if (partitionCols.nonEmpty)
+          df.repartition(nFiles.toInt, partitionCols.map(col): _*)
+            .write.partitionBy(partitionCols: _*)
+        else df.repartition(nFiles.toInt).write
+      writer.mode("overwrite").parquet(tmp)
+    }
     nFiles
   }
 
@@ -92,33 +87,84 @@ object Sink {
     * distributed analog of the reference's `catalog_json_upsert` keyed
     * merge, at data scale instead of driver-side JSON.
     *
-    * Parquet has no row-level transactions, so the merge is a rewrite:
-    * anti-join the existing data against the update keys (one shuffle —
-    * or a broadcast when the update set is small), union the updates,
-    * swap directories via the same always-reachable rename dance as
-    * [[compact]]. Cost is proportional to the dataset, which is why at
-    * 100 TB you merge per PARTITION: pass `partitionCols` and only the
-    * partitions containing updated keys are rewritten (the rest are
-    * untouched directories).
+    * `updates` must be UNIQUE per key; a changelog carrying several
+    * changes to one key must say which wins — pass `precedence`
+    * (descending-priority ordering columns) for last-write-wins, or the
+    * merge fails fast instead of silently writing duplicate keys.
+    *
+    * Unpartitioned: rewrite + directory swap (see [[swapInto]] for the
+    * crash contract). Partitioned: `partitionCols` makes the merge
+    * PARTITION-SCOPED — only partitions that actually contain updated
+    * keys are rewritten, via dynamic partition-overwrite; the other
+    * directories are never touched (the 100 TB path: a one-partition
+    * update rewrites one partition).
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
-                updates: DataFrame, keys: Seq[String],
-                partitionCols: Seq[String] = Nil): Unit = {
-    import org.apache.hadoop.fs.Path
+                updatesIn: DataFrame, keys: Seq[String],
+                partitionCols: Seq[String] = Nil,
+                precedence: Seq[Column] = Nil): Unit = {
     val existing = spark.read.parquet(path)
-    val kept = existing.join(
-      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val merged = kept.unionByName(updates.select(existing.columns.map(col): _*))
-    val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path.stripSuffix("/") + "__merge_tmp")
-    val old = new Path(path.stripSuffix("/") + "__merge_old")
-    val writer =
-      if (partitionCols.nonEmpty) merged.write.partitionBy(partitionCols: _*)
-      else merged.write
-    writer.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(hadoopPath, old), s"mergeInto: cannot move $path aside")
-    require(fs.rename(tmp, hadoopPath), s"mergeInto: cannot move $tmp in")
+    val updates = {
+      val aligned = updatesIn.select(existing.columns.map(col): _*)
+      if (precedence.nonEmpty) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(precedence.map(_.desc): _*)
+        aligned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else {
+        val dup = aligned.groupBy(keys.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0,
+          s"mergeInto: updates carry duplicate keys ${keys.mkString(",")}; " +
+            "pass `precedence` to pick a winner")
+        aligned
+      }
+    }
+    val updateKeys = updates.select(keys.map(col): _*).distinct()
+    if (partitionCols.nonEmpty) {
+      // partition-scoped: rows of touched partitions minus updated keys,
+      // plus the updates — dynamic overwrite rewrites ONLY those dirs
+      val touched = updates.select(partitionCols.map(col): _*).distinct()
+      val kept = existing
+        .join(broadcast(touched), partitionCols, "left_semi")
+        .join(updateKeys, keys, "left_anti")
+      // eager checkpoint: the merged slice must be MATERIALIZED before
+      // the overwrite — Spark (rightly) refuses to overwrite a path its
+      // own plan is still reading, and the slice is only the touched
+      // partitions, so the footprint is bounded by the update's spread
+      val slice = kept.unionByName(updates).localCheckpoint(true)
+      overwritePartitions(slice, partitionCols, path)
+    } else {
+      val merged = existing.join(updateKeys, keys, "left_anti")
+        .unionByName(updates)
+      swapInto(spark, path, "merge")(tmp =>
+        merged.write.mode("overwrite").parquet(tmp))
+    }
+  }
+
+  /** Write-then-swap with crash RECOVERY, not crash immunity: parquet
+    * directories cannot be replaced atomically, so there is an instant
+    * between the two renames where `path` is absent. What this does
+    * guarantee: (a) a crash at any point leaves the data recoverable,
+    * and (b) the NEXT call self-heals — a leftover `__<op>_old` with no
+    * live `path` is renamed back before proceeding, stale tmp/old dirs
+    * are cleared rather than blocking every subsequent call. */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+                       path: String, op: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + s"__${op}_tmp")
+    val old = new Path(path.stripSuffix("/") + s"__${op}_old")
+    // recover a prior crash between the renames: the data sits in `old`
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target), s"$op: recovery rename failed")
+    if (fs.exists(tmp)) fs.delete(tmp, true)   // stale partial write
+    if (fs.exists(old)) fs.delete(old, true)   // stale post-swap leftover
+    write(tmp.toString)
+    require(fs.rename(target, old), s"$op: cannot move $path aside")
+    require(fs.rename(tmp, target), s"$op: cannot move $tmp into place")
     fs.delete(old, true)
   }
 

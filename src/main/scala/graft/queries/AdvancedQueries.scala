@@ -97,13 +97,24 @@ object AdvancedQueries extends QueryGroup {
         Exact.dsum(x).as("sx"), Exact.dsum(y).as("sy"),
         Exact.dsum(x * y).as("sxy"),
         Exact.dsum(x * x).as("sxx"), Exact.dsum(y * y).as("syy"))
-      .select(col("event_type"), col("n"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
-          .as("covar_samp"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
-          .as("corr"))
+      .select(col("event_type"), col("n"), {
+        // degenerate-group guards mirror Exact.dvarSamp/dstddevSamp and
+        // are duplicated verbatim in the oracle: n<2 → NULL, and a
+        // non-positive variance term (constant column, or cancellation
+        // driving it slightly negative) → NULL — DuckDB would otherwise
+        // return inf or raise on sqrt(negative) where Spark yields
+        // NULL/NaN, breaking hash parity exactly when data degenerates
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1)).as("covar_samp")
+      }, {
+        val varx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vary = col("n") * col("syy") - col("sy") * col("sy")
+        when(col("n") < 2 || varx <= 0 || vary <= 0,
+          lit(null).cast("double"))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(varx) * sqrt(vary))).as("corr")
+      })
   }
 
   /** Batch sessionization (gaps-and-islands): a new session starts when
@@ -310,9 +321,13 @@ object AdvancedQueries extends QueryGroup {
            |    ${dsum("CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)")} AS syy
            |  FROM events GROUP BY 1)
            |SELECT event_type, n,
-           |  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-           |  (n * sxy - sx * sy) /
-           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+           |  CASE WHEN n < 2 THEN NULL
+           |       ELSE (sxy - sx * sy / n) / (n - 1) END AS covar_samp,
+           |  CASE WHEN n < 2 OR (n * sxx - sx * sx) <= 0
+           |         OR (n * syy - sy * sy) <= 0 THEN NULL
+           |       ELSE (n * sxy - sx * sy) /
+           |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           |  END AS corr
            |FROM m""".stripMargin,
       "sessionize" ->
         s"""WITH g AS (

@@ -169,9 +169,16 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sink.mergeInto(batch.sparkSession, path,
-            batch, keys)
+        // persist: the batch plan is consumed three times (isEmpty, the
+        // anti-join key side, the union side) and Catalyst does not CSE
+        // across them — without this a stateful aggregation recomputes
+        // per consumer
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.operators.Sink.mergeInto(batch.sparkSession, path,
+              batch, keys)
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()

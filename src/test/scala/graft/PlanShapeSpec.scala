@@ -178,6 +178,42 @@ class PlanShapeSpec extends SparkSpecBase {
       3L -> ("c", 30.0), 4L -> ("d", 40.0)))
   }
 
+  test("mergeInto: duplicate update keys fail fast; precedence picks winner") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge2").toString + "/t"
+    Seq((1L, "a", 1)).toDF("id", "name", "seq").write.parquet(dir)
+    val dups = Seq((1L, "x", 2), (1L, "y", 3)).toDF("id", "name", "seq")
+    intercept[IllegalArgumentException] {
+      Sink.mergeInto(spark, dir, dups, Seq("id"))
+    }
+    Sink.mergeInto(spark, dir, dups, Seq("id"), precedence = Seq(col("seq")))
+    val r = spark.read.parquet(dir).collect()
+    assert(r.length == 1 && r.head.getString(1) == "y") // highest seq wins
+  }
+
+  test("mergeInto with partitionCols rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge3").toString + "/t"
+    Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    def filesIn(p: String) = {
+      val d = new java.io.File(p)
+      if (d.exists) d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toMap
+      else Map.empty[String, Long]
+    }
+    val p2Before = filesIn(s"$dir/part=p2")
+    Sink.mergeInto(spark, dir,
+      Seq((2L, "p1", 99.0), (4L, "p1", 40.0)).toDF("id", "part", "v"),
+      Seq("id"), partitionCols = Seq("part"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+    // the untouched partition's FILES are byte-identical (not rewritten)
+    assert(filesIn(s"$dir/part=p2") == p2Before)
+  }
+
   test("Expect rules count violations in one scan; unique finds dups") {
     import spark.implicits._
     val df = Seq(
