@@ -71,8 +71,71 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen projection of a vector onto deterministic pseudo-random
+  * hyperplane `plane`: Σᵢ vᵢ · cᵢ where
+  * cᵢ = (((i + plane·7919 + 13) · 2654435761) mod 104729) / 104729.0 · 2 − 1
+  * — the seed-free integer mix the LSH sign-buckets are built on
+  * (stable across runs AND engines; the same formula is spelled out in
+  * the lsh_ann DuckDB oracle). Replaces the
+  * `aggregate(zip_with(sequence(...)))` formulation, whose higher-order
+  * lambdas evaluate INTERPRETED per element; the loop here is identical
+  * arithmetic in identical order (exact long mix, one double division,
+  * left-to-right accumulation), so buckets stay bit-equal while the
+  * whole projection runs inside whole-stage codegen.
+  */
+case class PlaneProjectExpr(child: Expression, plane: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"plane_project needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"plane_project_$plane"
+
+  private val k: Long = plane.toLong * 7919L + 13L
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val mixed = ((i + k) * 2654435761L) % 104729L
+      s += x.getDouble(i) * (mixed / 104729.0 * 2.0 - 1.0)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val mixed = ctx.freshName("mixed")
+      s"""
+         |int $n = $v.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $mixed = (($i + ${k}L) * 2654435761L) % 104729L;
+         |  $acc += $v.getDouble($i) * ($mixed / 104729.0 * 2.0 - 1.0);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PlaneProjectExpr = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProductExpr]] (double arrays in, double out). */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[PlaneProjectExpr]]. */
+  def planeProject(vec: Column, plane: Int): Column =
+    Bridge.column(PlaneProjectExpr(Bridge.expression(vec), plane))
 }

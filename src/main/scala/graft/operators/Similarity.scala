@@ -143,24 +143,17 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed-coefficient integer mix mapped into [-1, 1). Seed-free so
-    * buckets are stable across runs and engines. */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val mixed = pmod(
-      (dim + lit(plane.toLong * 7919L + 13L)) * lit(2654435761L),
-      lit(104729L))
-    (mixed / lit(104729.0)) * lit(2.0) - lit(1.0)
-  }
-
-  /** Sign-bucket of a vector against `planes` hyperplanes. */
+  /** Sign-bucket of a vector against `planes` deterministic hyperplanes
+    * (seed-free integer mix — see
+    * [[graft.functions.PlaneProjectExpr]]). The projection is a codegen
+    * expression: the previous `aggregate(zip_with(sequence(...)))` form
+    * evaluated its lambdas interpreted per element, the known ~100×
+    * penalty on this hot path; the arithmetic and fold order are
+    * identical, so buckets (and the lsh_ann oracle match) are bit-equal. */
   def lshBucket(vec: Column, planes: Int): Column =
     Seq.tabulate(planes) { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+      when(VectorFunctions.planeProject(vec, p) >= 0,
+        shiftleft(lit(1), p)).otherwise(0)
     }.reduce(_ + _)
 
   /** ANN top-k: queries only scan their own sign bucket. */
