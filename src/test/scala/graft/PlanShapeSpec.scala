@@ -214,6 +214,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(filesIn(s"$dir/part=p2") == p2Before)
   }
 
+  test("swap recovery: a crash between renames self-heals on the next call") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_swap").toString
+    val dir = s"$root/t"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir)
+    // simulate a crash mid-swap: dataset moved aside, replacement never
+    // landed — exactly the state after rename #1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$root/t__merge_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // the next merge must first restore the dataset, then apply updates
+    Sink.mergeInto(spark, dir, Seq((1L, "a2")).toDF("id", "name"), Seq("id"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/t__merge_old")))
+  }
+
   test("Expect rules count violations in one scan; unique finds dups") {
     import spark.implicits._
     val df = Seq(
