@@ -64,6 +64,7 @@ object Sink {
               targetMB: Int = 128,
               partitionCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.Path
+    recoverCrashedSwap(spark, path)
     val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hadoopPath).getLength
@@ -103,6 +104,7 @@ object Sink {
                 updatesIn: DataFrame, keys: Seq[String],
                 partitionCols: Seq[String] = Nil,
                 precedence: Seq[Column] = Nil): Unit = {
+    recoverCrashedSwap(spark, path) // BEFORE reading: path may be mid-swap
     val existing = spark.read.parquet(path)
     val updates = {
       val aligned = updatesIn.select(existing.columns.map(col): _*)
@@ -143,13 +145,31 @@ object Sink {
     }
   }
 
+  /** Restore a dataset left mid-swap by a crashed [[swapInto]] (of any
+    * op) and clear stale tmp/old leftovers — called at the START of
+    * every swap-based operation, before the dataset is read. */
+  private def recoverCrashedSwap(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("merge", "compact").foreach { op =>
+      val tmp = new Path(path.stripSuffix("/") + s"__${op}_tmp")
+      val old = new Path(path.stripSuffix("/") + s"__${op}_old")
+      // crash between the renames: the data sits in `old`
+      if (!fs.exists(target) && fs.exists(old))
+        require(fs.rename(old, target), s"$op: recovery rename failed")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
+      if (fs.exists(old)) fs.delete(old, true) // stale post-swap leftover
+    }
+  }
+
   /** Write-then-swap with crash RECOVERY, not crash immunity: parquet
     * directories cannot be replaced atomically, so there is an instant
     * between the two renames where `path` is absent. What this does
     * guarantee: (a) a crash at any point leaves the data recoverable,
-    * and (b) the NEXT call self-heals — a leftover `__<op>_old` with no
-    * live `path` is renamed back before proceeding, stale tmp/old dirs
-    * are cleared rather than blocking every subsequent call. */
+    * and (b) the NEXT swap-based call self-heals via
+    * [[recoverCrashedSwap]] rather than being blocked by leftovers. */
   private def swapInto(spark: org.apache.spark.sql.SparkSession,
                        path: String, op: String)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
@@ -157,11 +177,6 @@ object Sink {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path.stripSuffix("/") + s"__${op}_tmp")
     val old = new Path(path.stripSuffix("/") + s"__${op}_old")
-    // recover a prior crash between the renames: the data sits in `old`
-    if (!fs.exists(target) && fs.exists(old))
-      require(fs.rename(old, target), s"$op: recovery rename failed")
-    if (fs.exists(tmp)) fs.delete(tmp, true)   // stale partial write
-    if (fs.exists(old)) fs.delete(old, true)   // stale post-swap leftover
     write(tmp.toString)
     require(fs.rename(target, old), s"$op: cannot move $path aside")
     require(fs.rename(tmp, target), s"$op: cannot move $tmp into place")
