@@ -19,7 +19,7 @@ object SparkEntry {
 
   private def groups = Seq[QueryGroup](
     CoreQueries, RelationalQueries, AggregateQueries,
-    TextQueries, VectorQueries, AdvancedQueries)
+    TextQueries, VectorQueries, AdvancedQueries, StreamingQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,9 +27,25 @@ object Components {
 
   /** @param edges undirected edges (aCol, bCol); vertices not present in
     *   any edge are absent from the output (no self-components).
-    * @return (id, component) — component = min id reachable. */
+    * @param checkpointDir when set, per-round lineage truncation uses
+    *   RELIABLE `checkpoint()` against this directory instead of
+    *   `localCheckpoint` — local checkpoint blocks die with their
+    *   executor, so on a real cluster a single executor loss mid-loop
+    *   kills the whole job; reliable checkpoints survive it. Local[?]
+    *   and tests can leave it None (no executor to lose).
+    * @return (id, component) — component = min id reachable.
+    * @throws IllegalStateException if the label propagation has not
+    *   reached its fixpoint after `maxIters` rounds (components with
+    *   diameter > 3·maxIters) — never silently returns wrong labels. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
-                maxIters: Int = 30): DataFrame = {
+                maxIters: Int = 30,
+                checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // lineage truncation per round (see below): lazy in both modes, so
+    // the convergence-check action is the one materializing job
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
     // symmetric adjacency in ONE scan of the (possibly expensive) edge
     // plan: explode each edge into both orientations — a union of two
     // selects would evaluate the pair-generation plan twice
@@ -43,17 +59,19 @@ object Components {
     // plan would QUADRUPLE per round — persist() caches execution but
     // does not truncate the logical tree, and analysis time / driver
     // heap blow up exponentially (measured: round3 53 s then OOM).
-    // localCheckpoint(eager) materializes the round AND replaces the
-    // lineage with a flat LogicalRDD — constant-size plans, constant
-    // per-round cost. At cluster scale swap for reliable checkpoint()
-    // against the checkpoint dir if executor loss must be survivable.
+    // Checkpointing materializes the round AND replaces the lineage
+    // with a flat LogicalRDD — constant-size plans, constant per-round
+    // cost. `checkpointDir` selects reliable checkpoint() when executor
+    // loss must be survivable (cluster scale); default localCheckpoint
+    // is cheaper and fine for local mode.
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one propagation = min over self ∪ neighbours, as ONE join + ONE
-    // aggregate (a join-back formulation costs a third shuffle); two
-    // propagations run between convergence checks so the per-round
-    // driver sync halves
+    // aggregate (a join-back formulation costs a third shuffle); THREE
+    // propagations run between convergence checks — near-dup graphs
+    // converge in 2–4 propagations, so most runs pay exactly two driver
+    // syncs (one working round + one equal-sum confirmation)
     def step(l: DataFrame): DataFrame =
       sym.join(l.select(col("id").as("v"), col("comp")), "v")
         .select(col("u").as("id"), col("comp"))
@@ -66,7 +84,7 @@ object Components {
       // lazy checkpoint: the checksum action below materializes it, so
       // each round costs exactly ONE job (an eager checkpoint would add
       // a second pass)
-      val next = step(step(labels)).localCheckpoint(false)
+      val next = truncate(step(step(step(labels))))
       val nextSum = checksum(next)
       // drop the previous round's cached blocks eagerly — only the
       // latest labels are ever read again (ContextCleaner would reclaim
@@ -79,6 +97,13 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    // never hand back non-converged labels: a chain-shaped component
+    // longer than 3·maxIters would otherwise silently split into wrong
+    // components — fail loudly instead (raise maxIters for such graphs)
+    if (!done)
+      throw new IllegalStateException(
+        s"Components.connected: no fixpoint after $maxIters rounds " +
+          s"(${3 * maxIters} propagations); raise maxIters")
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -171,13 +171,22 @@ object AdvancedQueries extends QueryGroup {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k_val"))
 
-  /** HLL sketch (no SQL oracle — estimator internals are engine-
-    * specific; accuracy pinned by spec to within 5% of exact). */
+  /** HLL sketch, made ORACLE-CHECKABLE despite estimator internals
+    * being engine-specific: the sketch estimate itself cannot reproduce
+    * in another engine, so the query emits the EXACT distinct plus a
+    * `within_5pct` flag comparing sketch vs exact inside Spark; the
+    * oracle computes the exact count and literal `true`. The row
+    * hash-matches iff the sketch honors its error bound — a real
+    * three-check green, not a `no_oracle` hole. Raw estimate accuracy
+    * additionally spec-pinned (PlanShapeSpec). */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
         count_distinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("within_5pct"))
 
   /** Weighted median/quartile of price, weighted by quantity, per
     * supplier — the reference's weighted-aggregate family extended to
@@ -374,6 +383,14 @@ object AdvancedQueries extends QueryGroup {
       "json_funcs" ->
         """SELECT event_id,
           |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-          |FROM events""".stripMargin)
+          |FROM events""".stripMargin,
+      // the sketch estimate is engine-specific; the contract it must
+      // honor (≤5% error vs exact) is checked INSIDE Spark and the flag
+      // compared to a literal true — see hllDistinct scaladoc
+      "hll_distinct" ->
+        """SELECT l_returnflag,
+          |  COUNT(DISTINCT l_partkey) AS exact_parts,
+          |  TRUE AS within_5pct
+          |FROM lineitem GROUP BY 1""".stripMargin)
   }
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryGroup, Tables}
+import graft.functions.Exact
+import graft.streaming.StreamOps
+
+/** The streaming surface (SURVEY §2.9) under the driver's DuckDB oracle.
+  *
+  * The reference is batch-with-incremental-re-runs (skip-if-exists,
+  * date-partitioned append dirs —
+  * /root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:22-23);
+  * its streaming analog here is a checkpointed AvailableNow drain: a real
+  * file-source STREAM over the staged events parquet, the watermarked
+  * tumbling-day aggregation, an exactly-once parquet file sink, then a
+  * read-back of the committed files. Deterministic end to end, so the
+  * batch GROUP BY is a valid oracle — this is what turns §2.9 from
+  * spec-asserted into driver-verified.
+  *
+  * Append-mode emission semantics ARE part of the contract being
+  * verified: a window is emitted only once the watermark (max event time
+  * minus delay; delay 0 here) passes its end, so the day containing
+  * max(ts) stays in state when the drain finishes and is absent from the
+  * sink. The oracle applies the same cutoff (`day < day-of-max-ts`).
+  */
+object StreamingQueries extends QueryGroup {
+
+  /** Scratch roots are per-(sfDir) and wiped per invocation: the drain
+    * must re-run from a clean checkpoint each time or AvailableNow would
+    * correctly resume-and-skip (the idempotence the sink guarantees, but
+    * not what a fresh correctness run wants to measure). */
+  private def scratch(dir: String, name: String): java.nio.file.Path = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_${name}_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** Tumbling per-day aggregate per event_type, streamed: readStream →
+    * [[StreamOps.tumblingDailyAgg]] → checkpointed parquet sink
+    * (AvailableNow) → read back. The value column is pre-cast to
+    * decimal(30,10) so the streamed sums are order-independent
+    * ([[Exact]]); mean is derived from the exact sum at read-back with
+    * one double division, matching the oracle's davg form. */
+  def streamDailyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_daily")
+    val sink = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    // the file-stream source watches a DIRECTORY; stage the events file
+    // into one — exactly the reference's staged-download-dir shape (a
+    // file "arrives", the drain picks it up)
+    val stage = java.nio.file.Paths.get(s"$root/in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    // file-source streams cannot infer schemas: reuse the batch read's
+    val schema = Tables.load(spark, dir, "events").schema
+    val raw = StreamOps.fileStream(spark, stage.toString, schema)
+    // same TIMESTAMP(NANOS)→timestamp normalization as Tables.events
+    val evs = (if (schema("ts").dataType == LongType)
+                 raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+               else raw)
+      .withColumn("value", col("value").cast(Exact.DecimalT))
+    val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
+      watermark = "0 seconds")
+    StreamOps.toParquetSink(agg, sink, ckpt)
+    spark.read.parquet(sink)
+      .select(to_date(col("day_start")).as("day"), col("event_type"),
+        col("n"),
+        col("total").cast("double").as("total"),
+        (col("total").cast("double") / col("n")).as("mean"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_daily_agg" -> (streamDailyAgg _))
+
+  def oracles: Map[String, String] = {
+    import Exact.sql._
+    Map(
+      // the last day (the one holding max(ts)) is held back by the
+      // watermark when the AvailableNow drain ends — same cutoff here
+      "stream_daily_agg" ->
+        s"""SELECT CAST(ts AS DATE) AS day, event_type,
+           |  COUNT(*) AS n,
+           |  ${dsum("\"value\"")} AS total,
+           |  ${dsum("\"value\"")} / COUNT(*) AS mean
+           |FROM events
+           |WHERE CAST(ts AS DATE) <
+           |  (SELECT CAST(max(ts) AS DATE) FROM events)
+           |GROUP BY 1, 2""".stripMargin)
+  }
+}

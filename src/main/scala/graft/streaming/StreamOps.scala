@@ -25,10 +25,15 @@ import org.apache.spark.sql.types.StructType
 object StreamOps {
 
   /** File-source stream over a staged directory (the runner's download
-    * targets) — schema must be supplied (streams cannot infer). */
+    * targets) — schema must be supplied (streams cannot infer).
+    * `options`: extra source options, e.g. `basePath` when `dir` is a
+    * glob or a single staged file (the source requires a directory
+    * basePath to resolve partition columns), or `maxFilesPerTrigger`
+    * for micro-batch sizing at scale. */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.format(format).schema(schema).load(dir)
+                 format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(schema).options(options).load(dir)
 
   /** Tumbling event-time aggregate — the streaming form of per-day zonal
     * stats (A1): count/sum/avg per (key, day window). */

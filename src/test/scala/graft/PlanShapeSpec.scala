@@ -277,10 +277,10 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("hll approx distinct within 5% of exact") {
     val rows = queries.AdvancedQueries.hllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: sketch outside 5% of exact ${r.getLong(1)}")
     }
   }
 

@@ -86,6 +86,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cl == Map(1L -> (3L, 1L), 5L -> (2L, 5L)))
   }
 
+  test("Components: reliable checkpoint path matches; non-convergence throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    // long chain: exercises several truncation rounds under RELIABLE
+    // checkpointing (the executor-loss-survivable mode)
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.connected(edges, "a", "b",
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to 12L).map(_ -> 1L).toMap)
+    // a diameter-24 chain cannot reach fixpoint in 1 round (3 props):
+    // must throw, never silently return wrong components
+    val long = (1L until 25L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connected(long, "a", "b", maxIters = 1).collect()
+    }
+  }
+
   test("SimHash: equal texts hash equal; near dups within small hamming") {
     val sh = Dedup.simhash64(docs, "doc_id", col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
