@@ -33,13 +33,24 @@ object Components {
     *   executor, so on a real cluster a single executor loss mid-loop
     *   kills the whole job; reliable checkpoints survive it. Local[?]
     *   and tests can leave it None (no executor to lose).
+    * @param localThreshold edge-count cutoff for the driver-local
+    *   fast path: at or below it the component fixpoint is solved with
+    *   in-memory union-find instead of the iterative join loop. This is
+    *   NOT a correctness shortcut but the right hybrid at every scale —
+    *   after strong-threshold pair pruning the duplicate graph is
+    *   orders of magnitude smaller than the corpus, and when it fits
+    *   comfortably on the driver (200k edges ≈ a few MB) the loop's
+    *   per-round cluster sync is pure overhead. Above the threshold the
+    *   distributed loop runs unchanged (the 100 TB path). Set 0 to
+    *   force the distributed loop.
     * @return (id, component) — component = min id reachable.
     * @throws IllegalStateException if the label propagation has not
     *   reached its fixpoint after `maxIters` rounds (components with
     *   diameter > 3·maxIters) — never silently returns wrong labels. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
                 maxIters: Int = 30,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None,
+                localThreshold: Long = 200000): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // lineage truncation per round (see below): lazy in both modes, so
     // the convergence-check action is the one materializing job
@@ -54,6 +65,14 @@ object Components {
         struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one cheap job: materializes the persisted adjacency (needed by
+    // every path) and sizes the graph for the local/distributed choice
+    val symCount = sym.count()
+    if (symCount <= 2 * localThreshold) {
+      val out = localUnionFind(edges.sparkSession, sym)
+      sym.unpersist()
+      return out
+    }
     // CRITICAL for any iterative DataFrame loop: `step` references the
     // previous labels TWICE (join side + union side), so the logical
     // plan would QUADRUPLE per round — persist() caches execution but
@@ -105,6 +124,47 @@ object Components {
         s"Components.connected: no fixpoint after $maxIters rounds " +
           s"(${3 * maxIters} propagations); raise maxIters")
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Driver-local union-find over a collected (bounded — see
+    * `localThreshold`) symmetric edge list: path-halving find, then a
+    * second pass assigns every vertex its component's minimum id —
+    * identical semantics to the distributed fixpoint, minus its
+    * per-round cluster syncs. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+                             sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = sym.schema("u").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) {
+        val g = parent.get(parent.get(r)) // path halving
+        parent.put(r, g)
+        r = g
+      }
+      r
+    }
+    sym.collect().foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.put(ru, rv)
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val m = minOf.get(r)
+      if (m == null || lt(id, m)) minOf.put(r, id)
+    }
+    val rows = new java.util.ArrayList[Row](parent.size())
+    parent.keySet().forEach(id => rows.add(Row(id, minOf.get(find(id)))))
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
   }
 
   /** Release a superseded round's cached blocks: a localCheckpoint'ed

@@ -44,9 +44,14 @@ object Ivf {
   /** @param corpus (id LONG, vec ARRAY<DOUBLE>); returns
     * (cluster_id INT, centroid ARRAY<DOUBLE>). */
   def train(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    var centroids = localize(corpus.orderBy("id").limit(k)
+    // seed: first k vectors by id — left as a SUBPLAN, not collected:
+    // the first refinement's assignment broadcasts it inside its own
+    // job, so train pays ONE driver barrier per iteration (the updated
+    // centroid collect), not an extra up-front one
+    var centroids = corpus.orderBy("id").limit(k)
       .select(row_number().over(Window.orderBy("id")).cast("int")
-        .as("cluster_id"), col("vec").as("centroid")))
+        .as("cluster_id"), col("vec").as("centroid"))
+    var materialized = false
     (1 to iters).foreach { _ =>
       val assigned = assign(corpus, centroids)
       // decimal-exact per-dimension means: a double avg is summation-
@@ -62,8 +67,11 @@ object Ivf {
         .select(col("cluster_id"),
           expr("transform(sorted, s -> s.m)").as("centroid"))
       centroids = localize(next)
+      materialized = true
     }
-    centroids
+    // iters = 0 (use-the-seeds): still hand back a LocalRelation so the
+    // downstream assign/search broadcasts don't re-run the seed scan
+    if (!materialized) localize(centroids) else centroids
   }
 
   /** Nearest centroid per vector: (id, vec, cluster_id). Ties on the

@@ -91,43 +91,73 @@ object Sink {
     * `updates` must be UNIQUE per key; a changelog carrying several
     * changes to one key must say which wins — pass `precedence`
     * (descending-priority ordering columns) for last-write-wins, or the
-    * merge fails fast instead of silently writing duplicate keys.
+    * merge fails in-flight instead of silently writing duplicate keys
+    * (the guard is a window count INSIDE the rewrite plan — no separate
+    * pre-pass job over the changelog).
     *
     * Unpartitioned: rewrite + directory swap (see [[swapInto]] for the
     * crash contract). Partitioned: `partitionCols` makes the merge
-    * PARTITION-SCOPED — only partitions that actually contain updated
-    * keys are rewritten, via dynamic partition-overwrite; the other
-    * directories are never touched (the 100 TB path: a one-partition
-    * update rewrites one partition).
+    * PARTITION-SCOPED — only partitions that contain updated keys (new
+    * OR old row) are rewritten, via dynamic partition-overwrite; the
+    * other directories are never touched (the 100 TB path: a
+    * one-partition update rewrites one partition). An update that MOVES
+    * a key to a different partition value removes the key's old row too
+    * (its old partition is rewritten, and deleted outright if emptied);
+    * finding those old rows costs one key-column scan of the dataset —
+    * pass `stablePartitions = true` to skip it when partition values
+    * are immutable per key (then only the updates' own partitions are
+    * rewritten).
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
                 updatesIn: DataFrame, keys: Seq[String],
                 partitionCols: Seq[String] = Nil,
-                precedence: Seq[Column] = Nil): Unit = {
+                precedence: Seq[Column] = Nil,
+                stablePartitions: Boolean = false): Unit = {
     recoverCrashedSwap(spark, path) // BEFORE reading: path may be mid-swap
     val existing = spark.read.parquet(path)
+    import org.apache.spark.sql.expressions.Window
     val updates = {
       val aligned = updatesIn.select(existing.columns.map(col): _*)
       if (precedence.nonEmpty) {
-        import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(precedence.map(_.desc): _*)
         aligned.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       } else {
-        val dup = aligned.groupBy(keys.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-        require(dup == 0,
-          s"mergeInto: updates carry duplicate keys ${keys.mkString(",")}; " +
-            "pass `precedence` to pick a winner")
-        aligned
+        // duplicate-key guard folded INTO the plan: a per-key window
+        // count raises mid-write on the first duplicate — at scale the
+        // old separate count() pre-pass was a full extra job over the
+        // changelog before any work. The guard rides the first key
+        // column (coalesce of an always-null assert) so column pruning
+        // cannot drop it.
+        val w = Window.partitionBy(keys.map(col): _*)
+        val guard = assert_true(count(lit(1)).over(w) <= 1,
+          lit(s"mergeInto: updates carry duplicate keys " +
+            s"${keys.mkString(",")}; pass `precedence` to pick a winner"))
+        aligned.withColumn(keys.head, coalesce(guard, col(keys.head)))
       }
     }
     val updateKeys = updates.select(keys.map(col): _*).distinct()
     if (partitionCols.nonEmpty) {
-      // partition-scoped: rows of touched partitions minus updated keys,
-      // plus the updates — dynamic overwrite rewrites ONLY those dirs
-      val touched = updates.select(partitionCols.map(col): _*).distinct()
+      val pcols = partitionCols.map(col)
+      // partitions to rewrite: those receiving update rows PLUS those
+      // holding an updated key's OLD row (skipped under
+      // `stablePartitions`) — without the latter, an update that moves
+      // a key across partitions would leave the old copy in place: a
+      // silent duplicate key. Materialized to a LocalRelation (one
+      // job, bounded by the update's partition spread) so the semi
+      // join below broadcasts a constant instead of re-running this.
+      val touchedPlan =
+        if (stablePartitions) updates.select(pcols: _*).distinct()
+        else updates.select(pcols: _*)
+          .union(existing.join(updateKeys, keys, "left_semi")
+            .select(pcols: _*))
+          .distinct()
+      val touched = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          touchedPlan.collect().toSeq.asJava, touchedPlan.schema)
+      }
       val kept = existing
         .join(broadcast(touched), partitionCols, "left_semi")
         .join(updateKeys, keys, "left_anti")
@@ -137,11 +167,47 @@ object Sink {
       // partitions, so the footprint is bounded by the update's spread
       val slice = kept.unionByName(updates).localCheckpoint(true)
       overwritePartitions(slice, partitionCols, path)
+      // dynamic overwrite only rewrites partitions PRESENT in the
+      // output — a touched partition whose every row was an updated
+      // key that moved away produces no rows and would survive as a
+      // stale directory; drop those explicitly
+      if (!stablePartitions)
+        deleteEmptiedPartitions(spark, path, partitionCols, touched, slice)
     } else {
       val merged = existing.join(updateKeys, keys, "left_anti")
         .unionByName(updates)
       swapInto(spark, path, "merge")(tmp =>
         merged.write.mode("overwrite").parquet(tmp))
+    }
+  }
+
+  /** Delete partition directories in `touched` that have no rows left in
+    * `slice` (both are small: touched partitions only). Directory names
+    * use the same Hive-style escaping the parquet writer uses. */
+  private def deleteEmptiedPartitions(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String], touched: DataFrame,
+      slice: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueStrings(df: DataFrame): Set[Seq[Option[String]]] =
+      df.select(partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => partitionCols.indices
+          .map(i => Option(r.getString(i))).toSeq)
+        .toSet
+    val emptied = valueStrings(touched) -- valueStrings(slice)
+    if (emptied.nonEmpty) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { values =>
+        val rel = partitionCols.zip(values).map { case (c, v) =>
+          // null/empty values map to the Hive default-partition name
+          // inside getPartitionPathString
+          ExternalCatalogUtils.getPartitionPathString(c, v.orNull)
+        }.mkString("/")
+        fs.delete(new Path(path.stripSuffix("/") + "/" + rel), true)
+      }
     }
   }
 

@@ -183,12 +183,49 @@ class PlanShapeSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft_merge2").toString + "/t"
     Seq((1L, "a", 1)).toDF("id", "name", "seq").write.parquet(dir)
     val dups = Seq((1L, "x", 2), (1L, "y", 3)).toDF("id", "name", "seq")
-    intercept[IllegalArgumentException] {
+    // the guard is IN the rewrite plan (no pre-pass job): it surfaces
+    // as a runtime error from the write, before any rename happens
+    val e = intercept[Exception] {
       Sink.mergeInto(spark, dir, dups, Seq("id"))
     }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(e).contains("duplicate keys"), messages(e))
+    // the failed merge must not have touched the dataset
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq
+      == Seq("a"))
     Sink.mergeInto(spark, dir, dups, Seq("id"), precedence = Seq(col("seq")))
     val r = spark.read.parquet(dir).collect()
     assert(r.length == 1 && r.head.getString(1) == "y") // highest seq wins
+  }
+
+  test("mergeInto: a key moved across partitions loses its old row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge4").toString + "/t"
+    Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    // id=3 moves p2 → p1: its old p2 row must disappear, and since p2
+    // is thereby emptied the whole p2 directory must go too (dynamic
+    // overwrite alone cannot drop a partition with no output rows)
+    Sink.mergeInto(spark, dir, Seq((3L, "p1", 99.0)).toDF("id", "part", "v"),
+      Seq("id"), partitionCols = Seq("part"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out == Map(1L -> (10.0, "p1"), 2L -> (20.0, "p1"),
+      3L -> (99.0, "p1")))
+    assert(!new java.io.File(s"$dir/part=p2").exists(),
+      "emptied partition directory must be deleted")
+    // stablePartitions opt-out: updates stay in their own partition,
+    // untouched partitions' files byte-identical
+    def filesIn(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val p1Before = filesIn(s"$dir/part=p1")
+    Sink.mergeInto(spark, dir, Seq((4L, "pX", 1.0)).toDF("id", "part", "v"),
+      Seq("id"), partitionCols = Seq("part"), stablePartitions = true)
+    assert(filesIn(s"$dir/part=p1") == p1Before)
+    assert(spark.read.parquet(dir).count() == 4)
   }
 
   test("mergeInto with partitionCols rewrites only touched partitions") {

@@ -91,16 +91,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .toString
     // long chain: exercises several truncation rounds under RELIABLE
     // checkpointing (the executor-loss-survivable mode)
+    // localThreshold = 0 forces the DISTRIBUTED loop (the default would
+    // take the driver-local union-find fast path on a graph this small)
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
     val comp = Components.connected(edges, "a", "b",
-        checkpointDir = Some(dir)).collect()
+        checkpointDir = Some(dir), localThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == (1L to 12L).map(_ -> 1L).toMap)
     // a diameter-24 chain cannot reach fixpoint in 1 round (3 props):
     // must throw, never silently return wrong components
     val long = (1L until 25L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException] {
-      Components.connected(long, "a", "b", maxIters = 1).collect()
+      Components.connected(long, "a", "b", maxIters = 1,
+        localThreshold = 0).collect()
     }
   }
 
