@@ -157,13 +157,25 @@ final class PipelineRunner(
     // 3. execute steps in file order; async children merge at the end
     val asyncRuns = new AsyncRuns(Some(asyncPool))
     val results = List.newBuilder[StepResult]
-    p.steps.zipWithIndex.foreach { case (step, i) =>
-      val stepScope = scope.withStep(i + 1)
-      val result = runStep(step, stepScope, p.sourcePath, asyncRuns)
-      results += result
-      step.outputVar.foreach { name =>
-        scope = scope.withOutput(name, result.fields)
+    try {
+      p.steps.zipWithIndex.foreach { case (step, i) =>
+        val stepScope = scope.withStep(i + 1)
+        val result = runStep(step, stepScope, p.sourcePath, asyncRuns)
+        results += result
+        step.outputVar.foreach { name =>
+          scope = scope.withOutput(name, result.fields)
+        }
       }
+    } catch {
+      case t: Throwable =>
+        // a failing step must NOT orphan already-submitted async
+        // children: the run-is-not-complete-until-every-child-is
+        // contract (O3) holds on the failure path too — await them so
+        // they neither keep running detached nor lose their own
+        // failures (attached as suppressed)
+        try asyncRuns.drain()
+        catch { case c: Throwable if c ne t => t.addSuppressed(c) }
+        throw t
     }
     // 4. merge async pipeline_execute children (the run is not complete
     // until every async child is — reference `mode` contract, O3)

@@ -220,9 +220,17 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
       case Some(rootEntries) => // directory URL: recursive walk
         // each directory is listed exactly ONCE — the probe that
         // classifies an entry as a directory returns the listing that
-        // the recursion then consumes
+        // the recursion then consumes. A visited-URL set plus a depth
+        // cap guard against pathological/hostile listings (self or
+        // mutual references would otherwise loop forever).
+        val maxDepth = ctx.argOpt("max_depth")
+          .map(_.toString.toInt).getOrElse(64)
+        val visited = scala.collection.mutable.Set[String]()
         def walk(dirUrl: String, relPrefix: String,
-                 entries: Seq[String]): Unit =
+                 entries: Seq[String], depth: Int): Unit = {
+          require(depth <= maxDepth,
+            s"tree walk deeper than max_depth=$maxDepth at $dirUrl — " +
+              "cycle-shaped listing? raise max_depth if genuine")
           entries.foreach { name =>
             val clean = name.stripSuffix("/")
             val childUrl = dirUrl.stripSuffix("/") + "/" + clean
@@ -231,19 +239,30 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
             def stageFile(): Unit =
               if (matcher.matches(Paths.get(clean).getFileName))
                 stage(childUrl, childRel)
-            if (name.endsWith("/")) {
-              if (recursive)
-                lister.list(childUrl).foreach(walk(childUrl, childRel, _))
+            def descend(es: Seq[String]): Unit =
+              walk(childUrl, childRel, es, depth + 1)
+            if (!visited.add(childUrl)) ()
+            else if (name.endsWith("/")) {
+              // the parent listing marked it a directory — trust that
+              if (recursive) lister.list(childUrl).foreach(descend)
             } else if (recursive) lister.list(childUrl) match {
               // NLST on a FILE answers with the file's own name on many
-              // servers — a single self-entry means "file", not "dir"
+              // servers — a single self-entry USUALLY means "file"…
               case Some(es) if es.isEmpty => () // empty directory
-              case Some(es) if es != Seq(clean) =>
-                walk(childUrl, childRel, es)
+              case Some(es) if es != Seq(clean) => descend(es)
+              case Some(es) =>
+                // …but a real directory holding exactly one child with
+                // the directory's own name lists the same way. One
+                // grandchild probe settles it: a file's "child" URL can
+                // never list, a directory's same-named child can.
+                if (lister.list(childUrl + "/" + clean).isDefined)
+                  descend(es)
+                else stageFile()
               case _ => stageFile()
             } else stageFile()
           }
-        walk(url, "", rootEntries)
+        }
+        walk(url, "", rootEntries, depth = 1)
       case None => // single remote file
         stage(url, url.split('/').last)
     }

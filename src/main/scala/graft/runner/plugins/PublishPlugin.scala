@@ -59,6 +59,19 @@ object PublishTargetPlugin extends StepPlugin {
         finally stream.close()
       } else Seq(source)
 
+    // minimal JSON string escaping: paths may legally contain quotes,
+    // backslashes or control chars — raw interpolation would emit an
+    // invalid manifest for them
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
     var published, skipped = 0
     val entries = files.map { f =>
       val rel =
@@ -74,14 +87,14 @@ object PublishTargetPlugin extends StepPlugin {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(Files.readAllBytes(dest))
         .map("%02x".format(_)).mkString
-      s"""{"path": "$rel", "bytes": ${Files.size(dest)}, "sha256": "$sha"}"""
+      s"""{"path": ${jstr(rel)}, "bytes": ${Files.size(dest)}, "sha256": "$sha"}"""
     }
 
     if (scheme != "file") {
       val manifest =
         s"""{
-           |  "target_uri": "${uri.toString}",
-           |  "source": "${source.toString}",
+           |  "target_uri": ${jstr(uri.toString)},
+           |  "source": ${jstr(source.toString)},
            |  "n_files": ${files.size},
            |  "files": [${entries.mkString(", ")}]
            |}""".stripMargin

@@ -338,11 +338,91 @@ class RunnerSpec extends SparkSpecBase {
     assert(again.results.head.fields("n_fetched") == 0)
   }
 
+  test("ftp tree walk: same-named single child is a dir, not a file; " +
+    "depth cap stops cycle-shaped listings") {
+    import graft.runner.plugins.RemoteTreeWalker
+    // d is a DIRECTORY holding exactly one file also named d — NLST on
+    // both answers Seq("d"), so only the grandchild probe (d/d/d → no
+    // listing) tells the walker which level is the file
+    val tree = Map(
+      "ftp://host/tricky" -> Seq("d"),
+      "ftp://host/tricky/d" -> Seq("d"),
+      "ftp://host/tricky/d/d" -> Seq("d")) // NLST file self-echo
+    val lister = new RemoteTreeWalker.Lister {
+      def list(url: String) = tree.get(url.stripSuffix("/"))
+    }
+    val fetched = collection.mutable.ListBuffer[String]()
+    val walker = new RemoteTreeWalker(lister,
+      (url, target) => { fetched += url; Files.writeString(target, url) })
+    val root = tmpDir()
+    val r = new PipelineRunner(
+      DefaultRegistry().withPlugins(Seq(walker)),
+      env = Map("basedir" -> root.toString),
+      sparkProvider = () => spark, assetRoots = Seq(root))
+    r.runFile(write(root, "tricky.yml",
+      s"""steps:
+         |  - plugin: ftp_download_tree
+         |    args:
+         |      url: "ftp://host/tricky"
+         |      out: "{env.basedir}/mirror"
+         |""".stripMargin))
+    assert(fetched.toList == List("ftp://host/tricky/d/d"),
+      s"expected the FILE under the same-named dir, got $fetched")
+    assert(Files.exists(root.resolve("mirror/d/d")))
+    // a listing that descends forever (every dir lists another dir)
+    // must hit the depth cap, not hang
+    val loopLister = new RemoteTreeWalker.Lister {
+      def list(url: String) = Some(Seq("x/"))
+    }
+    val loopWalker = new RemoteTreeWalker(loopLister, (_, _) => ())
+    val r2 = new PipelineRunner(
+      DefaultRegistry().withPlugins(Seq(loopWalker)),
+      env = Map("basedir" -> root.toString),
+      sparkProvider = () => spark, assetRoots = Seq(root))
+    val e = intercept[Exception] {
+      r2.runFile(write(root, "loop.yml",
+        s"""steps:
+           |  - plugin: ftp_download_tree
+           |    args:
+           |      url: "ftp://host/loop"
+           |      out: "{env.basedir}/mirror2"
+           |      max_depth: 5
+           |""".stripMargin))
+    }
+    assert(e.getMessage.contains("max_depth"), e.getMessage)
+  }
+
+  test("a failing step drains async children instead of orphaning them") {
+    val root = tmpDir()
+    write(root, "slow_child.yml",
+      s"""steps:
+         |  - plugin: exec_script
+         |    args:
+         |      script: "sleep 0.3; echo done > $root/child_done.txt"
+         |""".stripMargin)
+    val p = write(root, "parent_fail.yml",
+      s"""steps:
+         |  - plugin: pipeline_execute
+         |    args:
+         |      pipeline_path: slow_child.yml
+         |      mode: async
+         |  - plugin: exec_script
+         |    args:
+         |      script: "exit 3"
+         |""".stripMargin)
+    intercept[Exception] { runner(root).runFile(p) }
+    // the run terminated by failure must still have awaited its child
+    assert(Files.exists(root.resolve("child_done.txt")),
+      "async child was orphaned by the failing run")
+  }
+
   test("publish_target: file:// copies, gdrive:// stages with manifest (S9)") {
     val root = tmpDir()
     Files.createDirectories(root.resolve("artifact"))
     Files.writeString(root.resolve("artifact/a.csv"), "x,y\n1,2\n")
     Files.writeString(root.resolve("artifact/b.csv"), "x,y\n3,4\n")
+    // a quote in a filename must come out escaped in the manifest
+    Files.writeString(root.resolve("artifact/we\"ird.csv"), "q\n")
     val p = write(root, "pub.yml",
       s"""vars:
          |  published_target_uri: "gdrive://data/etl/Tiger/States"
@@ -358,7 +438,7 @@ class RunnerSpec extends SparkSpecBase {
          |      publish_root: "$root/publish_root"
          |""".stripMargin)
     val res = runner(root).runFile(p)
-    assert(res.results.head.fields("n_published") == 2)
+    assert(res.results.head.fields("n_published") == 3)
     assert(Files.readString(root.resolve("published_local/a.csv"))
       .contains("1,2"))
     // remote scheme: staged mirror + manifest with hashes
@@ -367,6 +447,8 @@ class RunnerSpec extends SparkSpecBase {
     val manifest = Files.readString(staged.resolve("_manifest.json"))
     assert(manifest.contains("gdrive://data/etl/Tiger/States"))
     assert(manifest.contains("\"sha256\"") && manifest.contains("a.csv"))
+    // the quoted filename is JSON-escaped, keeping the manifest valid
+    assert(manifest.contains("we\\\"ird.csv"), manifest)
   }
 
   test("output_var fields feed later steps (tiger/county.yml:41-47)") {
