@@ -45,20 +45,15 @@ object StreamingQueries extends QueryGroup {
     p
   }
 
-  /** Tumbling per-day aggregate per event_type, streamed: readStream →
-    * [[StreamOps.tumblingDailyAgg]] → checkpointed parquet sink
-    * (AvailableNow) → read back. The value column is pre-cast to
-    * decimal(30,10) so the streamed sums are order-independent
-    * ([[Exact]]); mean is derived from the exact sum at read-back with
-    * one double division, matching the oracle's davg form. */
-  def streamDailyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_daily")
-    val sink = s"$root/out"
-    val ckpt = s"$root/ckpt"
-    // the file-stream source watches a DIRECTORY; stage the events file
-    // into one — exactly the reference's staged-download-dir shape (a
-    // file "arrives", the drain picks it up)
-    val stage = java.nio.file.Paths.get(s"$root/in")
+  /** Stage events into a scratch input dir (the file-stream source
+    * watches a DIRECTORY — exactly the reference's staged-download-dir
+    * shape: a file "arrives", the drain picks it up) and return the
+    * normalized streaming DataFrame: ns-timestamp → TimestampType (same
+    * as Tables.events) and `value` pre-cast to decimal(30,10) so the
+    * streamed sums are order-independent ([[Exact]]). */
+  private def stagedEventStream(spark: SparkSession, dir: String,
+                                root: java.nio.file.Path): DataFrame = {
+    val stage = root.resolve("in")
     java.nio.file.Files.createDirectories(stage)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -66,23 +61,51 @@ object StreamingQueries extends QueryGroup {
     // file-source streams cannot infer schemas: reuse the batch read's
     val schema = Tables.load(spark, dir, "events").schema
     val raw = StreamOps.fileStream(spark, stage.toString, schema)
-    // same TIMESTAMP(NANOS)→timestamp normalization as Tables.events
-    val evs = (if (schema("ts").dataType == LongType)
-                 raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-               else raw)
+    (if (schema("ts").dataType == LongType)
+       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+     else raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
+  }
+
+  /** Tumbling per-day aggregate per event_type, streamed: readStream →
+    * [[StreamOps.tumblingDailyAgg]] → checkpointed parquet sink
+    * (AvailableNow) → read back. Mean is derived from the exact sum at
+    * read-back with one double division, matching the oracle's davg
+    * form. */
+  def streamDailyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_daily")
+    val evs = stagedEventStream(spark, dir, root)
     val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
       watermark = "0 seconds")
-    StreamOps.toParquetSink(agg, sink, ckpt)
-    spark.read.parquet(sink)
+    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
       .select(to_date(col("day_start")).as("day"), col("event_type"),
         col("n"),
         col("total").cast("double").as("total"),
         (col("total").cast("double") / col("n")).as("mean"))
   }
 
+  /** Sliding 7-day/1-day window sums, streamed — the streaming form of
+    * W1's trailing rolling sums, under the same AvailableNow drain
+    * harness. Append emission holds back every window whose end lies
+    * beyond the final watermark; the oracle regenerates the slide grid
+    * (epoch-aligned daily starts, 7 per event) and applies the same
+    * end-≤-max-day cutoff. */
+  def streamSlidingSum(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_sliding")
+    val evs = stagedEventStream(spark, dir, root)
+    val agg = StreamOps.slidingSum(evs, "ts", "event_type", "value",
+      windowDays = 7, watermark = "0 seconds")
+    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+      .select(to_date(col("window_start")).as("window_start"),
+        to_date(col("window_end")).as("window_end"), col("event_type"),
+        col("total").cast("double").as("total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_daily_agg" -> (streamDailyAgg _))
+    "stream_daily_agg" -> (streamDailyAgg _),
+    "stream_sliding_sum" -> (streamSlidingSum _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -97,6 +120,21 @@ object StreamingQueries extends QueryGroup {
            |FROM events
            |WHERE CAST(ts AS DATE) <
            |  (SELECT CAST(max(ts) AS DATE) FROM events)
-           |GROUP BY 1, 2""".stripMargin)
+           |GROUP BY 1, 2""".stripMargin,
+      // slide grid: 7 epoch-aligned daily window starts per event; the
+      // cutoff mirrors append-mode emission (window end ≤ max day)
+      "stream_sliding_sum" ->
+        s"""WITH ev AS (
+           |  SELECT CAST(date_trunc('day', ts) - i * INTERVAL 1 DAY AS DATE)
+           |    AS window_start, event_type, "value"
+           |  FROM events CROSS JOIN unnest(range(0, 7)) AS t(i))
+           |SELECT window_start,
+           |  CAST(window_start + 7 * INTERVAL 1 DAY AS DATE) AS window_end,
+           |  event_type,
+           |  ${dsum("\"value\"")} AS total
+           |FROM ev
+           |WHERE CAST(window_start + 7 * INTERVAL 1 DAY AS DATE) <=
+           |  (SELECT CAST(max(ts) AS DATE) FROM events)
+           |GROUP BY 1, 2, 3""".stripMargin)
   }
 }
