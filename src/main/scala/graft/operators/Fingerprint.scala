@@ -37,6 +37,45 @@ object Fingerprint {
       .withColumn(outCol, array_distinct(shinglesOf(col("__sh_toks"), n)))
       .drop("__sh_toks")
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS rolling-hash scheme): hash every word n-gram, slide a window
+    * of `w` consecutive shingle hashes over the document, keep each
+    * window's MINIMUM hash; the distinct kept values are the
+    * fingerprint set. Guarantees: any shared run of ≥ n+w-1 tokens
+    * between two documents yields at least one shared fingerprint, and
+    * the set is position-independent — the standard containment/overlap
+    * detector (vs whole-doc equality from [[bagFingerprint]]).
+    *
+    * Shapes: one shuffle (by id, ordered by position) serves both the
+    * shingle-building `lead` window and the winnowing ROWS frame; no
+    * explode beyond tokens, all codegen. md5 keeps it oracle-checkable
+    * (MIN over hex strings, bit-identical in every engine).
+    *
+    * Output: one row per distinct (id, `fp`).
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame,
+                         idCol: String, text: Column,
+                         n: Int = 3, w: Int = 4)
+  : org.apache.spark.sql.DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val parts = col("__tok") +:
+      (1 until n).map(j => lead(col("__tok"), j).over(byPos))
+    val frame = byPos.rowsBetween(-(w - 1), 0)
+    df.select(col(idCol),
+        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+      .withColumn("__sh",
+        when(parts.last.isNotNull, md5(concat_ws(" ", parts: _*))))
+      .filter(col("__sh").isNotNull)
+      // row_number (not __pos) indexes the SHINGLE sequence so the
+      // full-window filter below is robust to position gaps
+      .withColumn("__i", row_number().over(byPos))
+      .withColumn("fp", min(col("__sh")).over(frame))
+      .filter(col("__i") >= w) // only full windows select
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** One row per distinct (id, shingle-hash), built codegen-only:
     * posexplode tokens → xxhash64 per token → n-window combine via
     * `lead()` + shifted XOR → distinct.

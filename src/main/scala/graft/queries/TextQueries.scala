@@ -23,6 +23,13 @@ object TextQueries extends QueryGroup {
       .select(col("doc_id"),
         Fingerprint.bagFingerprint(col("text")).as("fp"))
 
+  /** Winnowing (MOSS rolling-hash) fingerprint set per document — the
+    * containment/overlap detector alongside the whole-doc bag
+    * fingerprint. */
+  def winnowQ(spark: SparkSession, dir: String): DataFrame =
+    Fingerprint.winnowFingerprints(Tables.documents(spark, dir), "doc_id",
+      col("text"), n = 3, w = 4)
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
 
@@ -117,6 +124,7 @@ object TextQueries extends QueryGroup {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprintQ _),
+    "winnow_fingerprint" -> (winnowQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -210,6 +218,20 @@ object TextQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    // winnowing: per-position shingle md5s, 4-wide ROWS-frame minimum,
+    // full windows only, distinct kept values
+    "winnow_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i, md5(array_to_string(t[i:i+2], ' ')) AS h
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 1)) AS u(i))
+         |SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         |  FROM sh) s
+         |WHERE rn >= 4""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS keeper

@@ -312,6 +312,16 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("edit_distance reuses the shared candidate-pair cache") {
+    // candidatePairs persists the J>=0.5 pair subplan; both of its
+    // consumers must plan against the SAME InMemoryRelation — the
+    // round-3 critical-path fix, locked as a plan assertion
+    queries.TextQueries.candidatePairs(spark, sf)
+    val p = plan(queries.TextQueries.editDistance(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"pair generation not served from cache:\n${p.take(3000)}")
+  }
+
   test("hll approx distinct within 5% of exact") {
     val rows = queries.AdvancedQueries.hllDistinct(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -107,6 +107,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("Winnowing: shared run >= n+w-1 tokens shares a fingerprint; " +
+    "disjoint docs share none") {
+    // n=3, w=4 → guarantee threshold n+w-1 = 6 common tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two alpha beta gamma delta epsilon zeta nine"), // shares 7-run
+      (3L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val fps = Fingerprint.winnowFingerprints(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "a shared 7-token run must yield a shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // identical text → identical fingerprint set, wherever it appears
+    val shifted = Seq((9L, "padding words alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val fps9 = Fingerprint.winnowFingerprints(shifted, "doc_id", col("text"))
+      .collect().map(_.getString(1)).toSet
+    assert((fps(1L) intersect fps9).nonEmpty,
+      "position independence: the same run elsewhere still shares")
+  }
+
   test("SimHash: equal texts hash equal; near dups within small hamming") {
     val sh = Dedup.simhash64(docs, "doc_id", col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
