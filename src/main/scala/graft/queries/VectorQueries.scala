@@ -28,6 +28,28 @@ object VectorQueries extends QueryGroup {
   def simTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(queriesDf(spark, dir), corpus(spark, dir), 5)
 
+  /** The SQL surface of the same search: `cosine_sim` is the codegen
+    * [[graft.functions.DotProductExpr]] composition injected via
+    * [[graft.GraftExtensions]] (post-hoc registration path), consumed
+    * from `spark.sql` — proving the extension-registered function is
+    * bit-identical to the Column API under the driver oracle. */
+  def sqlCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.embeddings(spark, dir)
+      .createOrReplaceTempView("__graft_emb_sql")
+    spark.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |  FROM __graft_emb_sql),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    cosine_sim(q.v, c.v) AS cosine
+        |  FROM e q JOIN e c
+        |    ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+        |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, id) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin)
+  }
+
   /** Production near-dup: exact cluster-blocked pairs (triangle-
     * inequality pruning, shuffle joins only — no O(n²) broadcast plan).
     * Bit-equal to the brute-force oracle by construction. */
@@ -90,6 +112,7 @@ object VectorQueries extends QueryGroup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopK _),
+    "sql_cosine_topk" -> (sqlCosineTopK _),
     "near_dup_cosine" -> (nearDupCosine _),
     "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
@@ -99,6 +122,19 @@ object VectorQueries extends QueryGroup {
     "simhash" -> (simhash _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _))
+
+  /** One oracle, two surfaces: the Column-API brute force and the
+    * SQL-extension form must both equal it. */
+  private val simTopKOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+      |  list_dot_product(q.v, c.v) /
+      |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+      |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY cosine DESC, id) AS rank FROM s) t
+      |WHERE rank <= 5""".stripMargin
 
   /** One oracle, two plans: blocked and brute force must both equal it. */
   private val nearDupOracle =
@@ -229,16 +265,10 @@ object VectorQueries extends QueryGroup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
-    "sim_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
-        |  list_dot_product(q.v, c.v) /
-        |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
-        |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-        |    ORDER BY cosine DESC, id) AS rank FROM s) t
-        |WHERE rank <= 5""".stripMargin,
+    "sim_topk" -> simTopKOracle,
+    // same oracle: the SQL-registered cosine_sim must equal the Column
+    // API bit-for-bit
+    "sql_cosine_topk" -> simTopKOracle,
     "near_dup_cosine" -> nearDupOracle,
     "near_dup_cosine_exact" -> nearDupOracle,
     "multimodal_meta" ->
