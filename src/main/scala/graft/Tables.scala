@@ -43,12 +43,16 @@ object Tables {
     * precision above 2^53, and ns epochs are ~1.7e18). Sub-microsecond
     * precision is dropped, matching what any Spark pipeline would see.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** The ns→µs normalization above, shared with the streaming queries
+    * (same expression on both sides, so the streamed result and its
+    * batch oracle can never diverge on timestamp handling). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -52,11 +52,6 @@ object Components {
                 checkpointDir: Option[String] = None,
                 localThreshold: Long = 200000): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    // lineage truncation per round (see below): lazy in both modes, so
-    // the convergence-check action is the one materializing job
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(false)
-      else df.localCheckpoint(false)
     // symmetric adjacency in ONE scan of the (possibly expensive) edge
     // plan: explode each edge into both orientations — a union of two
     // selects would evaluate the pair-generation plan twice
@@ -101,14 +96,25 @@ object Components {
     var done = false
     while (!done && iter < maxIters) {
       // lazy checkpoint: the checksum action below materializes it, so
-      // each round costs exactly ONE job (an eager checkpoint would add
-      // a second pass)
-      val next = truncate(step(step(step(labels))))
+      // each round costs exactly ONE pipeline execution. Reliable mode
+      // additionally persists the round for the duration of that
+      // action: ReliableRDDCheckpointData RECOMPUTES the RDD when
+      // writing its files unless the blocks are cached — without the
+      // scratch persist every round would run twice on the very mode
+      // built for cluster scale.
+      val stepped = step(step(step(labels)))
+      val next =
+        if (checkpointDir.isDefined) {
+          stepped.persist(StorageLevel.MEMORY_AND_DISK)
+          stepped.checkpoint(false)
+        } else stepped.localCheckpoint(false)
       val nextSum = checksum(next)
-      // drop the previous round's cached blocks eagerly — only the
-      // latest labels are ever read again (ContextCleaner would reclaim
-      // unreferenced checkpoint RDDs on GC anyway; this just bounds the
-      // window)
+      if (checkpointDir.isDefined) stepped.unpersist()
+      // drop the previous round's cached blocks (and, in reliable mode,
+      // its checkpoint files — superseded rounds are never read again)
+      // eagerly; ContextCleaner would not reclaim checkpoint files at
+      // all by default (spark.cleaner.referenceTracking.cleanCheckpoints
+      // is off), so this bounds checkpoint-dir growth to one round
       unpersistLabels(labels)
       labels = next
       done = nextSum == labelSum // labels only ever decrease; equal = fixpoint
@@ -175,6 +181,17 @@ object Components {
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false)
+        // a reliably-checkpointed round also owns files in the
+        // checkpoint dir; delete them once superseded (the newest
+        // round's files never reference an older round's)
+        l.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Exception => () } // best-effort cleanup
+        }
       case _ => df.unpersist()
     }
 

@@ -158,8 +158,15 @@ object Sink {
         spark.createDataFrame(
           touchedPlan.collect().toSeq.asJava, touchedPlan.schema)
       }
+      // NULL-SAFE semi join: a null partition value (the Hive default
+      // partition) must still match its touched entry — a plain equi
+      // join would drop every null-partition row from `kept`, and the
+      // emptied-partition sweep below would then delete the whole
+      // default-partition directory including untouched keys
+      val keptCond = partitionCols
+        .map(c => existing(c) <=> touched(c)).reduce(_ && _)
       val kept = existing
-        .join(broadcast(touched), partitionCols, "left_semi")
+        .join(broadcast(touched), keptCond, "left_semi")
         .join(updateKeys, keys, "left_anti")
       // eager checkpoint: the merged slice must be MATERIALIZED before
       // the overwrite — Spark (rightly) refuses to overwrite a path its

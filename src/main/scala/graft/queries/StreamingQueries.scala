@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.{QueryGroup, Tables}
 import graft.functions.Exact
@@ -61,9 +60,7 @@ object StreamingQueries extends QueryGroup {
     // file-source streams cannot infer schemas: reuse the batch read's
     val schema = Tables.load(spark, dir, "events").schema
     val raw = StreamOps.fileStream(spark, stage.toString, schema)
-    (if (schema("ts").dataType == LongType)
-       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-     else raw)
+    Tables.normalizeEventTs(raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
   }
 

@@ -34,15 +34,30 @@ final class AsyncRuns(exec: Option[java.util.concurrent.ExecutorService]) {
     case None => val r = body; val _ = r // inline: synchronized fallback
   }
 
-  /** Await every submitted child; a failed child fails the merge. */
+  /** Await EVERY submitted child before reporting: a failed child must
+    * not abandon the ones still running (they would keep going detached
+    * and their outcomes would be lost) — all futures are joined first,
+    * then the first failure is rethrown with the others suppressed. */
   def drain(): List[(String, StepResult)] = {
     var out = List.empty[(String, StepResult)]
+    var failures = List.empty[Throwable]
     var h = handles.poll()
     while (h != null) {
-      out = (h._1 -> h._2.get()) :: out
+      try out = (h._1 -> h._2.get()) :: out
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          failures = Option(e.getCause).getOrElse(e) :: failures
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); failures = e :: failures
+      }
       h = handles.poll()
     }
-    out.reverse
+    failures.reverse match {
+      case first :: rest =>
+        rest.foreach(first.addSuppressed)
+        throw first
+      case Nil => out.reverse
+    }
   }
 }
 

@@ -253,9 +253,13 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
               case Some(es) =>
                 // …but a real directory holding exactly one child with
                 // the directory's own name lists the same way. One
-                // grandchild probe settles it: a file's "child" URL can
-                // never list, a directory's same-named child can.
-                if (lister.list(childUrl + "/" + clean).isDefined)
+                // grandchild probe settles it: a directory's same-named
+                // child lists NONEMPTY (its own NLST echo at minimum),
+                // while a file's bogus "child" URL either fails (None)
+                // or — on lenient servers that answer nonexistent paths
+                // with an empty 226 — lists empty. Either way empty ⇒
+                // file, so the artifact is staged, never dropped.
+                if (lister.list(childUrl + "/" + clean).exists(_.nonEmpty))
                   descend(es)
                 else stageFile()
               case _ => stageFile()

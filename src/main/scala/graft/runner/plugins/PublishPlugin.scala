@@ -59,18 +59,9 @@ object PublishTargetPlugin extends StepPlugin {
         finally stream.close()
       } else Seq(source)
 
-    // minimal JSON string escaping: paths may legally contain quotes,
-    // backslashes or control chars — raw interpolation would emit an
-    // invalid manifest for them
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // paths may legally contain quotes, backslashes or control chars —
+    // raw interpolation would emit an invalid manifest for them
+    def jstr(s: String): String = graft.MinJson.str(s)
 
     var published, skipped = 0
     val entries = files.map { f =>

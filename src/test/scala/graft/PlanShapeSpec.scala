@@ -251,6 +251,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(filesIn(s"$dir/part=p2") == p2Before)
   }
 
+  test("mergeInto: null partition values match null-safely (default " +
+    "partition never wrongly emptied)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge5").toString + "/t"
+    // keys 2 and 3 live in the NULL (Hive default) partition
+    Seq((1L, Some("p1"), 10.0), (2L, None, 20.0), (3L, None, 30.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    // key 3 moves null → p1: kept must retain key 2's null-partition
+    // row (null-safe semi join), and the null partition must NOT be
+    // deleted as "emptied"
+    Sink.mergeInto(spark, dir,
+      Seq((3L, Some("p1"), 99.0)).toDF("id", "part", "v"),
+      Seq("id"), partitionCols = Seq("part"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.getString(2)))).toMap
+    assert(out == Map(1L -> (10.0, Some("p1")), 2L -> (20.0, None),
+      3L -> (99.0, Some("p1"))))
+    // and when the null partition IS fully emptied, it goes away
+    Sink.mergeInto(spark, dir,
+      Seq((2L, Some("p1"), 21.0)).toDF("id", "part", "v"),
+      Seq("id"), partitionCols = Seq("part"))
+    assert(!new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__")
+      .exists(), "fully-emptied default partition must be deleted")
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("swap recovery: a crash between renames self-heals on the next call") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_swap").toString
