@@ -73,6 +73,23 @@ object VectorQueries extends QueryGroup {
       centroids, k = 5, nprobe = 2)
   }
 
+  /** Top-k over int8-QUANTIZED embeddings — the storage/recall trade a
+    * 100 TB ANN index actually ships (quantize at ingest, rank on the
+    * 4×-smaller vectors): quantize → dequantize → the same brute-force
+    * cosine, oracle-reproduced in DuckDB with the identical clamp/
+    * round/scale arithmetic. Ranking fidelity vs full precision is
+    * spec-pinned (DedupSimilaritySpec). */
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def dq(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("vec_id").as(idAs),
+        dequantizeInt8(quantizeInt8(
+          Similarity.asDouble(col("embedding")))).as(vecAs))
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+      dq(e.filter(col("vec_id") < 8), "qid", "qvec"), dq(e, "id", "vec"), 5)
+  }
+
   /** Min-wise MD5 signatures (fully oracle-checked — md5 is bit-equal
     * in every engine); emitted as `sig_str` because the driver's pandas
     * comparator cannot hash an array column. The xxhash64 production
@@ -113,6 +130,7 @@ object VectorQueries extends QueryGroup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopK _),
     "sql_cosine_topk" -> (sqlCosineTopK _),
+    "quantized_topk" -> (quantizedTopK _),
     "near_dup_cosine" -> (nearDupCosine _),
     "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
@@ -269,6 +287,19 @@ object VectorQueries extends QueryGroup {
     // same oracle: the SQL-registered cosine_sim must equal the Column
     // API bit-for-bit
     "sql_cosine_topk" -> simTopKOracle,
+    // identical clamp/scale/round-half-away/descale on both sides
+    "quantized_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> round(GREATEST(LEAST(x, 1.0), -1.0) * 127) / 127.0) AS v
+        |  FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_dot_product(q.v, c.v) /
+        |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+        |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, id) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin,
     "near_dup_cosine" -> nearDupOracle,
     "near_dup_cosine_exact" -> nearDupOracle,
     "multimodal_meta" ->

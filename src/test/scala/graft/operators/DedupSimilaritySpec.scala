@@ -107,6 +107,33 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("Int8 quantization: round-trip error bounded, ranking preserved") {
+    import graft.functions.VectorFunctions._
+    val vs = Seq(
+      (0L, Array(0.9, -0.3, 0.05)), (1L, Array(0.85, -0.25, 0.1)),
+      (2L, Array(-0.2, 0.95, 0.0)), (3L, Array(1.7, -2.0, 0.4)))
+      .toDF("id", "v")
+    val rt = vs.select(col("id"),
+        col("v"), dequantizeInt8(quantizeInt8(col("v"))).as("q"))
+      .collect()
+    rt.foreach { r =>
+      val orig = r.getSeq[Double](1)
+      val q = r.getSeq[Double](2)
+      orig.zip(q).foreach { case (o, d) =>
+        // clamp to [-1,1], then per-component error <= 1/254
+        val clamped = math.max(-1.0, math.min(1.0, o))
+        assert(math.abs(clamped - d) <= 0.5 / 127 + 1e-12, s"$o -> $d")
+      }
+    }
+    // nearest neighbour of 0 is still 1 after quantization
+    val dq = vs.select(col("id"),
+      dequantizeInt8(quantizeInt8(col("v"))).as("vec"))
+    val q0 = dq.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteForceTopK(q0, dq, 1).collect()
+    assert(top.head.getLong(1) == 1L)
+  }
+
   test("Winnowing: shared run >= n+w-1 tokens shares a fingerprint; " +
     "disjoint docs share none") {
     // n=3, w=4 → guarantee threshold n+w-1 = 6 common tokens
