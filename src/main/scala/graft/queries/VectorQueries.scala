@@ -90,6 +90,35 @@ object VectorQueries extends QueryGroup {
       dq(e.filter(col("vec_id") < 8), "qid", "qvec"), dq(e, "id", "vec"), 5)
   }
 
+  /** The full two-stage ANN shape production systems run: rank on the
+    * int8-quantized index (stage 1, cheap, 4× smaller), then re-rank
+    * ONLY the surviving candidates on full precision (stage 2) — the
+    * candidates→verify pattern, here for vectors. Candidate set = top
+    * 20 quantized; final answer = exact cosine top 5 among them. */
+  def quantizedRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+    def dq(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("vec_id").as(idAs),
+        dequantizeInt8(quantizeInt8(
+          Similarity.asDouble(col("embedding")))).as(vecAs))
+    val cand = Similarity.bruteForceTopK(
+        dq(e.filter(col("vec_id") < 8), "qid", "qvec"), dq(e, "id", "vec"), 20)
+      .select("qid", "id")
+    val full = e.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("vec"))
+    val qfull = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"),
+      Similarity.asDouble(col("embedding")).as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("id").asc)
+    cand.join(full, "id").join(qfull, "qid")
+      .withColumn("cosine", Similarity.cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("id"), col("cosine"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Min-wise MD5 signatures (fully oracle-checked — md5 is bit-equal
     * in every engine); emitted as `sig_str` because the driver's pandas
     * comparator cannot hash an array column. The xxhash64 production
@@ -131,6 +160,7 @@ object VectorQueries extends QueryGroup {
     "sim_topk" -> (simTopK _),
     "sql_cosine_topk" -> (sqlCosineTopK _),
     "quantized_topk" -> (quantizedTopK _),
+    "quantized_rerank_topk" -> (quantizedRerankTopK _),
     "near_dup_cosine" -> (nearDupCosine _),
     "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
@@ -287,6 +317,33 @@ object VectorQueries extends QueryGroup {
     // same oracle: the SQL-registered cosine_sim must equal the Column
     // API bit-for-bit
     "sql_cosine_topk" -> simTopKOracle,
+    // stage 1 (quantized top-20) and stage 2 (exact top-5 among the
+    // candidates) both reproduced; candidate ties broken by id
+    "quantized_rerank_topk" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> round(GREATEST(LEAST(x, 1.0), -1.0) * 127) / 127.0) AS v
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT qid, id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |        DESC, c.vec_id) AS rn
+        |    FROM qz q JOIN qz c ON q.vec_id < 8 AND q.vec_id != c.vec_id) t
+        |  WHERE rn <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT cand.qid, cand.id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        |  FROM cand
+        |  JOIN e q ON cand.qid = q.vec_id
+        |  JOIN e c ON cand.id = c.vec_id)
+        |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, id) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     // identical clamp/scale/round-half-away/descale on both sides
     "quantized_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
