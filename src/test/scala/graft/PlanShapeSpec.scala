@@ -340,6 +340,13 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("winnowing runs on a single exchange (shingle window + winnow " +
+    "window + distinct all share the doc partitioning)") {
+    val p = plan(queries.TextQueries.winnowQ(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
+  }
+
   test("edit_distance reuses the shared candidate-pair cache") {
     // candidatePairs persists the J>=0.5 pair subplan; both of its
     // consumers must plan against the SAME InMemoryRelation — the
