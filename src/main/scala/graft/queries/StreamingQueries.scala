@@ -100,9 +100,31 @@ object StreamingQueries extends QueryGroup {
         col("total").cast("double").as("total"))
   }
 
+  /** Session windows, streamed — the third windowed form under the
+    * drain harness. Spark merges two events into one session iff their
+    * gap is STRICTLY less than the gap duration (windows are
+    * half-open), and a session's end is last-event + gap; the oracle's
+    * gaps-and-islands uses the same strict rule and the same
+    * end-≤-max-event cutoff for append emission. Timestamps emitted as
+    * epoch ms (never raw ts — ns/µs mismatch across engines). */
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_session")
+    val evs = stagedEventStream(spark, dir, root)
+    val agg = StreamOps.sessionAgg(evs, "ts", "user_id", "value",
+      gap = "30 minutes", watermark = "0 seconds")
+    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+      .select(col("user_id"),
+        expr("unix_micros(session_start) div 1000").as("start_ms"),
+        expr("unix_micros(session_end) div 1000").as("end_ms"),
+        col("n"),
+        col("total").cast("double").as("total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_daily_agg" -> (streamDailyAgg _),
-    "stream_sliding_sum" -> (streamSlidingSum _))
+    "stream_sliding_sum" -> (streamSlidingSum _),
+    "stream_session_agg" -> (streamSessionAgg _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -132,6 +154,36 @@ object StreamingQueries extends QueryGroup {
            |FROM ev
            |WHERE CAST(window_start + 7 * INTERVAL 1 DAY AS DATE) <=
            |  (SELECT CAST(max(ts) AS DATE) FROM events)
-           |GROUP BY 1, 2, 3""".stripMargin)
+           |GROUP BY 1, 2, 3""".stripMargin,
+      // STRICT session merge (diff < gap same session ⇔ diff >= gap new
+      // session — Spark's half-open session windows); session end =
+      // last event + gap; append emission = end ≤ global max event time
+      "stream_session_agg" ->
+        s"""WITH g AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us, "value",
+           |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+           |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |        >= 1800 * 1000000
+           |      OR LAG(epoch_us(ts), 1)
+           |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |        IS NULL
+           |    THEN 1 ELSE 0 END AS gap_new
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, us, "value",
+           |    CAST(SUM(gap_new) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS session_idx
+           |  FROM g),
+           |agg AS (
+           |  SELECT user_id, session_idx, COUNT(*) AS n,
+           |    MIN(us) AS start_us, MAX(us) + 1800 * 1000000 AS end_us,
+           |    ${dsum("\"value\"")} AS total
+           |  FROM s GROUP BY 1, 2)
+           |SELECT user_id, start_us // 1000 AS start_ms,
+           |  end_us // 1000 AS end_ms, n, total
+           |FROM agg
+           |WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin)
   }
 }
