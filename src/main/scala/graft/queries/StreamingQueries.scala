@@ -57,9 +57,17 @@ object StreamingQueries extends QueryGroup {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
+    // isolated sub-session (shared SparkContext, own SQLConf): stateful
+    // streaming ops create one state store per shuffle partition PER
+    // micro-batch, and at this input size 32 partitions are pure
+    // overhead — 8 keeps the drain snappy without touching the shared
+    // session's conf (results are partitioning-independent: decimal
+    // sums). At real scale the caller sizes this up like any shuffle.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     // file-source streams cannot infer schemas: reuse the batch read's
-    val schema = Tables.load(spark, dir, "events").schema
-    val raw = StreamOps.fileStream(spark, stage.toString, schema)
+    val schema = Tables.load(ss, dir, "events").schema
+    val raw = StreamOps.fileStream(ss, stage.toString, schema)
     Tables.normalizeEventTs(raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
   }
