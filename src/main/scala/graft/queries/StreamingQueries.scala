@@ -129,10 +129,33 @@ object StreamingQueries extends QueryGroup {
         col("total").cast("double").as("total"))
   }
 
+  /** Watermarked stream-stream interval join (the attribution shape:
+    * purchase ≤ 1 h after a same-user click), drained. A streaming
+    * INNER join emits each pair the moment both rows are present —
+    * watermarks only bound retained state, never hold back matches —
+    * so a full AvailableNow drain equals the batch join exactly and
+    * the oracle is the plain interval-join SQL, no cutoff needed. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_ijoin")
+    val evs = stagedEventStream(spark, dir, root)
+    def side(t: String) = evs.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
+      "user_id", "ts", "ts", maxDelay = "1 hour")
+    val out = joined.select(col("user_id"),
+      col("event_id").as("click_id"),
+      expr("unix_micros(ts) div 1000").as("click_ms"),
+      col("r_event_id").as("purchase_id"),
+      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_daily_agg" -> (streamDailyAgg _),
     "stream_sliding_sum" -> (streamSlidingSum _),
-    "stream_session_agg" -> (streamSessionAgg _))
+    "stream_session_agg" -> (streamSessionAgg _),
+    "stream_interval_join" -> (streamIntervalJoin _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -192,6 +215,18 @@ object StreamingQueries extends QueryGroup {
            |SELECT user_id, start_us // 1000 AS start_ms,
            |  end_us // 1000 AS end_ms, n, total
            |FROM agg
-           |WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin)
+           |WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
+      // inner joins emit on match — the drain IS the batch join
+      "stream_interval_join" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT c.user_id, c.event_id AS click_id,
+          |  c.us // 1000 AS click_ms,
+          |  p.event_id AS purchase_id, p.us // 1000 AS purchase_ms
+          |FROM c JOIN p ON c.user_id = p.user_id
+          |  AND p.us >= c.us
+          |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000""".stripMargin)
   }
 }
