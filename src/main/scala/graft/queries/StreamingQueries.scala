@@ -151,11 +151,33 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Streaming duplicate suppression, drained: WHICH physical row
+    * survives a duplicate group is arrival-order-dependent (not
+    * verifiable cross-engine), but the op's contract — every distinct
+    * key emitted exactly once — is deterministic, so the query projects
+    * the dedup key columns and the oracle is SELECT DISTINCT. First-
+    * seen rows emit immediately in append mode (the watermark only
+    * bounds retained state), so no cutoff applies. The one-file stage
+    * drains as a single micro-batch (watermark advances only BETWEEN
+    * batches), so the dedup horizon deterministically spans the whole
+    * input regardless of the watermark delay. */
+  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "stream_dedup")
+    val evs = stagedEventStream(spark, dir, root)
+    val deduped = StreamOps.dedupedStream(
+      evs.select(col("ts"), col("user_id"), col("event_type")),
+      "ts", idCol = "user_id", watermark = "1 day")
+    StreamOps.toParquetSink(deduped.select(col("user_id")),
+      s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_daily_agg" -> (streamDailyAgg _),
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_agg" -> (streamSessionAgg _),
-    "stream_interval_join" -> (streamIntervalJoin _))
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_dedup_keys" -> (streamDedupKeys _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -227,6 +249,9 @@ object StreamingQueries extends QueryGroup {
           |  p.event_id AS purchase_id, p.us // 1000 AS purchase_ms
           |FROM c JOIN p ON c.user_id = p.user_id
           |  AND p.us >= c.us
-          |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000""".stripMargin)
+          |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000""".stripMargin,
+      // the emitted KEY SET is the deterministic contract (see scaladoc)
+      "stream_dedup_keys" ->
+        "SELECT DISTINCT user_id FROM events")
   }
 }
