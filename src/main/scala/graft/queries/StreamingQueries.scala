@@ -66,7 +66,10 @@ object StreamingQueries extends QueryGroup {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     // file-source streams cannot infer schemas: reuse the batch read's
-    val schema = Tables.load(ss, dir, "events").schema
+    // — resolved on the OUTER session (Tables.load caches per session;
+    // keying on the throwaway sub-session would re-read footers every
+    // drain and leak a cache entry pinning the dead session)
+    val schema = Tables.load(spark, dir, "events").schema
     val raw = StreamOps.fileStream(ss, stage.toString, schema)
     Tables.normalizeEventTs(raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
@@ -210,7 +213,10 @@ object StreamingQueries extends QueryGroup {
            |GROUP BY 1, 2, 3""".stripMargin,
       // STRICT session merge (diff < gap same session ⇔ diff >= gap new
       // session — Spark's half-open session windows); session end =
-      // last event + gap; append emission = end ≤ global max event time
+      // last event + gap; append emission = end ≤ the final watermark,
+      // which Spark tracks MILLISECOND-truncated (EventTimeWatermark
+      // keeps max event time in ms) — the cutoff truncates the same way
+      // or a session ending inside the last partial ms would flake
       "stream_session_agg" ->
         s"""WITH g AS (
            |  SELECT user_id, event_id, epoch_us(ts) AS us, "value",
@@ -237,7 +243,8 @@ object StreamingQueries extends QueryGroup {
            |SELECT user_id, start_us // 1000 AS start_ms,
            |  end_us // 1000 AS end_ms, n, total
            |FROM agg
-           |WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)""".stripMargin,
+           |WHERE end_us <=
+           |  (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)""".stripMargin,
       // inner joins emit on match — the drain IS the batch join
       "stream_interval_join" ->
         """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us

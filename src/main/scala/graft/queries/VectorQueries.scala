@@ -79,15 +79,20 @@ object VectorQueries extends QueryGroup {
     * cosine, oracle-reproduced in DuckDB with the identical clamp/
     * round/scale arithmetic. Ranking fidelity vs full precision is
     * spec-pinned (DedupSimilaritySpec). */
-  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Quantize→dequantize projection shared by the quantized queries —
+    * stage 1 of both must select candidates from the SAME vectors. */
+  private def dqVecs(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    def dq(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col("vec_id").as(idAs),
-        dequantizeInt8(quantizeInt8(
-          Similarity.asDouble(col("embedding")))).as(vecAs))
+    df.select(col("vec_id").as(idAs),
+      dequantizeInt8(quantizeInt8(
+        Similarity.asDouble(col("embedding")))).as(vecAs))
+  }
+
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(
-      dq(e.filter(col("vec_id") < 8), "qid", "qvec"), dq(e, "id", "vec"), 5)
+      dqVecs(e.filter(col("vec_id") < 8), "qid", "qvec"),
+      dqVecs(e, "id", "vec"), 5)
   }
 
   /** The full two-stage ANN shape production systems run: rank on the
@@ -96,22 +101,15 @@ object VectorQueries extends QueryGroup {
     * candidates→verify pattern, here for vectors. Candidate set = top
     * 20 quantized; final answer = exact cosine top 5 among them. */
   def quantizedRerankTopK(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions._
     val e = Tables.embeddings(spark, dir)
-    def dq(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col("vec_id").as(idAs),
-        dequantizeInt8(quantizeInt8(
-          Similarity.asDouble(col("embedding")))).as(vecAs))
     val cand = Similarity.bruteForceTopK(
-        dq(e.filter(col("vec_id") < 8), "qid", "qvec"), dq(e, "id", "vec"), 20)
+        dqVecs(e.filter(col("vec_id") < 8), "qid", "qvec"),
+        dqVecs(e, "id", "vec"), 20)
       .select("qid", "id")
-    val full = e.select(col("vec_id").as("id"),
-      Similarity.asDouble(col("embedding")).as("vec"))
-    val qfull = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"),
-      Similarity.asDouble(col("embedding")).as("qvec"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id").asc)
-    cand.join(full, "id").join(qfull, "qid")
+    cand.join(corpus(spark, dir), "id")
+      .join(queriesDf(spark, dir), "qid")
       .withColumn("cosine", Similarity.cosine(col("qvec"), col("vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
