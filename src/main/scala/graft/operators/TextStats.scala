@@ -38,4 +38,18 @@ object TextStats {
       .withColumn("est_bpe_tokens", ceil(length(text) / lit(4.0)).cast("long"))
       .drop("__toks")
   }
+
+  /** GPT-2-style PRE-tokenizer segment pattern (public knowledge; the
+    * byte-pair merges then only ever split WITHIN these segments, so
+    * the segment count is a true lower bound and a far better token
+    * estimate than chars/4). The original pattern's trailing-space
+    * lookahead is dropped: RE2 (DuckDB) has no lookahead, and without
+    * it Java and RE2 match identically — cross-engine reproducible. */
+  val bpeSegmentPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Count of BPE pre-tokenizer segments (codegen regexp, no UDF). */
+  def bpeSegments(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeSegmentPattern), lit(0)))
+      .cast("long")
 }

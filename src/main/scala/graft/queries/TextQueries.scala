@@ -13,6 +13,13 @@ object TextQueries extends QueryGroup {
       .select("doc_id", "n_tokens", "n_chars_calc", "n_stopwords",
         "stopword_ratio", "space_ratio", "est_bpe_tokens")
 
+  /** BPE pre-tokenizer segment count vs whitespace tokens per doc —
+    * the "token counting (whitespace + a BPE-ish regex)" pair. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextStats.bpeSegments(col("text")).as("bpe_segments"))
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     LangId(Tables.documents(spark, dir), col("text"))
       .select("doc_id", "score_en", "score_de", "score_fr", "score_es",
@@ -122,6 +129,7 @@ object TextQueries extends QueryGroup {
     "quality_filter" -> (qualityFilter _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
+    "bpe_token_count" -> (bpeTokens _),
     "lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprintQ _),
     "winnow_fingerprint" -> (winnowQ _),
@@ -218,6 +226,16 @@ object TextQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    // same segment regex (no lookahead → Java and RE2 agree); SQL
+    // single quotes doubled
+    "bpe_token_count" -> {
+      val pat = TextStats.bpeSegmentPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)
+         |    AS bpe_segments
+         |FROM documents""".stripMargin
+    },
     // winnowing: per-position shingle md5s, 4-wide ROWS-frame minimum,
     // full windows only, distinct kept values
     "winnow_fingerprint" ->
