@@ -63,5 +63,6 @@ object DefaultRegistry {
     SqlTransformPlugin,
     VectorFactsPlugin, EvidenceBundlePlugin, DatasetResearchPlugin,
     CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin,
-    PublishTargetPlugin))
+    PublishTargetPlugin,
+    TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin))
 }

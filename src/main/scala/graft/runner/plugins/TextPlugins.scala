@@ -1,0 +1,119 @@
+package graft.runner.plugins
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup, Fingerprint, LangId, TextStats}
+import graft.runner._
+
+/** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
+  * §7 step 6: "all as ordinary plugins") — the same operator library
+  * the query harness verifies, addressable from YAML pipelines.
+  */
+
+/** `text_dedup` — corpus dedup step: exact dedup by md5(text), plus
+  * optional near-dedup (`min_jaccard`) via n-gram Jaccard pairs →
+  * connected components, keeping each cluster's minimum id. Writes the
+  * surviving rows as parquet.
+  *
+  * Args: `input` (documents parquet), `output_path`, optional `id_col`
+  * (default doc_id), `text_col` (default text), `min_jaccard` (off =
+  * exact only), `ngram` (default 3).
+  */
+object TextDedupPlugin extends StepPlugin {
+  val name = "text_dedup"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val minJ = ctx.argOpt("min_jaccard").map(_.toString.toDouble)
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+
+    val docs = ctx.spark.read.parquet(in)
+    val nIn = docs.count()
+    // exact pass first: cheapest, always on (one hash-aggregate window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    val exactKept = docs
+      .withColumn("__keep", col(idCol) === min(col(idCol)).over(w))
+      .filter(col("__keep")).drop("__keep")
+    val kept = minJ match {
+      case Some(j) =>
+        // near-dup clusters over the exact survivors; keep cluster minima
+        val pairs = Dedup.ngramJaccardPairs(exactKept, idCol,
+          col(textCol), n = n, minJaccard = j)
+        val losers = Components.connected(pairs, "doc_a", "doc_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        exactKept.join(losers, Seq(idCol), "left_anti")
+      case None => exactKept
+    }
+    kept.write.mode("overwrite").parquet(out)
+    val nKept = ctx.spark.read.parquet(out).count()
+    StepResult(Map("output_path" -> out,
+      "n_in" -> nIn, "n_kept" -> nKept,
+      "n_dropped" -> (nIn - nKept)))
+  }
+}
+
+/** `text_quality` — per-document stats + language ID + keep/drop
+  * verdict (the quality_filter surface as a pipeline step).
+  *
+  * Args: `input`, `output_path`, optional `id_col`, `text_col`,
+  * `min_tokens` (default 20), `max_tokens` (default 500).
+  */
+object TextQualityPlugin extends StepPlugin {
+  val name = "text_quality"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val minTok = ctx.argOpt("min_tokens").map(_.toString.toLong).getOrElse(20L)
+    val maxTok = ctx.argOpt("max_tokens").map(_.toString.toLong).getOrElse(500L)
+
+    val scored = LangId(
+      TextStats(ctx.spark.read.parquet(in), col(textCol)), col(textCol))
+    val verdicts = scored.select(
+      col(idCol), col("n_tokens"), col("stopword_ratio"), col("lang_pred"),
+      when(col("n_tokens") < minTok, "too_short")
+        .when(col("n_tokens") > maxTok, "too_long")
+        .when(col("stopword_ratio") < 0.01, "no_stopwords")
+        .when(col("lang_pred") =!= "en", "not_english")
+        .otherwise("keep").as("verdict"))
+    verdicts.write.mode("overwrite").parquet(out)
+    val byVerdict = ctx.spark.read.parquet(out)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    StepResult(Map("output_path" -> out,
+      "n_keep" -> byVerdict.getOrElse("keep", 0L),
+      "n_total" -> byVerdict.values.sum))
+  }
+}
+
+/** `text_fingerprint` — winnowing fingerprint extraction as a step
+  * (containment/overlap index build; [[Fingerprint.winnowFingerprints]]).
+  *
+  * Args: `input`, `output_path`, optional `id_col`, `text_col`,
+  * `ngram` (default 3), `window` (default 4).
+  */
+object TextFingerprintPlugin extends StepPlugin {
+  val name = "text_fingerprint"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val w = ctx.argOpt("window").map(_.toString.toInt).getOrElse(4)
+
+    Fingerprint.winnowFingerprints(ctx.spark.read.parquet(in),
+        idCol, col(textCol), n = n, w = w)
+      .write.mode("overwrite").parquet(out)
+    val nFps = ctx.spark.read.parquet(out).count()
+    StepResult(Map("output_path" -> out, "n_fingerprints" -> nFps))
+  }
+}

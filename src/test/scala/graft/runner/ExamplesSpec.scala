@@ -34,6 +34,25 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("examples/near_dup_audit.yml runs: quality, dedup, fingerprints") {
+    val (work, res) = run("near_dup_audit.yml")
+    assert(res.results.size == 3)
+    val dedup = res.results(1).fields
+    assert(dedup("n_in") == 500L)
+    // the test corpus carries near-dups (J>=0.5 clusters) — some must drop
+    assert(dedup("n_dropped").asInstanceOf[Long] > 0L,
+      s"expected near-dup drops, got $dedup")
+    assert(res.results(2).fields("n_fingerprints").asInstanceOf[Long] > 0L)
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(work)
+    try {
+      val files = stream.iterator().asScala.map(_.toString).toSeq
+      assert(files.exists(_.contains("verdicts.parquet")))
+      assert(files.exists(_.contains("deduped.parquet")))
+      assert(files.exists(_.contains("fingerprints.parquet")))
+    } finally stream.close()
+  }
+
   test("examples/daily_rollup.yml runs: 3-way fan-out + combined csv") {
     val (work, res) = run("daily_rollup.yml")
     assert(res.results.head.fields("n_invocations") == 3)
