@@ -188,6 +188,25 @@ object AdvancedQueries extends QueryGroup {
         (abs(col("__approx") - col("exact_parts")) <=
           col("exact_parts") * lit(0.05)).as("within_5pct"))
 
+  /** Quantile sketch under the same error-contract pattern as
+    * [[hllDistinct]]: the GK sketch estimate itself is engine-specific,
+    * but its guarantee is a RANK error bound (ε = 1/accuracy = 1e-3
+    * here), so the query checks — inside Spark — that the approximate
+    * median lies between the exact 49th and 51st percentiles (implied
+    * by any rank error ≤ 0.01) and emits the exact median plus the
+    * flag; the oracle computes the exact median (bit-equal to DuckDB's
+    * quantile_cont) and literal true. */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+        expr("percentile(l_extendedprice, 0.49)").as("__p49"),
+        expr("percentile(l_extendedprice, 0.51)").as("__p51"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__approx"))
+      .select(col("l_returnflag"), col("exact_median"),
+        (col("__approx") >= col("__p49") &&
+          col("__approx") <= col("__p51")).as("within_rank_1pct"))
+
   /** Weighted median/quartile of price, weighted by quantity, per
     * supplier — the reference's weighted-aggregate family extended to
     * percentiles (lower weighted quantile; window form, see
@@ -240,7 +259,8 @@ object AdvancedQueries extends QueryGroup {
     "data_expectations" -> (dataExpectations _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
-    "hll_distinct" -> (hllDistinct _))
+    "hll_distinct" -> (hllDistinct _),
+    "approx_quantile" -> (approxQuantile _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -391,6 +411,12 @@ object AdvancedQueries extends QueryGroup {
         """SELECT l_returnflag,
           |  COUNT(DISTINCT l_partkey) AS exact_parts,
           |  TRUE AS within_5pct
+          |FROM lineitem GROUP BY 1""".stripMargin,
+      // GK-sketch rank-error contract checked in Spark (see scaladoc)
+      "approx_quantile" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+          |  TRUE AS within_rank_1pct
           |FROM lineitem GROUP BY 1""".stripMargin)
   }
 }
