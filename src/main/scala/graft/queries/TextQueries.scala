@@ -37,6 +37,15 @@ object TextQueries extends QueryGroup {
     Fingerprint.winnowFingerprints(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, w = 4)
 
+  private val splitWeights =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic hash-based train/val/test assignment per document —
+    * reproducible across engines/partitionings/corpus growth. */
+  def trainValSplit(spark: SparkSession, dir: String): DataFrame =
+    Split.assign(Tables.documents(spark, dir).select("doc_id"),
+      col("doc_id"), splitWeights)
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
 
@@ -133,6 +142,7 @@ object TextQueries extends QueryGroup {
     "lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprintQ _),
     "winnow_fingerprint" -> (winnowQ _),
+    "train_val_split" -> (trainValSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -225,6 +235,10 @@ object TextQueries extends QueryGroup {
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         |FROM documents""".stripMargin,
+    // identical md5-hex thresholds on both sides (Split.sqlCase)
+    "train_val_split" ->
+      s"""SELECT doc_id, ${Split.sqlCase("doc_id", splitWeights)} AS split
          |FROM documents""".stripMargin,
     // same segment regex (no lookahead → Java and RE2 agree); SQL
     // single quotes doubled

@@ -107,6 +107,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("Split: proportional, repartition-stable, subset-invariant") {
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Split.assign(ids, col("id"), splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // proportions within a few points of the weights at n=2000
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, counts.toString)
+    assert(math.abs(counts("val") - 200) < 60, counts.toString)
+    // partitioning must not change assignment
+    val b = Split.assign(ids.repartition(7), col("id"), splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // a row keeps its split when the corpus grows (subset invariance)
+    val sub = Split.assign((1L to 100L).toDF("id"), col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(a(id) == s) }
+  }
+
   test("Int8 quantization: round-trip error bounded, ranking preserved") {
     import graft.functions.VectorFunctions._
     val vs = Seq(
