@@ -92,6 +92,30 @@ object TextQueries extends QueryGroup {
         levenshtein(col("__ta"), col("__tb")).as("edit_dist"))
   }
 
+  /** Repetition detection (the Gopher-family quality rule, public
+    * knowledge: a document dominated by one repeated n-gram is
+    * boilerplate/spam): per doc, the most frequent 3-gram's share of
+    * all 3-gram occurrences (NOT distinct — repetition is the point).
+    * One window shuffle builds shingles, two aggregates fold them. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("__pos")
+    val parts = col("__tok") +:
+      (1 until 3).map(j => lead(col("__tok"), j).over(byPos))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextStats.tokens(col("text"))).as(Seq("__pos", "__tok")))
+      .withColumn("__sh",
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("__sh").isNotNull)
+      .groupBy("doc_id", "__sh").agg(count(lit(1)).as("__cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("__cnt")).as("n_shingles"),
+        max(col("__cnt")).as("top_shingle_n"))
+      .withColumn("repetition_ratio",
+        col("top_shingle_n") / col("n_shingles"))
+  }
+
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
@@ -143,6 +167,7 @@ object TextQueries extends QueryGroup {
     "text_fingerprint" -> (fingerprintQ _),
     "winnow_fingerprint" -> (winnowQ _),
     "train_val_split" -> (trainValSplit _),
+    "repetition_ratio" -> (repetitionRatio _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -236,6 +261,17 @@ object TextQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    // NON-distinct 3-gram occurrence counts (repetition is the signal)
+    "repetition_ratio" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 1)) AS u(i)),
+         |cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+         |  MAX(c) AS top_shingle_n,
+         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |    AS repetition_ratio
+         |FROM cnt GROUP BY 1""".stripMargin,
     // identical md5-hex thresholds on both sides (Split.sqlCase)
     "train_val_split" ->
       s"""SELECT doc_id, ${Split.sqlCase("doc_id", splitWeights)} AS split
