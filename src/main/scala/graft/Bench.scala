@@ -50,8 +50,16 @@ object Bench {
     // cores idle, and inter-query parallelism is how an engine actually
     // serves a workload. Per-query numbers below are latencies UNDER
     // that concurrency, so their sum exceeds the wall time.
-    val workers = sys.env.get("SPARK_GRAFT_BENCH_WORKERS").map(_.toInt)
-      .getOrElse(math.max(2, Runtime.getRuntime.availableProcessors() / 2))
+    val workers = sys.env.get("SPARK_GRAFT_BENCH_WORKERS") match {
+      case Some(v) =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"SPARK_GRAFT_BENCH_WORKERS must be an integer, got '$v'")
+        }
+        math.max(1, n)
+      case None =>
+        math.max(2, Runtime.getRuntime.availableProcessors() / 2)
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
     import scala.jdk.CollectionConverters._
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map {

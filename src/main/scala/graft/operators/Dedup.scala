@@ -121,15 +121,7 @@ object Dedup {
     */
   def minhashSignaturesMd5(df: DataFrame, idCol: String, text: Column,
                            n: Int = 3, k: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("__pos")
-    val parts = col("__tok") +:
-      (1 until n).map(j => lead(col("__tok"), j).over(w))
-    val sh = df.select(col(idCol),
-        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
-      .withColumn("sh",
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
-      .filter(col("sh").isNotNull)
+    val sh = Fingerprint.explodedShingles(df, idCol, text, n)
       .select(col(idCol), col("sh")).distinct()
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"__m$i"))

@@ -37,6 +37,26 @@ object Fingerprint {
       .withColumn(outCol, array_distinct(shinglesOf(col("__sh_toks"), n)))
       .drop("__sh_toks")
 
+  /** One row per (id, `__pos`, `sh`): POSITIONAL word n-gram string
+    * shingles via lead-window concat (codegen; trailing positions
+    * lacking a full window are dropped) — the shared builder behind
+    * winnowing, repetition detection and the md5 minhash variant, so
+    * shingle semantics can never drift between them. */
+  def explodedShingles(df: org.apache.spark.sql.DataFrame,
+                       idCol: String, text: Column, n: Int)
+  : org.apache.spark.sql.DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val parts = col("__tok") +:
+      (1 until n).map(j => lead(col("__tok"), j).over(byPos))
+    df.select(col(idCol),
+        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+      .withColumn("sh",
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("sh").isNotNull)
+      .select(col(idCol), col("__pos"), col("sh"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
     * MOSS rolling-hash scheme): hash every word n-gram, slide a window
@@ -60,14 +80,9 @@ object Fingerprint {
   : org.apache.spark.sql.DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos")
-    val parts = col("__tok") +:
-      (1 until n).map(j => lead(col("__tok"), j).over(byPos))
     val frame = byPos.rowsBetween(-(w - 1), 0)
-    df.select(col(idCol),
-        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
-      .withColumn("__sh",
-        when(parts.last.isNotNull, md5(concat_ws(" ", parts: _*))))
-      .filter(col("__sh").isNotNull)
+    explodedShingles(df, idCol, text, n)
+      .withColumn("__sh", md5(col("sh")))
       // row_number (not __pos) indexes the SHINGLE sequence so the
       // full-window filter below is robust to position gaps
       .withColumn("__i", row_number().over(byPos))

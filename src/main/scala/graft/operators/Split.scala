@@ -23,7 +23,10 @@ object Split {
     f"${math.min((cum * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
 
   /** @param splits (name, weight) pairs in priority order; weights are
-    *   normalized. @return df + `split` column. */
+    *   normalized. @return df + `split` column. A NULL id yields a
+    *   NULL split — never a silent assignment into the last bucket
+    *   (which would contaminate a held-out set with unidentifiable
+    *   rows); callers decide whether null ids are an error. */
   def assign(df: DataFrame, id: Column,
              splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
@@ -35,10 +38,11 @@ object Split {
       lit(splits.last._1)) { case (((name, _), cum), elseE) =>
       when(key < lit(hexThreshold(cum)), lit(name)).otherwise(elseE)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split",
+      when(id.isNull, lit(null).cast("string")).otherwise(expr))
   }
 
-  /** The same thresholds as SQL literals, for oracle authoring. */
+  /** The same thresholds (and the null-id rule) as SQL, for oracles. */
   def sqlCase(idExpr: String, splits: Seq[(String, Double)]): String = {
     val total = splits.map(_._2).sum
     val cums = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
@@ -46,6 +50,7 @@ object Split {
     val whens = splits.init.zip(cums.init).map { case ((name, _), cum) =>
       s"WHEN $key < '${hexThreshold(cum)}' THEN '$name'"
     }.mkString(" ")
-    s"CASE $whens ELSE '${splits.last._1}' END"
+    s"CASE WHEN $idExpr IS NULL THEN NULL $whens " +
+      s"ELSE '${splits.last._1}' END"
   }
 }

@@ -42,11 +42,15 @@ object TextStats {
   /** GPT-2-style PRE-tokenizer segment pattern (public knowledge; the
     * byte-pair merges then only ever split WITHIN these segments, so
     * the segment count is a true lower bound and a far better token
-    * estimate than chars/4). The original pattern's trailing-space
-    * lookahead is dropped: RE2 (DuckDB) has no lookahead, and without
-    * it Java and RE2 match identically — cross-engine reproducible. */
-  val bpeSegmentPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * estimate than chars/4). Two changes make it engine-identical:
+    * the original's trailing-space lookahead is dropped (RE2 has no
+    * lookahead), and whitespace is an EXPLICIT class — Java's `\s`
+    * includes U+000B (vertical tab) while RE2's does not, so `\s`
+    * would silently diverge on any text containing a VT. */
+  val bpeSegmentPattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r" // Java's exact \s set, spelled out
+    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
+  }
 
   /** Count of BPE pre-tokenizer segments (codegen regexp, no UDF). */
   def bpeSegments(text: Column): Column =

@@ -97,24 +97,15 @@ object TextQueries extends QueryGroup {
     * boilerplate/spam): per doc, the most frequent 3-gram's share of
     * all 3-gram occurrences (NOT distinct — repetition is the point).
     * One window shuffle builds shingles, two aggregates fold them. */
-  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("__pos")
-    val parts = col("__tok") +:
-      (1 until 3).map(j => lead(col("__tok"), j).over(byPos))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(TextStats.tokens(col("text"))).as(Seq("__pos", "__tok")))
-      .withColumn("__sh",
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
-      .filter(col("__sh").isNotNull)
-      .groupBy("doc_id", "__sh").agg(count(lit(1)).as("__cnt"))
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    Fingerprint.explodedShingles(
+        Tables.documents(spark, dir), "doc_id", col("text"), n = 3)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("__cnt"))
       .groupBy("doc_id")
       .agg(sum(col("__cnt")).as("n_shingles"),
         max(col("__cnt")).as("top_shingle_n"))
       .withColumn("repetition_ratio",
         col("top_shingle_n") / col("n_shingles"))
-  }
 
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),

@@ -38,18 +38,26 @@ object TextDedupPlugin extends StepPlugin {
     val exactKept = docs
       .withColumn("__keep", col(idCol) === min(col(idCol)).over(w))
       .filter(col("__keep")).drop("__keep")
-    val kept = minJ match {
+    minJ match {
       case Some(j) =>
-        // near-dup clusters over the exact survivors; keep cluster minima
-        val pairs = Dedup.ngramJaccardPairs(exactKept, idCol,
-          col(textCol), n = n, minJaccard = j)
-        val losers = Components.connected(pairs, "doc_a", "doc_b")
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as(idCol))
-        exactKept.join(losers, Seq(idCol), "left_anti")
-      case None => exactKept
+        // near-dup clusters over the exact survivors; keep cluster
+        // minima. exactKept feeds TWO consumers (the shingle build and
+        // the final anti join) — persist so the full-corpus md5-window
+        // pass runs once, per the library-wide multi-consumer rule
+        exactKept.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pairs = Dedup.ngramJaccardPairs(exactKept, idCol,
+            col(textCol), n = n, minJaccard = j)
+          val losers = Components.connected(pairs, "doc_a", "doc_b")
+            .filter(col("id") =!= col("component"))
+            .select(col("id").as(idCol))
+          exactKept.join(losers, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(out)
+        } finally exactKept.unpersist()
+      case None =>
+        exactKept.write.mode("overwrite").parquet(out)
     }
-    kept.write.mode("overwrite").parquet(out)
     val nKept = ctx.spark.read.parquet(out).count()
     StepResult(Map("output_path" -> out,
       "n_in" -> nIn, "n_kept" -> nKept,
