@@ -347,6 +347,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
   }
 
+  test("repetition_ratio folds on the shingle partitioning: one exchange") {
+    // build window (doc_id), per-shingle count (doc_id, sh) and the
+    // final per-doc fold all satisfy the same doc_id hash partitioning
+    val p = plan(queries.TextQueries.repetitionRatio(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
+  }
+
   test("edit_distance reuses the shared candidate-pair cache") {
     // candidatePairs persists the J>=0.5 pair subplan; both of its
     // consumers must plan against the SAME InMemoryRelation — the
