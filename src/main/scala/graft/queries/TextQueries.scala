@@ -37,6 +37,25 @@ object TextQueries extends QueryGroup {
     Fingerprint.winnowFingerprints(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, w = 4)
 
+  /** JSON-lines round-trip — jsonl is the canonical LLM-corpus
+    * interchange format, so the engine's jsonl sink+source path is
+    * driver-verified end to end: write (doc_id, source, n_chars) as
+    * jsonl via [[graft.sources.Formats]] (format inferred from the
+    * extension), read it back with the explicit schema (no inference
+    * scan), fold per source. Long/string columns only: JSON double
+    * formatting is not cross-engine comparable. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Formats
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$safe/docs.jsonl"
+    val slim = Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+    Formats.write(slim, path)
+    Formats.read(spark, path, schema = Some(slim.schema))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   private val splitWeights =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -159,6 +178,7 @@ object TextQueries extends QueryGroup {
     "winnow_fingerprint" -> (winnowQ _),
     "train_val_split" -> (trainValSplit _),
     "repetition_ratio" -> (repetitionRatio _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -252,6 +272,11 @@ object TextQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
          |FROM documents""".stripMargin,
+    // the round-trip must land exactly back on the source aggregate
+    "jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // NON-distinct 3-gram occurrence counts (repetition is the signal)
     "repetition_ratio" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),

@@ -43,12 +43,11 @@ object SqlTransformPlugin extends StepPlugin {
     // string literal or column name.
     val session = spark.newSession()
     tables.foreach { case (tname, path) =>
-      val df =
-        if (path.endsWith(".csv"))
-          session.read.option("header", "true").option("inferSchema", "true")
-            .csv(path)
-        else session.read.parquet(path)
-      df.createOrReplaceTempView(tname)
+      // extension-routed multi-format read (csv/tsv/jsonl/orc/text/
+      // parquet, .gz transparent); bare dataset dirs default to parquet
+      val fmt = graft.sources.Formats.infer(path).orElse(Some("parquet"))
+      graft.sources.Formats.read(session, path, format = fmt)
+        .createOrReplaceTempView(tname)
     }
     val result = session.sql(ctx.argStr("query"))
     val out = ctx.argStr("output_path")
