@@ -17,7 +17,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
-  private def groups = Seq[QueryGroup](
+  private[graft] def groups = Seq[QueryGroup](
     CoreQueries, RelationalQueries, AggregateQueries,
     TextQueries, VectorQueries, AdvancedQueries, StreamingQueries)
 

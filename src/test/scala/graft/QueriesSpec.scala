@@ -18,10 +18,15 @@ class QueriesSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("query names are unique across groups") {
+  test("query and oracle names are unique across ALL groups") {
     // Map construction silently drops dup keys; guard via size accounting
-    val names = Seq(queries.CoreQueries, queries.RelationalQueries,
-      queries.AggregateQueries).flatMap(_.queries.keys)
-    assert(names.distinct.size == names.size)
+    // over the REAL group list (a new group with a colliding name would
+    // otherwise shadow an existing query without any failure)
+    val qNames = SparkEntry.groups.flatMap(_.queries.keys)
+    assert(qNames.distinct.size == qNames.size,
+      qNames.groupBy(identity).filter(_._2.size > 1).keys.toString)
+    val oNames = SparkEntry.groups.flatMap(_.oracles.keys)
+    assert(oNames.distinct.size == oNames.size,
+      oNames.groupBy(identity).filter(_._2.size > 1).keys.toString)
   }
 }
