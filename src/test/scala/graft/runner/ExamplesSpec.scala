@@ -53,6 +53,23 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("near_dup_audit re-run is ledger-skipped (idempotent steps)") {
+    val work = Files.createTempDirectory("graft_examples_rerun")
+    val runner = new PipelineRunner(
+      DefaultRegistry(),
+      env = Map("workdir" -> work.toString),
+      sparkProvider = () => spark,
+      assetRoots = Seq(Paths.get("examples").toAbsolutePath))
+    val p = Paths.get("examples/near_dup_audit.yml").toAbsolutePath
+    val first = runner.runFile(p)
+    assert(first.results.forall(!_.skipped))
+    // same workdir, outputs materialized → every step skips, nothing
+    // recomputes (the reference's skip-if-exists re-run contract)
+    val again = runner.runFile(p)
+    assert(again.results.forall(_.skipped),
+      again.results.map(_.skipped).toString)
+  }
+
   test("examples/daily_rollup.yml runs: 3-way fan-out + combined csv") {
     val (work, res) = run("daily_rollup.yml")
     assert(res.results.head.fields("n_invocations") == 3)
