@@ -46,7 +46,11 @@ object TextQueries extends QueryGroup {
     * formatting is not cross-engine comparable. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Formats
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // appId isolates concurrent JVMs on the same dataset (a second
+    // process's overwrite must not race this one's read), and keeps
+    // lossily-sanitized dir names from colliding across datasets
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$safe/docs.jsonl"
     val slim = Tables.documents(spark, dir)
       .select("doc_id", "source", "n_chars")

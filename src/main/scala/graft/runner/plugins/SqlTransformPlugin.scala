@@ -2,8 +2,11 @@ package graft.runner.plugins
 
 import graft.runner._
 
-/** `sql_transform` — run a SQL statement over registered parquet/csv
-  * inputs, write the result as parquet (or single CSV).
+/** `sql_transform` — run a SQL statement over registered inputs of any
+  * [[graft.sources.Formats]] format (parquet/orc/csv/tsv/jsonl/text,
+  * `.gz` transparent, extension-routed), write the result in the
+  * format the output extension names (`.csv` keeps the reference's
+  * single-file CSV contract; bare directories default to parquet).
   *
   * Not present in the reference (its transforms are fixed-function
   * plugins); this is the engine-native generalization that lets a YAML
@@ -51,8 +54,13 @@ object SqlTransformPlugin extends StepPlugin {
     }
     val result = session.sql(ctx.argStr("query"))
     val out = ctx.argStr("output_path")
+    // write side mirrors the read routing, or a chained step writing
+    // .jsonl/.tsv/.orc would emit parquet bytes that the NEXT step's
+    // extension-routed read misparses; .csv keeps the reference's
+    // single-file contract (header'd, one part)
     if (out.endsWith(".csv")) GeoPluginUtil.writeSingleCsv(result, out)
-    else result.write.mode("overwrite").parquet(out)
+    else graft.sources.Formats.write(result, out,
+      format = graft.sources.Formats.infer(out).orElse(Some("parquet")))
     StepResult(Map("output_path" -> out, "n_tables" -> tables.size))
   }
 }

@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  private def stripped(path: String): String =
+    path.toLowerCase.stripSuffix(".gz").stripSuffix(".gzip")
+
+  /** Proper extension check (gz-stripped endsWith — a ".tsv" appearing
+    * mid-path must not count). */
+  private def isTsv(path: String): Boolean = stripped(path).endsWith(".tsv")
+
   /** Extension → Spark format name; None = not inferable (e.g. a bare
     * dataset directory — callers pick their own default, typically
     * parquet). */
   def infer(path: String): Option[String] = {
-    val p = path.toLowerCase.stripSuffix(".gz").stripSuffix(".gzip")
+    val p = stripped(path)
     Seq("parquet", "orc", "csv", "tsv", "txt", "text", "json", "jsonl")
       .find(ext => p.endsWith(s".$ext"))
       .map {
@@ -48,7 +55,7 @@ object Formats {
     val defaults = fmt match {
       case "csv" =>
         val sep =
-          if (path.toLowerCase.contains(".tsv")) Map("sep" -> "\t")
+          if (isTsv(path)) Map("sep" -> "\t")
           else Map.empty[String, String]
         Map("header" -> "true") ++
           (if (schema.isEmpty) Map("inferSchema" -> "true")
@@ -69,8 +76,14 @@ object Formats {
     val fmt = format.orElse(infer(path)).getOrElse(
       throw new IllegalArgumentException(
         s"cannot infer format from '$path'; pass format explicitly"))
+    // write defaults MIRROR the read defaults — a bare write/read
+    // round-trip of the same path must be the identity (a .tsv written
+    // comma-separated but read tab-separated would silently corrupt)
     val defaults = fmt match {
-      case "csv" => Map("header" -> "true")
+      case "csv" =>
+        Map("header" -> "true") ++
+          (if (isTsv(path)) Map("sep" -> "\t")
+           else Map.empty[String, String])
       case _ => Map.empty[String, String]
     }
     val writer = df.write.format(fmt).options(defaults ++ options)

@@ -10,14 +10,17 @@ import graft.runner.plugins.DefaultRegistry
   * they run here end-to-end against the real test data. */
 class ExamplesSpec extends SparkSpecBase {
 
-  private def run(example: String): (java.nio.file.Path, PipelineRunner#RunResult) = {
-    val work = Files.createTempDirectory("graft_examples")
-    val runner = new PipelineRunner(
+  private def makeRunner(work: java.nio.file.Path): PipelineRunner =
+    new PipelineRunner(
       DefaultRegistry(),
       env = Map("workdir" -> work.toString),
       sparkProvider = () => spark,
       assetRoots = Seq(Paths.get("examples").toAbsolutePath))
-    (work, runner.runFile(Paths.get(s"examples/$example").toAbsolutePath))
+
+  private def run(example: String): (java.nio.file.Path, PipelineRunner#RunResult) = {
+    val work = Files.createTempDirectory("graft_examples")
+    (work, makeRunner(work)
+      .runFile(Paths.get(s"examples/$example").toAbsolutePath))
   }
 
   test("examples/corpus_clean.yml runs: verdicts, keepers, publish") {
@@ -55,11 +58,7 @@ class ExamplesSpec extends SparkSpecBase {
 
   test("near_dup_audit re-run is ledger-skipped (idempotent steps)") {
     val work = Files.createTempDirectory("graft_examples_rerun")
-    val runner = new PipelineRunner(
-      DefaultRegistry(),
-      env = Map("workdir" -> work.toString),
-      sparkProvider = () => spark,
-      assetRoots = Seq(Paths.get("examples").toAbsolutePath))
+    val runner = makeRunner(work)
     val p = Paths.get("examples/near_dup_audit.yml").toAbsolutePath
     val first = runner.runFile(p)
     assert(first.results.forall(!_.skipped))

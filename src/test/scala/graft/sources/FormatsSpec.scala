@@ -31,10 +31,20 @@ class FormatsSpec extends SparkSpecBase {
         (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
         Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)), ext)
     }
-    // tsv: tab separator applied on read via the extension
-    Formats.write(df, s"$root/d.tsv", options = Map("sep" -> "\t"))
+    // tsv: a BARE write/read round-trip must be the identity (write
+    // defaults mirror read defaults — tab separator on both sides)
+    Formats.write(df, s"$root/d.tsv")
     val tsv = Formats.read(spark, s"$root/d.tsv", schema = Some(df.schema))
     assert(tsv.agg(sum("n")).head().getLong(0) == 60L)
+    assert(tsv.filter(col("src").isNull).count() == 0,
+      "tsv round-trip must not collapse rows into one column")
+    // a ".tsv" appearing MID-path must not switch a .csv to tabs
+    val trick = s"$root/export.tsv_v2"
+    Files.createDirectories(java.nio.file.Paths.get(trick))
+    Formats.write(df, s"$trick/data.csv")
+    val csv = Formats.read(spark, s"$trick/data.csv",
+      schema = Some(df.schema))
+    assert(csv.agg(sum("n")).head().getLong(0) == 60L)
   }
 
   test("text reads line-per-row for raw corpus ingestion") {
