@@ -27,12 +27,16 @@ import graft.streaming.StreamOps
   */
 object StreamingQueries extends QueryGroup {
 
-  /** Scratch roots are per-(sfDir) and wiped per invocation: the drain
-    * must re-run from a clean checkpoint each time or AvailableNow would
-    * correctly resume-and-skip (the idempotence the sink guarantees, but
-    * not what a fresh correctness run wants to measure). */
-  private def scratch(dir: String, name: String): java.nio.file.Path = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Scratch roots are per-(app, sfDir) and wiped per invocation: the
+    * drain must re-run from a clean checkpoint each time or
+    * AvailableNow would correctly resume-and-skip (the idempotence the
+    * sink guarantees, but not what a fresh correctness run wants to
+    * measure). The application id keeps concurrent JVMs on the same
+    * dataset from wiping each other's in-flight drains. */
+  private def scratch(spark: SparkSession, dir: String,
+                      name: String): java.nio.file.Path = {
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_${name}_$safe")
     def rm(f: java.io.File): Unit = {
@@ -81,7 +85,7 @@ object StreamingQueries extends QueryGroup {
     * read-back with one double division, matching the oracle's davg
     * form. */
   def streamDailyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_daily")
+    val root = scratch(spark, dir, "stream_daily")
     val evs = stagedEventStream(spark, dir, root)
     val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
       watermark = "0 seconds")
@@ -100,7 +104,7 @@ object StreamingQueries extends QueryGroup {
     * (epoch-aligned daily starts, 7 per event) and applies the same
     * end-≤-max-day cutoff. */
   def streamSlidingSum(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_sliding")
+    val root = scratch(spark, dir, "stream_sliding")
     val evs = stagedEventStream(spark, dir, root)
     val agg = StreamOps.slidingSum(evs, "ts", "event_type", "value",
       windowDays = 7, watermark = "0 seconds")
@@ -119,7 +123,7 @@ object StreamingQueries extends QueryGroup {
     * end-≤-max-event cutoff for append emission. Timestamps emitted as
     * epoch ms (never raw ts — ns/µs mismatch across engines). */
   def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_session")
+    val root = scratch(spark, dir, "stream_session")
     val evs = stagedEventStream(spark, dir, root)
     val agg = StreamOps.sessionAgg(evs, "ts", "user_id", "value",
       gap = "30 minutes", watermark = "0 seconds")
@@ -139,7 +143,7 @@ object StreamingQueries extends QueryGroup {
     * so a full AvailableNow drain equals the batch join exactly and
     * the oracle is the plain interval-join SQL, no cutoff needed. */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_ijoin")
+    val root = scratch(spark, dir, "stream_ijoin")
     val evs = stagedEventStream(spark, dir, root)
     def side(t: String) = evs.filter(col("event_type") === t)
       .select(col("user_id"), col("event_id"), col("ts"))
@@ -165,7 +169,7 @@ object StreamingQueries extends QueryGroup {
     * batches), so the dedup horizon deterministically spans the whole
     * input regardless of the watermark delay. */
   def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(dir, "stream_dedup")
+    val root = scratch(spark, dir, "stream_dedup")
     val evs = stagedEventStream(spark, dir, root)
     val deduped = StreamOps.dedupedStream(
       evs.select(col("ts"), col("user_id"), col("event_type")),
