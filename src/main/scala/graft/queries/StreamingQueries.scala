@@ -179,12 +179,79 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Keyed running totals (mapGroupsWithState), drained: the custom-
+    * state surface under the oracle. The state sums are exact decimal
+    * ([[StreamOps.runningTotals]]), so the FINAL state per key equals a
+    * batch GROUP BY bit-for-bit; Update-mode drains append one row per
+    * (key, batch), and the monotone event count picks the final one via
+    * max(struct(n, total)) — replay/duplicate-safe. */
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_totals")
+    val evs = stagedEventStream(spark, dir, root)
+    val totals = StreamOps.runningTotals(evs.sparkSession, evs,
+      "user_id", "value")
+    StreamOps.toParquetSinkUpdates(totals, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_value").cast("double").as("total_value"))
+  }
+
+  /** Threshold-crossing alerts (flatMapGroupsWithState), drained: the
+    * 0..n-output custom-state surface under the oracle. With the
+    * non-negative `value` filter the running total is monotone, so the
+    * union of every batch's emitted levels is exactly
+    * `1..floor(total/500)` per user — batch-count-independent, which is
+    * what makes the alert SET a cross-engine contract
+    * ([[StreamOps.thresholdAlerts]] computes floor on the double cast of
+    * the exact decimal total, the same IEEE ops the oracle runs). */
+  def streamThresholdAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_alerts")
+    val evs = stagedEventStream(spark, dir, root)
+      .filter(col("value") >= 0)
+    val alerts = StreamOps.thresholdAlerts(evs.sparkSession, evs,
+      "user_id", "value", threshold = 500.0)
+    StreamOps.toParquetSink(alerts, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** CDC changelog → keyed-dataset merge (foreachBatch), driver-
+    * verified: seed a keyed parquet snapshot (even order keys at their
+    * current price), stream a changelog (every third key re-priced
+    * +1000) through [[StreamOps.foreachBatchMerge]], read the merged
+    * dataset back. Last-write-wins per key: updated keys carry the
+    * changelog row, untouched seed keys survive, new keys append —
+    * the streaming form of the O8 catalog upsert
+    * (/root/reference/pipelines/tiger/county.yml:65-72). */
+  def streamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_cdc")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val target = s"$root/target"
+    orders.filter(col("o_orderkey") % 2 === 0).write.parquet(target)
+    val stage = root.resolve("in").toString
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .write.parquet(stage)
+    // sub-session like stagedEventStream: tiny drain, 8 partitions
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val changelog = StreamOps.fileStream(ss, stage, orders.schema)
+    StreamOps.foreachBatchMerge(changelog, target, s"$root/ckpt",
+      keys = Seq("o_orderkey"))
+    spark.read.parquet(target)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_daily_agg" -> (streamDailyAgg _),
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "stream_dedup_keys" -> (streamDedupKeys _))
+    "stream_dedup_keys" -> (streamDedupKeys _),
+    "stream_running_totals" -> (streamRunningTotals _),
+    "stream_threshold_alerts" -> (streamThresholdAlerts _),
+    "stream_cdc_merge" -> (streamCdcMerge _))
 
   def oracles: Map[String, String] = {
     import Exact.sql._
@@ -263,6 +330,34 @@ object StreamingQueries extends QueryGroup {
           |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000""".stripMargin,
       // the emitted KEY SET is the deterministic contract (see scaladoc)
       "stream_dedup_keys" ->
-        "SELECT DISTINCT user_id FROM events")
+        "SELECT DISTINCT user_id FROM events",
+      // final custom state per key = plain batch GROUP BY (exact
+      // decimal sums on both sides, double cast at the end)
+      "stream_running_totals" ->
+        s"""SELECT user_id, COUNT(*) AS n_events,
+           |  ${dsum("\"value\"")} AS total_value
+           |FROM events GROUP BY 1""".stripMargin,
+      // alert set = levels 1..floor(total/threshold); floor runs on the
+      // double cast of the same exact decimal total as the engine
+      "stream_threshold_alerts" ->
+        s"""WITH t AS (
+           |  SELECT user_id, ${dsum("\"value\"")} AS total
+           |  FROM events WHERE "value" >= 0 GROUP BY 1),
+           |lv AS (
+           |  SELECT user_id, unnest(range(1,
+           |    CAST(floor(total / CAST(500.0 AS DOUBLE)) AS BIGINT) + 1))
+           |    AS level
+           |  FROM t)
+           |SELECT user_id, level,
+           |  level * CAST(500.0 AS DOUBLE) AS level_value
+           |FROM lv""".stripMargin,
+      // last-write-wins over seed ∪ changelog
+      "stream_cdc_merge" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 3 = 0
+          |    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+          |    ELSE o_totalprice END AS o_totalprice
+          |FROM orders
+          |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0""".stripMargin)
   }
 }

@@ -68,20 +68,32 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(idCol)
 
   /** Keyed running counter via mapGroupsWithState — the custom-state
-    * surface (per-user lifetime event count + value total). */
+    * surface (per-user lifetime event count + value total).
+    *
+    * State sums are exact `java.math.BigDecimal` arithmetic, NOT double:
+    * the iterator order within a group is partitioning-dependent, so a
+    * double fold would make the emitted total depend on shuffle layout.
+    * Exact decimal addition is order-independent — the streamed final
+    * state equals a batch GROUP BY bit-for-bit, which is what lets this
+    * surface sit under a cross-engine oracle (emitted as DecimalType;
+    * callers cast to double at read-back, one deterministic rounding —
+    * the [[graft.functions.Exact]] discipline). */
   def runningTotals(spark: SparkSession, events: DataFrame, key: String,
                     value: String): DataFrame = {
     import spark.implicits._
     val typed = events.select(col(key).cast("long"),
-      col(value).cast("double")).as[(Long, Double)]
+      col(value).cast(graft.functions.Exact.DecimalT))
+      .as[(Long, java.math.BigDecimal)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+      .mapGroupsWithState[(Long, java.math.BigDecimal),
+        (Long, Long, java.math.BigDecimal)](
         GroupStateTimeout.NoTimeout) {
-        case (k, rows, state: GroupState[(Long, Double)]) =>
-          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+        case (k, rows, state: GroupState[(Long, java.math.BigDecimal)]) =>
+          val (n0, sum0) =
+            state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
           var n = n0
           var s = sum0
-          rows.foreach { r => n += 1; s += r._2 }
+          rows.foreach { r => n += 1; s = s.add(r._2) }
           state.update((n, s))
           (k, n, s)
       }.toDF(key, "n_events", "total_value")
@@ -107,21 +119,35 @@ object StreamOps {
 
   /** Threshold-crossing alerts via flatMapGroupsWithState — the 0..n
     * output custom-state surface: one alert row each time a key's
-    * running value total crosses another multiple of `threshold`. */
+    * running value total crosses another multiple of `threshold`.
+    *
+    * The running total is exact decimal state (order-independent — see
+    * [[runningTotals]]); each level comparison converts the exact total
+    * to double first (`BigDecimal.doubleValue`, correctly rounded) and
+    * floors THAT, so `floor(total / threshold)` is the identical IEEE
+    * computation a batch engine runs on the same exact sum. With
+    * non-negative values the total is monotone, and monotone rounding
+    * makes the per-batch level ranges stitch exactly: the union of all
+    * emitted alerts is `1..floor(finalTotal/threshold)` per key no
+    * matter how the input was micro-batched. */
   def thresholdAlerts(spark: SparkSession, events: DataFrame, key: String,
                       value: String, threshold: Double): DataFrame = {
     import spark.implicits._
     val typed = events.select(col(key).cast("long"),
-      col(value).cast("double")).as[(Long, Double)]
+      col(value).cast(graft.functions.Exact.DecimalT))
+      .as[(Long, java.math.BigDecimal)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+      .flatMapGroupsWithState[java.math.BigDecimal, (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (k, rows, state: GroupState[Double]) =>
-          val before = state.getOption.getOrElse(0.0)
-          val after = before + rows.map(_._2).sum
+        case (k, rows, state: GroupState[java.math.BigDecimal]) =>
+          val before = state.getOption.getOrElse(java.math.BigDecimal.ZERO)
+          var after = before
+          rows.foreach(r => after = after.add(r._2))
           state.update(after)
-          val firstLevel = math.floor(before / threshold).toLong + 1
-          val lastLevel = math.floor(after / threshold).toLong
+          val firstLevel =
+            math.floor(before.doubleValue() / threshold).toLong + 1
+          val lastLevel =
+            math.floor(after.doubleValue() / threshold).toLong
           (firstLevel to lastLevel).iterator
             .map(level => (k, level, level * threshold))
       }.toDF(key, "level", "level_value")
@@ -157,6 +183,28 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     val q = (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
              else writer).start()
+    q.awaitTermination()
+  }
+
+  /** Update-mode drain to parquet: mapGroupsWithState requires Update
+    * output, which the (append-only) file sink refuses — so each
+    * micro-batch's revised rows are appended via foreachBatch instead.
+    * A key updated in N batches lands N times in the sink; readers
+    * recover the FINAL state with a monotone-column max (e.g.
+    * `max(struct(n_events, ...))` — the running count only grows), which
+    * also absorbs a replayed epoch after a crash (duplicate rows, same
+    * max). AvailableNow + checkpoint keep restart semantics identical to
+    * [[toParquetSink]]. */
+  def toParquetSinkUpdates(df: DataFrame, path: String,
+                           checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
     q.awaitTermination()
   }
 
