@@ -137,20 +137,47 @@ object VectorQueries extends QueryGroup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashMd5Bits(Tables.documents(spark, dir), "doc_id", col("text"))
 
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+  /** REAL image decode under the oracle: per document, synthesize a tiny
+    * PNG whose dimensions derive from doc_id (the fixture side), then
+    * decode the actual bytes with `javax.imageio`
+    * ([[Multimodal.ImageIoDecoder]]) — container sniffed from magic
+    * bytes, width/height read from the decoded raster. The oracle
+    * recomputes the expected dimensions from doc_id; the row only
+    * matches if the encode→decode round trip through the real PNG codec
+    * preserved them. Encoder-dependent fields (compressed byte length)
+    * are excluded — they are real but not cross-engine predictable. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        Multimodal.MediaRow(id, Multimodal.encodePng(w, h, id), "image")
+      }
+    Multimodal.decode(media, Multimodal.ImageIoDecoder)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+  }
+
+  /** The binary-column metadata surface (opaque bytes + typed stats —
+    * the storage shape multimodal corpora use when the codec runs
+    * elsewhere): byte length, content hash, and derived frame-count
+    * metadata over a binary column. */
+  def binaryStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("media", col("text").cast("binary"))
       .select(col("doc_id"),
         length(col("media")).cast("long").as("byte_len"),
         sha2(col("media"), 256).as("sha"),
-        (pmod(length(col("media")), lit(640)) + 1).cast("int").as("fake_width"),
-        (pmod(length(col("media")).cast("long") * 31, lit(480)) + 1)
-          .cast("int").as("fake_height"),
         (expr("length(media) div 100") + 1).cast("int").as("est_frames"))
 
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      multimodalMeta(spark, dir).withColumnRenamed("doc_id", "media_id")
+      binaryStats(spark, dir).withColumnRenamed("doc_id", "media_id")
         .withColumn("n_frames", col("est_frames")),
       step = 5)
 
@@ -167,6 +194,7 @@ object VectorQueries extends QueryGroup {
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),
     "multimodal_meta" -> (multimodalMeta _),
+    "binary_stats" -> (binaryStats _),
     "multimodal_frames" -> (multimodalFrames _))
 
   /** One oracle, two surfaces: the Column-API brute force and the
@@ -357,12 +385,18 @@ object VectorQueries extends QueryGroup {
         |WHERE rank <= 5""".stripMargin,
     "near_dup_cosine" -> nearDupOracle,
     "near_dup_cosine_exact" -> nearDupOracle,
+    // expected dims recomputed from doc_id: the Spark row only matches
+    // if the real PNG encode→decode preserved them
     "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'png' AS kind,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST((doc_id * 31) % 48 + 1 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    "binary_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha,
-        |  CAST(octet_length(text::BLOB) % 640 + 1 AS INT) AS fake_width,
-        |  CAST((octet_length(text::BLOB) * 31) % 480 + 1 AS INT) AS fake_height,
         |  CAST(octet_length(text::BLOB) // 100 + 1 AS INT) AS est_frames
         |FROM documents""".stripMargin,
     "multimodal_frames" ->

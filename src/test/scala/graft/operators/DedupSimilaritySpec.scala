@@ -245,6 +245,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(frames.toSeq == Seq(0, 2)) // frames 0..2 step 2
   }
 
+  test("Multimodal: ImageIoDecoder decodes real PNG/JPEG/GIF/BMP bytes") {
+    implicit val s = spark
+    // encode through the JDK writers for every sniffable container
+    def enc(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq("png", "jpg", "gif", "bmp").zipWithIndex.map {
+      case (fmt, i) => Multimodal.MediaRow(i.toLong, enc(fmt), "image")
+    }.toDS()
+    val m = Multimodal.decode(media, Multimodal.ImageIoDecoder)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(m.values.forall(x => x.width == 17 && x.height == 9),
+      "decoded dimensions must come from the actual raster")
+    assert(m(0L).kind == "png" && m(1L).kind == "jpeg" &&
+      m(2L).kind == "gif" && m(3L).kind == "bmp")
+    // the deterministic fixture encoder round-trips through the decoder
+    val rt = Multimodal.ImageIoDecoder.decode(
+      Multimodal.MediaRow(9L, Multimodal.encodePng(33, 21, seed = 9L), "image"))
+    assert(rt.width == 33 && rt.height == 21 && rt.kind == "png")
+    assert(rt.feature.length == 4 && rt.feature.exists(_ > 0f),
+      "luminance feature must reflect decoded pixels")
+    // non-image bytes fail loudly, never fake dimensions
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(
+        Multimodal.MediaRow(10L, Array[Byte](1, 2, 3), "image"))
+    }
+  }
+
   test("TextStats + LangId + Fingerprint semantics") {
     val df = Seq((1L, "The the THE of and xyzzy")).toDF("doc_id", "text")
     val ts = TextStats(df, col("text")).head()
