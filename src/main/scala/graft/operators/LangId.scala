@@ -23,10 +23,12 @@ object LangId {
 
   def apply(df: DataFrame, text: Column): DataFrame = {
     val withToks = df.withColumn("__toks", TextStats.tokens(text))
+    // native codegen membership count — a filter(x -> x IN (...)) lambda
+    // here would run interpreted (ArrayFilter is CodegenFallback) on
+    // every document of the corpus; see ArrayCountInSetExpr
     val scored = markers.foldLeft(withToks) { case (acc, (lang, words)) =>
-      val inList = words.map(w => s"'$w'").mkString(",")
       acc.withColumn(s"score_$lang",
-        size(expr(s"filter(__toks, x -> x IN ($inList))")).cast("long"))
+        graft.functions.TextFunctions.countInSet(col("__toks"), words))
     }
     // fixed-priority argmax: first language with score >= all later ones
     val langs = markers.map(_._1)

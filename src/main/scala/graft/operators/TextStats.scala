@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Text statistics for training-data pipelines (north-star scope,
   * SURVEY §7.6): token counting, quality signals, language ID inputs.
   *
-  * Everything is built from codegen'd `functions._` primitives (split /
-  * filter / size / length) — no UDFs — so the whole block stays inside
-  * WholeStageCodegen and scales linearly with bytes scanned. All ratios
-  * are exact-int divisions (deterministic across engines).
+  * Everything is built from codegen'd primitives — `functions._`
+  * (split / size / length / regexp) plus the native
+  * [[graft.functions.ArrayCountInSetExpr]] for set-membership counts —
+  * no UDFs and no interpreted higher-order lambdas, so the whole block
+  * stays inside WholeStageCodegen and scales linearly with bytes
+  * scanned. All ratios are exact-int divisions (deterministic across
+  * engines).
   */
 object TextStats {
   /** Whitespace tokenization after lowercase+trim (the cross-engine-
@@ -25,12 +28,14 @@ object TextStats {
   def apply(df: DataFrame, text: Column,
             stopwords: Seq[String] = defaultStopwords): DataFrame = {
     val t = tokens(text)
-    val inList = stopwords.map(s => s"'$s'").mkString(",")
     df.withColumn("__toks", t)
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_chars_calc", length(text).cast("long"))
+      // codegen membership count, not filter(lambda) — see
+      // ArrayCountInSetExpr for why the higher-order form is off-limits
+      // on the per-document hot path
       .withColumn("n_stopwords",
-        size(expr(s"filter(__toks, x -> x IN ($inList))")).cast("long"))
+        graft.functions.TextFunctions.countInSet(col("__toks"), stopwords))
       .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
       .withColumn("space_ratio",
         (length(text) - length(regexp_replace(text, " ", ""))) / length(text))

@@ -365,6 +365,26 @@ class PlanShapeSpec extends SparkSpecBase {
       s"pair generation not served from cache:\n${p.take(3000)}")
   }
 
+  test("text-scoring battery stays in codegen: no CodegenFallback " +
+    "expression anywhere in the quality_filter / lang_id plans") {
+    // the round-3 weak spot: filter(x -> x IN (...)) lambdas are
+    // CodegenFallback (interpreted per row); ArrayCountInSetExpr keeps
+    // marker/stopword counting inside whole-stage codegen — locked here
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    Seq("quality_filter" -> queries.TextQueries.qualityFilter(spark, sf),
+        "lang_id" -> queries.TextQueries.langId(spark, sf),
+        "text_stats" -> queries.TextQueries.textStats(spark, sf))
+      .foreach { case (name, df) =>
+        val fallbacks = df.queryExecution.executedPlan.flatMap(node =>
+          node.expressions.flatMap(_.collect {
+            case e: CodegenFallback => e
+          })).distinct
+        assert(fallbacks.isEmpty,
+          s"$name has interpreted expressions: " +
+            fallbacks.map(_.getClass.getSimpleName).mkString(", "))
+      }
+  }
+
   test("hll approx distinct within 5% of exact") {
     val rows = queries.AdvancedQueries.hllDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
