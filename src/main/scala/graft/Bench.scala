@@ -96,6 +96,11 @@ object Bench {
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
     println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)},"sf":"$sfDir"}""")
+    // truncation-proof summary: the driver tail-captures output and the
+    // long line above can lose its head (and with it the graded wall,
+    // as happened to BENCH_r03/r04) — repeat the headline numbers in a
+    // short LAST line that any tail keeps
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,21 +37,23 @@ object TextQueries extends QueryGroup {
     Fingerprint.winnowFingerprints(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, w = 4)
 
-  /** JSON-lines round-trip — jsonl is the canonical LLM-corpus
-    * interchange format, so the engine's jsonl sink+source path is
-    * driver-verified end to end: write (doc_id, source, n_chars) as
-    * jsonl via [[graft.sources.Formats]] (format inferred from the
-    * extension), read it back with the explicit schema (no inference
-    * scan), fold per source. Long/string columns only: JSON double
-    * formatting is not cross-engine comparable. */
-  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** Format round-trip under the oracle — write (doc_id, source,
+    * n_chars) via [[graft.sources.Formats]] with the format inferred
+    * from the path extension, read it back with the explicit schema (no
+    * inference scan), fold per source; the aggregate must land exactly
+    * back on the source table's. One per routed format family: jsonl
+    * (the canonical LLM-corpus interchange), tsv (the separator-routed
+    * text path), orc (the second columnar format). Long/string columns
+    * only: json/csv double formatting is not cross-engine comparable. */
+  private def formatRoundtrip(spark: SparkSession, dir: String,
+                              ext: String): DataFrame = {
     import graft.sources.Formats
     // appId isolates concurrent JVMs on the same dataset (a second
     // process's overwrite must not race this one's read), and keeps
     // lossily-sanitized dir names from colliding across datasets
     val safe = spark.sparkContext.applicationId + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$safe/docs.jsonl"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_$ext$safe/docs.$ext"
     val slim = Tables.documents(spark, dir)
       .select("doc_id", "source", "n_chars")
     Formats.write(slim, path)
@@ -59,6 +61,15 @@ object TextQueries extends QueryGroup {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "jsonl")
+
+  def tsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "tsv")
+
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "orc")
 
   private val splitWeights =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -98,6 +109,29 @@ object TextQueries extends QueryGroup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     Components.connected(candidatePairs(spark, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
+
+  /** The 100 TB code path of [[dedupComponents]] under the oracle:
+    * `localThreshold = 0` forces the DISTRIBUTED min-label loop (no
+    * driver union-find) and `checkpointDir` selects RELIABLE
+    * checkpoint() per round — the executor-loss-survivable mode a real
+    * cluster runs — so the iterative join loop, lineage truncation,
+    * and per-round checkpoint-file cleanup all execute end to end
+    * against the same recursive-CTE oracle. Shares the persisted
+    * candidate-pair cache with the other dedup consumers. */
+  def dedupComponentsDist(spark: SparkSession, dir: String): DataFrame = {
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ckpt = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_ccdist_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(ckpt.toFile)
+    Components.connected(candidatePairs(spark, dir), "doc_a", "doc_b",
+      checkpointDir = Some(ckpt.toString), localThreshold = 0)
+      .select(col("id").as("doc_id"), col("component"))
+  }
 
   /** Candidate verification by edit distance: the n-gram Jaccard
     * near-dup pairs re-checked with full Levenshtein — the expensive
@@ -183,10 +217,13 @@ object TextQueries extends QueryGroup {
     "train_val_split" -> (trainValSplit _),
     "repetition_ratio" -> (repetitionRatio _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "tsv_roundtrip" -> (tsvRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_dist" -> (dedupComponentsDist _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _))
 
@@ -222,6 +259,32 @@ object TextQueries extends QueryGroup {
        |         ELSE 'keep' END AS verdict
        |  FROM l)""".stripMargin
   }
+
+  /** Min-reachable-id ground truth for connected components (recursive
+    * CTE) — shared by both dedup_components variants. */
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1),
+       |      i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [] END)) AS s FROM tok),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.5),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT u, u FROM sym
+       |  UNION
+       |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "quality_filter" ->
@@ -276,8 +339,16 @@ object TextQueries extends QueryGroup {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
          |FROM documents""".stripMargin,
-    // the round-trip must land exactly back on the source aggregate
+    // each round-trip must land exactly back on the source aggregate
     "jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "tsv_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "orc_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
@@ -328,29 +399,10 @@ object TextQueries extends QueryGroup {
       s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp,
          |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper
          |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_components" ->
-      s"""WITH RECURSIVE
-         |tok AS (SELECT doc_id, $toks AS t FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |  CASE WHEN len(t) >= 3
-         |    THEN list_transform(range(1, len(t) - 1),
-         |      i -> array_to_string(t[i:i+2], ' '))
-         |    ELSE [] END)) AS s FROM tok),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b FROM inter
-         |  JOIN sz sa ON doc_a = sa.doc_id
-         |  JOIN sz sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.5),
-         |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT u, u FROM sym
-         |  UNION
-         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    // same truth for the hybrid (union-find) and forced-distributed
+    // (reliable-checkpoint loop) variants — one oracle, two code paths
+    "dedup_components" -> componentsOracle,
+    "dedup_components_dist" -> componentsOracle,
     "edit_distance" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
