@@ -63,6 +63,38 @@ class CapabilitySpec extends SparkSpecBase {
     assert(math.abs(sqlV - 10.0 / (math.sqrt(5) * math.sqrt(21))) < 1e-12)
   }
 
+  test("count_in_set / plane_project register as SQL functions and " +
+    "match their Column forms") {
+    GraftExtensions.register(spark)
+    // count_in_set: literal word set, null elements skipped, null array null
+    val c = spark.sql(
+      "SELECT count_in_set(array('the', 'x', NULL, 'of'), 'the', 'of', 'a')")
+      .head().getLong(0)
+    assert(c == 2L)
+    assert(spark.sql("SELECT count_in_set(CAST(NULL AS ARRAY<STRING>), 'a')")
+      .head().isNullAt(0))
+    val sqlScore = spark.sql(
+      "SELECT count_in_set(split(lower('The of and THE'), ' '), 'the', 'of')")
+      .head().getLong(0)
+    val colScore = Seq("The of and THE").toDF("t")
+      .select(functions.TextFunctions.countInSet(
+        split(lower(col("t")), " "), Seq("the", "of")))
+      .head().getLong(0)
+    assert(sqlScore == 3L && sqlScore == colScore)
+    // non-literal word set must be rejected, not silently mis-planned
+    intercept[Exception] {
+      spark.sql("SELECT count_in_set(array('a'), rand()::string)").collect()
+    }
+    // plane_project: SQL == Column form bit-for-bit (same expression)
+    val sqlP = spark.sql(
+      "SELECT plane_project(array(0.5d, -1.0d, 2.0d), 3)")
+      .head().getDouble(0)
+    val colP = Seq(Array(0.5, -1.0, 2.0)).toDF("v")
+      .select(functions.VectorFunctions.planeProject(col("v"), 3))
+      .head().getDouble(0)
+    assert(sqlP == colP)
+  }
+
   test("saltedSum equals plain sum on every key") {
     val df = Tables.events(spark, sf)
     val plain = df.groupBy("event_type")
