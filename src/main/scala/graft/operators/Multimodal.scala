@@ -124,6 +124,55 @@ object Multimodal {
     bos.toByteArray
   }
 
+  case class AudioMeta(media_id: Long, kind: String, sample_rate: Int,
+                       channels: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL audio decode on the pure JDK: `javax.sound.sampled` parses
+    * WAV/RIFF (and AU/AIFF) containers — sample rate, channel count and
+    * frame length come from the actual parsed header, duration is
+    * derived frame-count arithmetic. Undecodable bytes fail loudly
+    * (same contract as [[ImageIoDecoder]]). Video stays behind the
+    * [[Decoder]] SPI stub: the JDK ships no video codec. */
+  object WavCodec {
+    /** Deterministic 16-bit mono PCM WAV fixture: `nFrames` samples of
+      * a seed-keyed integer waveform, containerized by the JDK's WAVE
+      * writer. Decoded header fields are encoder-independent. */
+    def encodeWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val s = ((i * 31 + seed) % 251 - 125).toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def decode(mediaId: Long, bytes: Array[Byte]): AudioMeta = {
+      val aff = try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id=$mediaId: bytes are not a decodable audio " +
+              s"container", e)
+      }
+      val fmt = aff.getFormat
+      val rate = fmt.getSampleRate.toInt
+      val frames = aff.getFrameLength.toLong
+      AudioMeta(mediaId, aff.getType.toString.toLowerCase, rate,
+        fmt.getChannels, frames, frames * 1000L / rate)
+    }
+  }
+
   /** Per-partition decode: one decoder per task, streaming. */
   def decode(ds: Dataset[MediaRow], decoder: Decoder = StubDecoder)
             (implicit spark: SparkSession): Dataset[MediaMeta] = {

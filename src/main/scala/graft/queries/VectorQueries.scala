@@ -163,6 +163,26 @@ object VectorQueries extends QueryGroup {
         col("n_frames"))
   }
 
+  /** REAL audio decode under the oracle, same design as
+    * [[multimodalMeta]]: per document, synthesize a 16-bit mono WAV
+    * whose frame count derives from doc_id, decode the actual RIFF
+    * bytes with `javax.sound.sampled` ([[Multimodal.WavCodec]]) — the
+    * sample rate, channel count, frame length and derived duration all
+    * come from the parsed container and only match the oracle's
+    * doc_id arithmetic if the encode→decode round trip preserved them. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (pmod(col("doc_id") * 7, lit(900)) + 100).cast("int").as("frames"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, frames) =>
+        Multimodal.WavCodec.decode(id,
+          Multimodal.WavCodec.encodeWav(frames, sampleRate = 8000, seed = id))
+      })
+      .toDF()
+  }
+
   /** The binary-column metadata surface (opaque bytes + typed stats —
     * the storage shape multimodal corpora use when the codec runs
     * elsewhere): byte length, content hash, and derived frame-count
@@ -194,6 +214,7 @@ object VectorQueries extends QueryGroup {
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),
     "multimodal_meta" -> (multimodalMeta _),
+    "audio_meta" -> (audioMeta _),
     "binary_stats" -> (binaryStats _),
     "multimodal_frames" -> (multimodalFrames _))
 
@@ -392,6 +413,14 @@ object VectorQueries extends QueryGroup {
         |  CAST(doc_id % 64 + 1 AS INT) AS width,
         |  CAST((doc_id * 31) % 48 + 1 AS INT) AS height,
         |  CAST(1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    // expected header fields recomputed from doc_id; duration is
+    // integer frame/rate arithmetic on both sides
+    "audio_meta" ->
+      """SELECT doc_id AS media_id, 'wave' AS kind,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  (doc_id * 7) % 900 + 100 AS n_frames,
+        |  ((doc_id * 7) % 900 + 100) * 1000 // 8000 AS duration_ms
         |FROM documents""".stripMargin,
     "binary_stats" ->
       """SELECT doc_id,

@@ -277,6 +277,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("Multimodal: WavCodec decodes real RIFF/WAV headers") {
+    val bytes = Multimodal.WavCodec.encodeWav(
+      nFrames = 441, sampleRate = 22050, seed = 5L)
+    // RIFF magic proves a real container came out of the encoder
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val m = Multimodal.WavCodec.decode(5L, bytes)
+    assert(m.kind == "wave" && m.sample_rate == 22050 &&
+      m.channels == 1 && m.n_frames == 441)
+    assert(m.duration_ms == 441L * 1000 / 22050)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(6L, Array[Byte](9, 9, 9, 9))
+    }
+  }
+
   test("TextStats + LangId + Fingerprint semantics") {
     val df = Seq((1L, "The the THE of and xyzzy")).toDF("doc_id", "text")
     val ts = TextStats(df, col("text")).head()
