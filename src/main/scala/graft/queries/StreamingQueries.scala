@@ -179,6 +179,31 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** The corpus-cleaning battery run INCREMENTALLY: documents arrive as
+    * a file stream (the staged-download shape a crawling pipeline
+    * produces) and the full quality battery — tokenization, stopword
+    * ratio, language ID, verdict — evaluates per micro-batch as pure
+    * stateless projections (all codegen, no state store), drained
+    * through the checkpointed sink. Stateless append emits every row
+    * immediately, so the drain equals the batch query exactly and the
+    * oracle is quality_filter's own SQL. This is the shape a 100 TB/day
+    * ingest actually runs: clean-on-arrival, not clean-after-landing. */
+  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_quality")
+    val stage = root.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = Tables.load(spark, dir, "documents").schema
+    val docs = StreamOps.fileStream(ss, stage.toString, schema)
+    val scored = TextQueries.qualityVerdict(docs)
+    StreamOps.toParquetSink(scored, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Keyed running totals (mapGroupsWithState), drained: the custom-
     * state surface under the oracle. The state sums are exact decimal
     * ([[StreamOps.runningTotals]]), so the FINAL state per key equals a
@@ -249,6 +274,7 @@ object StreamingQueries extends QueryGroup {
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_dedup_keys" -> (streamDedupKeys _),
+    "stream_quality_filter" -> (streamQualityFilter _),
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
@@ -331,6 +357,9 @@ object StreamingQueries extends QueryGroup {
       // the emitted KEY SET is the deterministic contract (see scaladoc)
       "stream_dedup_keys" ->
         "SELECT DISTINCT user_id FROM events",
+      // stateless append drains the full battery — the stream equals
+      // the batch query, so it shares quality_filter's oracle verbatim
+      "stream_quality_filter" -> TextQueries.oracles("quality_filter"),
       // final custom state per key = plain batch GROUP BY (exact
       // decimal sums on both sides, double cast at the end)
       "stream_running_totals" ->

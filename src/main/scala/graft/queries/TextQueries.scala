@@ -172,9 +172,12 @@ object TextQueries extends QueryGroup {
     * fused into one keep/drop decision with a reason column — the query
     * shape an actual corpus-cleaning pipeline runs. One pass, all
     * codegen projections, then a single filter. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val scored = LangId(
-      TextStats(Tables.documents(spark, dir), col("text")), col("text"))
+  /** The verdict battery itself, over any documents-shaped frame —
+    * pure stateless projections, so it runs identically on a batch
+    * table and on a streaming micro-batch ([[StreamingQueries
+    * .streamQualityFilter]] feeds it a file stream). */
+  def qualityVerdict(docs: DataFrame): DataFrame = {
+    val scored = LangId(TextStats(docs, col("text")), col("text"))
     scored.select(
       col("doc_id"),
       col("n_tokens"), col("stopword_ratio"), col("lang_pred"),
@@ -184,6 +187,9 @@ object TextQueries extends QueryGroup {
         .when(col("lang_pred") =!= "en", "not_english")
         .otherwise("keep").as("verdict"))
   }
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityVerdict(Tables.documents(spark, dir))
 
   /** The composed corpus-cleaning flagship: quality filter → exact-dedup
     * keeper selection in ONE plan. Every doc comes back with its quality
