@@ -133,6 +133,13 @@ object TextQueries extends QueryGroup {
       .select(col("id").as("doc_id"), col("component"))
   }
 
+  /** The dedup pipeline's actual end product: one row per duplicate
+    * CLUSTER with its size and keeper id ([[Components.clusters]] over
+    * the shared J ≥ 0.5 candidate pairs) — what a corpus clean joins
+    * back against to drop the non-keepers. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Components.clusters(candidatePairs(spark, dir), "doc_a", "doc_b")
+
   /** Candidate verification by edit distance: the n-gram Jaccard
     * near-dup pairs re-checked with full Levenshtein — the expensive
     * exact measure applied ONLY to the pruned candidate set (the
@@ -230,6 +237,7 @@ object TextQueries extends QueryGroup {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_dist" -> (dedupComponentsDist _),
+    "dedup_clusters" -> (dedupClusters _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _))
 
@@ -409,6 +417,10 @@ object TextQueries extends QueryGroup {
     // (reliable-checkpoint loop) variants — one oracle, two code paths
     "dedup_components" -> componentsOracle,
     "dedup_components_dist" -> componentsOracle,
+    "dedup_clusters" ->
+      s"""WITH comp AS ($componentsOracle)
+         |SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS keeper
+         |FROM comp GROUP BY 1""".stripMargin,
     "edit_distance" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
