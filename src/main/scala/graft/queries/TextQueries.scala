@@ -171,6 +171,27 @@ object TextQueries extends QueryGroup {
       .withColumn("repetition_ratio",
         col("top_shingle_n") / col("n_shingles"))
 
+  /** Sequence packing for pretraining: documents are concatenated in a
+    * deterministic order (doc_id within source) and cut every
+    * `seqLen` tokens — each doc lands at (pack_id, pack_offset), the
+    * coordinates a packed-batch loader needs. One window cumsum per
+    * source partition (a single shuffle; at corpus scale packing runs
+    * per shard exactly like this, source = shard). Integer token
+    * arithmetic end to end — bit-comparable across engines. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("__start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("__start div 256").as("pack_id"),
+        pmod(col("__start"), lit(256)).as("pack_offset"))
+  }
+
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
@@ -229,6 +250,7 @@ object TextQueries extends QueryGroup {
     "winnow_fingerprint" -> (winnowQ _),
     "train_val_split" -> (trainValSplit _),
     "repetition_ratio" -> (repetitionRatio _),
+    "sequence_pack" -> (sequencePack _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "tsv_roundtrip" -> (tsvRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
@@ -377,6 +399,18 @@ object TextQueries extends QueryGroup {
          |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
          |    AS repetition_ratio
          |FROM cnt GROUP BY 1""".stripMargin,
+    // concat-then-chunk coordinates: same ordering, same integer
+    // cumsum/div/mod on both sides
+    "sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  s // 256 AS pack_id, s % 256 AS pack_offset
+         |FROM c""".stripMargin,
     // identical md5-hex thresholds on both sides (Split.sqlCase)
     "train_val_split" ->
       s"""SELECT doc_id, ${Split.sqlCase("doc_id", splitWeights)} AS split
