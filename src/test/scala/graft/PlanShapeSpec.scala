@@ -365,6 +365,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"pair generation not served from cache:\n${p.take(3000)}")
   }
 
+  test("sequence_pack runs on a single exchange (cumsum + pack math " +
+    "share the source partitioning)") {
+    val p = plan(queries.TextQueries.sequencePack(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
+  }
+
   test("text-scoring battery stays in codegen: no CodegenFallback " +
     "expression anywhere in the quality_filter / lang_id plans") {
     // the round-3 weak spot: filter(x -> x IN (...)) lambdas are
