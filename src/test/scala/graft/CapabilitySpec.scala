@@ -95,6 +95,26 @@ class CapabilitySpec extends SparkSpecBase {
     assert(sqlP == colP)
   }
 
+  test("ArrayCountInSetExpr interpreted eval matches codegen") {
+    // spark.sql.codegen.wholeStage=false (or fallback) routes through
+    // nullSafeEval — pin that path against the codegen result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("the"), null, UTF8String.fromString("of"),
+      UTF8String.fromString("xyz"), UTF8String.fromString("the")))
+    val e = functions.ArrayCountInSetExpr(
+      Literal.create(arr, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      Seq("the", "of"))
+    assert(e.eval(null) == 3L)
+    val sqlV = spark.sql(
+      "SELECT count_in_set(array('the', NULL, 'of', 'xyz', 'the'), 'the', 'of')")
+      .head().getLong(0)
+    assert(sqlV == 3L)
+  }
+
   test("saltedSum equals plain sum on every key") {
     val df = Tables.events(spark, sf)
     val plain = df.groupBy("event_type")
