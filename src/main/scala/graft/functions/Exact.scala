@@ -85,5 +85,33 @@ object Exact {
         s"(${dsum(s"($x)*($x)")} - ${dsum(x)}*${dsum(x)}/COUNT($x)) / (COUNT($x)-1) END)"
     def dstddevSamp(x: String): String =
       s"SQRT(GREATEST(${dvarSamp(x)}, 0.0))"
+
+    /** Variance/stddev with the SQUARED addends routed via VARCHAR:
+      * x² is a product of "wild" doubles even when x itself is short-
+      * decimal, so Σx² is the term that hits the quantization-boundary
+      * divergence dsumStr exists for (measured: 1 poisoned x² in 1M
+      * events rows at sf0.1 shifts its group's σ by an ulp). The plain
+      * Σx stays on the fast path. */
+    def dvarSampStr(x: String): String =
+      s"(CASE WHEN COUNT($x) < 2 THEN NULL ELSE " +
+        s"(${dsumStr(s"($x)*($x)")} - ${dsum(x)}*${dsum(x)}/COUNT($x)) / (COUNT($x)-1) END)"
+    def dstddevSampStr(x: String): String =
+      s"SQRT(GREATEST(${dvarSampStr(x)}, 0.0))"
+
+    /** Spark-semantics exact percentile over a pre-sorted DuckDB list
+      * `l` with element count `n`: both engines interpolate two-sided
+      * (`(hi−r)·v_lo + (r−lo)·v_hi`), but Spark's counts-map SHORT-
+      * CIRCUITS when both straddle keys are the same value while
+      * DuckDB's quantile_cont interpolates anyway — an ulp artifact on
+      * duplicate-heavy groups (`0.8·1.82 + 0.2·1.82 ≠ 1.82`). This
+      * fragment reproduces the shortcut, making percentile oracles
+      * scale-stable. */
+    def sparkPercentile(l: String, n: String, p: String): String = {
+      val r = s"(CAST($p AS DOUBLE) * ($n - 1))"
+      val vlo = s"$l[CAST(floor($r) AS BIGINT) + 1]"
+      val vhi = s"$l[CAST(ceil($r) AS BIGINT) + 1]"
+      s"(CASE WHEN $vlo = $vhi THEN $vlo " +
+        s"ELSE (ceil($r) - $r) * $vlo + ($r - floor($r)) * $vhi END)"
+    }
   }
 }

@@ -415,11 +415,19 @@ object AdvancedQueries extends QueryGroup {
           |  COUNT(DISTINCT l_partkey) AS exact_parts,
           |  TRUE AS within_5pct
           |FROM lineitem GROUP BY 1""".stripMargin,
-      // GK-sketch rank-error contract checked in Spark (see scaladoc)
+      // GK-sketch rank-error contract checked in Spark (see scaladoc);
+      // Spark-semantics median (equal-straddle shortcut), not
+      // quantile_cont — see Exact.sql.sparkPercentile
       "approx_quantile" ->
-        """SELECT l_returnflag,
-          |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
-          |  TRUE AS within_rank_1pct
-          |FROM lineitem GROUP BY 1""".stripMargin)
+        s"""WITH g AS (
+           |  SELECT l_returnflag,
+           |    list_sort(list(l_extendedprice)
+           |      FILTER (l_extendedprice IS NOT NULL)) AS l,
+           |    COUNT(l_extendedprice) AS n
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag,
+           |  ${Exact.sql.sparkPercentile("l", "n", "0.5")} AS exact_median,
+           |  TRUE AS within_rank_1pct
+           |FROM g""".stripMargin)
   }
 }

@@ -117,18 +117,27 @@ object AggregateQueries extends QueryGroup {
 
   def oracles: Map[String, String] = {
     import Exact.sql._
+    // Spark-semantics percentiles over a sorted per-group list (NOT
+    // quantile_cont: it lacks Spark's equal-straddle-keys shortcut and
+    // drifts an ulp on duplicate-heavy groups — see sparkPercentile)
     val qcols = ZonalStats.defaultPercentiles
-      .map { case (n, p) => s"quantile_cont(\"value\", $p) AS val_$n" }
+      .map { case (n, p) =>
+        s"${sparkPercentile("l", "val_n", p.toString)} AS val_$n" }
       .mkString(",\n  ")
     Map(
       "a1_zonal_stats" ->
-        s"""SELECT user_id, CAST(ts AS DATE) AS day,
-           |  MIN("value") AS val_min,
+        s"""WITH g AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    list_sort(list("value") FILTER ("value" IS NOT NULL)) AS l,
+           |    MIN("value") AS val_min,
+           |    ${davg("\"value\"")} AS val_avg,
+           |    MAX("value") AS val_max,
+           |    COUNT("value") AS val_n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id, day, val_min,
            |  $qcols,
-           |  ${davg("\"value\"")} AS val_avg,
-           |  MAX("value") AS val_max,
-           |  COUNT("value") AS val_n
-           |FROM events GROUP BY 1, 2""".stripMargin,
+           |  val_avg, val_max, val_n
+           |FROM g""".stripMargin,
       "a2_weighted" ->
         s"""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
            |  ${dsum("l_extendedprice * (1.0 - l_discount)")} /
@@ -145,7 +154,7 @@ object AggregateQueries extends QueryGroup {
         s"""WITH clim AS (
            |  SELECT user_id, dayofyear(ts) AS doy,
            |    ${davg("\"value\"")} AS mu,
-           |    ${dstddevSamp("\"value\"")} AS sigma
+           |    ${dstddevSampStr("\"value\"")} AS sigma
            |  FROM events GROUP BY 1, 2)
            |SELECT e.event_id, e.user_id, CAST(c.doy AS INT) AS doy,
            |  CASE WHEN c.sigma IS NULL OR c.sigma = 0.0 THEN NULL
