@@ -12,19 +12,49 @@ import graft.runner.plugins.DefaultRegistry
   * (/root/reference/pipelines/prism/README.md:13).
   *
   * Usage:
-  *   runMain graft.RunPipeline <pipeline.yml> [k=v ...]
-  * where k=v pairs become the env profile (`{env.k}` tokens); `var.k=v`
-  * pairs become vars overrides (the CLI form of parent `vars_kv`).
+  *   runMain graft.RunPipeline <pipeline.yml> [--env <name>] [k=v ...]
+  * `--env <name>` loads the named profile `envs/<name>.yml` (searched
+  * next to the pipeline, then in the working directory) — a flat YAML
+  * map that seeds `{env.k}` tokens, the reference's named-environment
+  * selection. Inline k=v pairs layer ON TOP of the profile (CLI wins);
+  * `var.k=v` pairs become vars overrides (the CLI form of parent
+  * `vars_kv`).
   */
 object RunPipeline {
+
+  /** Load `envs/<name>.yml` from the first root that has it. The profile
+    * must be a flat map; values keep their YAML types (ints stay ints —
+    * same typing rule as `vars_kv` re-typing). */
+  def loadProfile(name: String,
+                  roots: Seq[java.nio.file.Path]): Map[String, Any] = {
+    val file = roots.map(_.resolve("envs").resolve(s"$name.yml"))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(throw new IllegalArgumentException(
+        s"env profile '$name' not found: tried " +
+          roots.map(_.resolve(s"envs/$name.yml")).mkString(", ")))
+    graft.spec.Yaml.loadFile(file) match {
+      case m: Map[_, _] => m.map { case (k, v) => k.toString -> v }
+      case other => throw new IllegalArgumentException(
+        s"env profile $file must be a flat map, got ${other.getClass}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunPipeline <pipeline.yml> [k=v ...]")
+    require(args.nonEmpty,
+      "usage: RunPipeline <pipeline.yml> [--env <name>] [k=v ...]")
     val path = Paths.get(args.head)
-    val kvs = args.tail.map { a =>
+    val (profileName, rest) = args.tail.toSeq match {
+      case "--env" +: name +: tail => (Some(name), tail)
+      case tail => (None, tail)
+    }
+    val kvs = rest.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }
-    val env: Map[String, Any] = kvs.filterNot(_._1.startsWith("var."))
-      .toMap
+    val profile: Map[String, Any] = profileName
+      .map(loadProfile(_, Seq(path.toAbsolutePath.getParent, Paths.get("."))))
+      .getOrElse(Map.empty)
+    val env: Map[String, Any] =
+      profile ++ kvs.filterNot(_._1.startsWith("var.")).toMap
     val overrides: Map[String, Any] = kvs.collect {
       case (k, v) if k.startsWith("var.") => k.stripPrefix("var.") -> v
     }.toMap

@@ -171,26 +171,17 @@ object TextQueries extends QueryGroup {
       .withColumn("repetition_ratio",
         col("top_shingle_n") / col("n_shingles"))
 
-  /** Sequence packing for pretraining: documents are concatenated in a
-    * deterministic order (doc_id within source) and cut every
-    * `seqLen` tokens — each doc lands at (pack_id, pack_offset), the
-    * coordinates a packed-batch loader needs. One window cumsum per
-    * source partition (a single shuffle; at corpus scale packing runs
-    * per shard exactly like this, source = shard). Integer token
-    * arithmetic end to end — bit-comparable across engines. */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("__start", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr("__start div 256").as("pack_id"),
-        pmod(col("__start"), lit(256)).as("pack_offset"))
-  }
+  /** Sequence packing via the distributed two-pass prefix sum
+    * ([[graft.operators.SequencePack]]): parallelism scales with
+    * sources × buckets, not distinct sources — the form that survives a
+    * corpus of three giant shards. Values are identical to a naive
+    * per-source cumsum (associativity), which is what the oracle pins. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.pack(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("source"),
+      size(TextStats.tokens(col("text"))),
+      seqLen = 256)
 
   def textChunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
@@ -409,7 +400,8 @@ object TextQueries extends QueryGroup {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
          |  FROM t)
          |SELECT doc_id, source, n_tokens,
-         |  s // 256 AS pack_id, s % 256 AS pack_offset
+         |  CAST(s // 256 AS BIGINT) AS pack_id,
+         |  CAST(s % 256 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
     // identical md5-hex thresholds on both sides (Split.sqlCase)
     "train_val_split" ->

@@ -140,6 +140,11 @@ object WebDownloadPlugin extends StepPlugin {
   private case object Fetched extends FetchOutcome
   private case object NotModified extends FetchOutcome
 
+  /** Hidden per-target validator file (`.name.etag`) next to the staged
+    * file — survives re-runs, never collides with downloaded names. */
+  private def etagSidecar(target: Path): Path =
+    target.resolveSibling("." + target.getFileName.toString + ".etag")
+
   private def fetch(url: String, target: Path, timeoutMs: Int,
                     conditional: Boolean): FetchOutcome = {
     val uri = URI.create(url)
@@ -156,13 +161,27 @@ object WebDownloadPlugin extends StepPlugin {
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
-      if (conditional && Files.exists(target))
+      // freshness is two-channel, matching the reference contract
+      // (/root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:23):
+      // If-Modified-Since from the staged file's mtime AND If-None-Match
+      // from the validator the server sent last time (sidecar — servers
+      // that vary only ETag would otherwise re-download every run)
+      val etagFile = etagSidecar(target)
+      if (conditional && Files.exists(target)) {
         conn.setIfModifiedSince(Files.getLastModifiedTime(target).toMillis)
+        if (Files.exists(etagFile))
+          conn.setRequestProperty("If-None-Match",
+            Files.readString(etagFile).trim)
+      }
       if (conn.getResponseCode == 304) { conn.disconnect(); NotModified }
       else {
         val in = conn.getInputStream
         try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
         finally in.close()
+        Option(conn.getHeaderField("ETag")) match {
+          case Some(tag) => Files.writeString(etagFile, tag)
+          case None => Files.deleteIfExists(etagFile) // stale validator
+        }
         Fetched
       }
     }

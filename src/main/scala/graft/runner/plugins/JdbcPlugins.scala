@@ -3,6 +3,8 @@ package graft.runner.plugins
 import java.net.URI
 import java.util.Properties
 
+import org.apache.spark.sql.functions.col
+
 import graft.runner._
 
 /** S7 — JDBC connectivity probe (the reference's
@@ -51,6 +53,83 @@ object JdbcProbePlugin extends StepPlugin {
   }
 }
 
+/** Relational sink — the write side of the reference ecosystem's local
+  * analytical database (`duckdb_path: .../land_core.duckdb`,
+  * /root/reference/pipelines/sample_step.yml:10): pipeline results land in
+  * a keyed table of an embedded single-file database, queryable after the
+  * run. The engine's analog uses the JDBC writer over the embedded Derby
+  * driver on this classpath (`db_path` → `jdbc:derby:<path>`) — the same
+  * single-file, zero-server shape — or any full `url` (server databases
+  * go through [[JdbcProbePlugin.rewriteUrl]]'s tunnel convention).
+  *
+  * Args: `input` (parquet/csv/json/orc path, `format` defaults parquet),
+  * `table`, `db_path` or `url`, `mode` = overwrite | append | upsert
+  * (upsert needs `keys`: last-write-wins per key, the relational form of
+  * the O8 catalog upsert).
+  */
+object JdbcWritePlugin extends StepPlugin {
+  val name = "jdbc_write"
+
+  private def jdbcUrl(ctx: StepContext): String =
+    ctx.argOpt("url").map(_.toString).getOrElse {
+      val p = ctx.argStr("db_path")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(p).toAbsolutePath.getParent)
+      s"jdbc:derby:$p;create=true"
+    }
+
+  private def driverFor(url: String): Option[String] =
+    if (url.startsWith("jdbc:derby:"))
+      Some("org.apache.derby.jdbc.EmbeddedDriver")
+    else None
+
+  def run(ctx: StepContext): StepResult = {
+    // derby.log goes to tmp, never the working tree
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val url = jdbcUrl(ctx)
+    val table = ctx.argStr("table")
+    val fmt = ctx.argOpt("format").map(_.toString).getOrElse("parquet")
+    val mode = ctx.argOpt("mode").map(_.toString).getOrElse("overwrite")
+    val props = new Properties()
+    driverFor(url).foreach(props.setProperty("driver", _))
+    val incoming = ctx.spark.read.format(fmt)
+      .options(if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true")
+               else Map.empty[String, String])
+      .load(ctx.argStr("input"))
+
+    val rows = mode match {
+      case "overwrite" | "append" =>
+        incoming.write.mode(mode).jdbc(url, table, props)
+        incoming.count()
+      case "upsert" =>
+        val keys = ctx.argOpt("keys") match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case Some(s) => Seq(s.toString)
+          case None => throw new IllegalArgumentException(
+            "jdbc_write mode:upsert needs keys")
+        }
+        val existing =
+          try ctx.spark.read.jdbc(url, table, props)
+          catch { case _: Exception => null } // first run: table absent
+        val merged =
+          if (existing == null) incoming
+          else existing.join(incoming.select(keys.map(col): _*).distinct(),
+            keys, "left_anti").unionByName(incoming)
+        // materialize BEFORE overwrite: the merged plan reads the very
+        // table the overwrite drops first — persist+count pins the rows
+        merged.persist()
+        val n = merged.count()
+        try merged.write.mode("overwrite").jdbc(url, table, props)
+        finally merged.unpersist()
+        n
+      case other => throw new IllegalArgumentException(
+        s"jdbc_write mode must be overwrite|append|upsert, got '$other'")
+    }
+    StepResult(Map("table" -> table, "n_rows" -> rows, "url" -> url))
+  }
+}
+
 /** The full plugin set keyed by the reference's YAML names. */
 object DefaultRegistry {
   def apply(): Registry = new Registry(Seq(
@@ -63,6 +142,7 @@ object DefaultRegistry {
     SqlTransformPlugin,
     VectorFactsPlugin, EvidenceBundlePlugin, DatasetResearchPlugin,
     CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin,
+    JdbcWritePlugin,
     PublishTargetPlugin,
     TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin))
 }

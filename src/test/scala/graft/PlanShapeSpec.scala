@@ -365,11 +365,32 @@ class PlanShapeSpec extends SparkSpecBase {
       s"pair generation not served from cache:\n${p.take(3000)}")
   }
 
-  test("sequence_pack runs on a single exchange (cumsum + pack math " +
-    "share the source partitioning)") {
-    val p = plan(queries.TextQueries.sequencePack(spark, sf))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
+  test("sequence_pack exchanges hash on (source, bucket) — never on " +
+    "source alone, and the offsets join is a broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = queries.TextQueries.sequencePack(spark, sf)
+    // the data-sized shuffles (local window, subtotal agg) key on the
+    // composite; a source-only exchange is legal ONLY above the subtotal
+    // aggregate (bounded: one row per (source, bucket))
+    val bad = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.filter { e =>
+      val sourceOnly = e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.size == 1 &&
+          h.expressions.head.references.exists(_.name == "source")
+        case _ => false
+      }
+      val bounded = e.child.collectFirst {
+        case a: BaseAggregateExec => a
+      }.isDefined
+      sourceOnly && !bounded
+    }
+    assert(bad.isEmpty,
+      s"data-sized per-source exchange:\n${bad.mkString("\n")}")
+    // the bucket-offset join back must not shuffle the corpus
+    assert(plan(df).contains("BroadcastHashJoin"))
   }
 
   test("text-scoring battery stays in codegen: no CodegenFallback " +
@@ -409,5 +430,85 @@ class PlanShapeSpec extends SparkSpecBase {
       .findAllIn(p).size
     assert(p.contains("Window"), p.take(2000))
     assert(windowNodes <= 1, s"expected a single Window node, got:\n${p.take(3000)}")
+  }
+
+  test("sequence_pack: two-pass prefix sum, no per-source parallelism bound") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // worst case: ONE giant source — the naive `PARTITION BY source`
+    // cumsum would run the whole corpus on a single task
+    val docs = spark.range(1, 2001).toDF("doc_id")
+      .withColumn("source", lit("shard-0"))
+      .withColumn("n_tokens", col("doc_id") % 97 + 1)
+    val packed = operators.SequencePack.pack(docs, col("doc_id"),
+      col("source"), col("n_tokens"), seqLen = 256, buckets = 8)
+    val physical = packed.queryExecution.sparkPlan
+    // every data-sized window must key on (source, bucket); a window
+    // keyed by source alone is only legal above the subtotal aggregate
+    // (bounded: one row per (source, bucket))
+    val wins = physical.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val boundedInput =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined
+      // Catalyst prunes the constant source column from partition specs
+      // here (single-source fixture) — the contract is that the bucket
+      // key remains, so the corpus never collapses to one window group
+      val bucketKeyed = w.partitionSpec.exists(
+        _.references.exists(_.name == "__bucket"))
+      assert(bucketKeyed || boundedInput,
+        s"data-sized window keyed by source alone:\n$w")
+    }
+    // and no stage funnels the corpus into one partition
+    val single = physical.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, single.mkString("\n"))
+    // regrouped prefix sums must equal the naive per-source cumsum
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val naive = docs
+      .withColumn("__s", coalesce(sum("n_tokens").over(naiveW), lit(0L)))
+      .select(col("doc_id"), expr("__s div 256").as("pack_id"),
+        pmod(col("__s"), lit(256L)).as("pack_offset"))
+    val got = packed.select("doc_id", "pack_id", "pack_offset")
+    assert(got.count() == 2000)
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
+  test("zonal join splits a giant county under AQE skew handling") {
+    // giant-county skew (SURVEY §7 item 7): 95% of pixels land in one
+    // county. Manual salting is proven by salted_join/salted_sum; this
+    // pins the AQE path — a skewed SMJ partition is split at runtime —
+    // on an isolated session with thresholds sized to the fixture.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val pixels = ss.range(0, 200000).toDF("pixel_id")
+      .withColumn("county",
+        when(col("pixel_id") % 20 =!= 0, lit(0L))
+          .otherwise(col("pixel_id") % 40))
+      .withColumn("value", col("pixel_id") % 1000)
+    val counties = ss.range(0, 40).toDF("county")
+      .withColumn("county_name", concat(lit("county-"), col("county")))
+    val joined = pixels.join(counties, "county")
+      .select("pixel_id", "county_name", "value")
+    // collect() runs THIS Dataset's own QueryExecution (foreach/rdd spin
+    // up a separate one), which is what finalizes the adaptive plan
+    assert(joined.collect().length == 200000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(2000))
+    assert(p.contains("skew=true"),
+      s"no skew-split join in final plan:\n${p.take(4000)}")
   }
 }

@@ -69,6 +69,26 @@ class ExamplesSpec extends SparkSpecBase {
       again.results.map(_.skipped).toString)
   }
 
+  test("examples/profile_demo.yml selects a named env profile (--env)") {
+    // full CLI path: --env dev loads examples/envs/dev.yml; the inline
+    // region=us-west must beat the profile's region (CLI wins), while
+    // greeting comes from the profile alone
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.RunPipeline.main(Array("examples/profile_demo.yml",
+        "--env", "dev", "region=us-west"))
+    }
+    val printed = out.toString
+    assert(printed.contains("hello-dev in us-west"), printed)
+
+    // unknown profile fails loudly, naming the locations searched
+    val err = intercept[IllegalArgumentException] {
+      graft.RunPipeline.loadProfile("nope",
+        Seq(Paths.get("examples").toAbsolutePath))
+    }
+    assert(err.getMessage.contains("envs/nope.yml"))
+  }
+
   test("examples/daily_rollup.yml runs: 3-way fan-out + combined csv") {
     val (work, res) = run("daily_rollup.yml")
     assert(res.results.head.fields("n_invocations") == 3)

@@ -544,6 +544,102 @@ class RunnerSpec extends SparkSpecBase {
     assert(Files.readString(root.resolve("staged/fresh.txt")) == "v2")
   }
 
+  test("jdbc_write round-trips a keyed table through the embedded DB") {
+    val root = tmpDir()
+    val staged = root.resolve("in").toString
+    import spark.implicits._
+    Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score").write.parquet(staged)
+    val db = root.resolve("db/results")
+    val p = write(root, "sink.yml",
+      s"""steps:
+         |  - plugin: jdbc_write
+         |    args:
+         |      input: "$staged"
+         |      db_path: "$db"
+         |      table: results
+         |""".stripMargin)
+    val r = runner(root)
+    assert(r.runFile(p).results.head.fields("n_rows") == 3L)
+    val url = s"jdbc:derby:$db"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(url, "results", props)
+    assert(back.count() == 3)
+    assert(back.filter($"id" === 2L).select("name").head().getString(0)
+      == "beta")
+
+    // upsert: key 2 re-scored, key 4 new; 1 and 3 survive untouched
+    val staged2 = root.resolve("in2").toString
+    Seq((2L, "beta", 99.0), (4L, "delta", 40.0))
+      .toDF("id", "name", "score").write.parquet(staged2)
+    val p2 = write(root, "upsert.yml",
+      s"""steps:
+         |  - plugin: jdbc_write
+         |    args:
+         |      input: "$staged2"
+         |      db_path: "$db"
+         |      table: results
+         |      mode: upsert
+         |      keys: [id]
+         |""".stripMargin)
+    assert(r.runFile(p2).results.head.fields("n_rows") == 4L)
+    val merged = spark.read.jdbc(url, "results", props)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(merged == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("conditional_get honors ETag when the server sends no mtime (S1)") {
+    // a server that varies ONLY ETag (no Last-Modified): without
+    // If-None-Match replay every re-run would re-download
+    val served = new java.util.concurrent.atomic.AtomicReference("tag-v1")
+    val hits = new AtomicInteger(0)
+    val full = new AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/data.txt", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val tag = served.get()
+      val sent = ex.getRequestHeaders.getFirst("If-None-Match")
+      if (sent != null && sent == tag) {
+        ex.sendResponseHeaders(304, -1)
+      } else {
+        full.incrementAndGet()
+        val body = s"payload-$tag".getBytes
+        ex.getResponseHeaders.set("ETag", tag)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val root = tmpDir()
+      val p = write(root, "etag.yml",
+        s"""steps:
+           |  - plugin: web_download_list
+           |    args:
+           |      url: "http://127.0.0.1:${srv.getAddress.getPort}/data.txt"
+           |      out: "{env.basedir}/staged"
+           |      conditional_get: true
+           |""".stripMargin)
+      val r = runner(root)
+      assert(r.runFile(p).results.head.fields("n_fetched") == 1)
+      assert(Files.readString(root.resolve("staged/data.txt")) ==
+        "payload-tag-v1")
+      // unchanged tag -> 304 via If-None-Match, no re-download
+      val second = r.runFile(p).results.head.fields
+      assert(second("n_not_modified") == 1 && second("n_fetched") == 0)
+      assert(full.get() == 1, s"expected one full download, got $full")
+      // rotated tag -> refetched, sidecar updated
+      served.set("tag-v2")
+      assert(r.runFile(p).results.head.fields("n_fetched") == 1)
+      assert(Files.readString(root.resolve("staged/data.txt")) ==
+        "payload-tag-v2")
+      assert(hits.get() == 3)
+    } finally srv.stop(0)
+  }
+
   test("archive_extract + gzip_extract round-trip with ** glob (S4/S5)") {
     val root = tmpDir()
     // build a zip and a gz under nested dirs
