@@ -62,7 +62,12 @@ object Bench {
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
     import scala.jdk.CollectionConverters._
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // builder-side iteration aid (mirrors Verify's SPARK_GRAFT_ONLY):
+    // restrict the battery to named queries; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }.map {
       case (name, fn) =>
         new java.util.concurrent.Callable[(String, Double)] {
           def call(): (String, Double) = name -> materialize(name, fn)
@@ -128,6 +133,13 @@ private object CoreWarmup {
     // edit_distance both consume it; generating it once here keeps pair
     // generation off both measured critical paths
     try graft.queries.TextQueries.candidatePairs(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    // one full streaming drain: StreamExecution machinery, state-store
+    // providers, file-sink metadata log and the shared streaming
+    // sub-session are per-process constants that would otherwise land
+    // on whichever measured stream_* query runs first
+    try graft.queries.StreamingQueries.streamDailyAgg(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
   }

@@ -105,7 +105,49 @@ object AggregateQueries extends QueryGroup {
     CatalogMerge.upsert(existing, updates, "source")
   }
 
+  /** The jdbc_write sink round-tripped under the oracle: seed even-keyed
+    * orders into the embedded single-file DB (the reference ecosystem's
+    * `duckdb_path` persistence contract,
+    * /root/reference/pipelines/sample_step.yml:10), upsert a re-priced
+    * changelog (every third key +1000) through the same plugin core, and
+    * read the final table back through the JDBC source. Last-write-wins
+    * per key — the stream_cdc_merge contract through a relational store
+    * instead of parquet, which also pins type fidelity (BIGINT/DOUBLE)
+    * across the write→store→read cycle. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.plugins.JdbcWritePlugin
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_jdbcdb_$safe")
+    val db = root.resolve("db")
+    // fresh store per invocation: shut the (possibly still-booted)
+    // engine instance down first — deleting a booted Derby db corrupts
+    // the next create (shutdown=true always signals via SQLException)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val url = s"jdbc:derby:$db;create=true"
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    JdbcWritePlugin.writeDf(orders.filter(col("o_orderkey") % 2 === 0),
+      url, "orders_keyed", "overwrite")
+    JdbcWritePlugin.writeDf(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      url, "orders_keyed", "upsert", keys = Seq("o_orderkey"))
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.read.jdbc(url, "orders_keyed", props)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jdbc_roundtrip" -> (jdbcRoundtrip _),
     "a1_zonal_stats" -> (a1ZonalStats _),
     "a2_weighted" -> (a2Weighted _),
     "a3_regrid" -> (a3Regrid _),
@@ -228,6 +270,15 @@ object AggregateQueries extends QueryGroup {
            |JOIN frac USING (bucket)
            |JOIN c2c USING (bucket)
            |GROUP BY 1, 2""".stripMargin,
+      // last-write-wins over seed ∪ changelog (same contract as
+      // stream_cdc_merge, exercised through the relational store)
+      "jdbc_roundtrip" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 3 = 0
+          |    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+          |    ELSE o_totalprice END AS o_totalprice
+          |FROM orders
+          |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0""".stripMargin,
       "o8_catalog_upsert" ->
         """WITH cat_e AS (
           |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,

@@ -27,6 +27,27 @@ import graft.streaming.StreamOps
   */
 object StreamingQueries extends QueryGroup {
 
+  /** ONE isolated sub-session per outer session, shared by every drain
+    * (shared SparkContext, own SQLConf): stateful streaming ops create
+    * one state store per shuffle partition PER micro-batch, and at this
+    * input size 32 partitions are pure overhead — 8 keeps drains snappy
+    * without touching the shared session's conf (results are
+    * partitioning-independent: decimal sums). Shared rather than
+    * per-drain because SessionState construction (analyzer, optimizer,
+    * listener bus wiring) is a per-query constant that nine sequential
+    * drains would otherwise pay nine times; concurrent streams on one
+    * session are a supported first-class shape (each query has its own
+    * checkpoint + run id). At real scale the caller sizes the
+    * partition count up like any shuffle. */
+  private val subSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def streamSession(spark: SparkSession): SparkSession =
+    subSessions.computeIfAbsent(spark, s => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss
+    })
+
   /** Scratch roots are per-(app, sfDir) and wiped per invocation: the
     * drain must re-run from a clean checkpoint each time or
     * AvailableNow would correctly resume-and-skip (the idempotence the
@@ -61,18 +82,10 @@ object StreamingQueries extends QueryGroup {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    // isolated sub-session (shared SparkContext, own SQLConf): stateful
-    // streaming ops create one state store per shuffle partition PER
-    // micro-batch, and at this input size 32 partitions are pure
-    // overhead — 8 keeps the drain snappy without touching the shared
-    // session's conf (results are partitioning-independent: decimal
-    // sums). At real scale the caller sizes this up like any shuffle.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     // file-source streams cannot infer schemas: reuse the batch read's
     // — resolved on the OUTER session (Tables.load caches per session;
-    // keying on the throwaway sub-session would re-read footers every
-    // drain and leak a cache entry pinning the dead session)
+    // keying on the sub-session would re-read footers per table)
     val schema = Tables.load(spark, dir, "events").schema
     val raw = StreamOps.fileStream(ss, stage.toString, schema)
     Tables.normalizeEventTs(raw)
@@ -195,8 +208,7 @@ object StreamingQueries extends QueryGroup {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       stage.resolve("documents.parquet"))
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val schema = Tables.load(spark, dir, "documents").schema
     val docs = StreamOps.fileStream(ss, stage.toString, schema)
     val scored = TextQueries.qualityVerdict(docs)
@@ -259,9 +271,7 @@ object StreamingQueries extends QueryGroup {
     orders.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
       .write.parquet(stage)
-    // sub-session like stagedEventStream: tiny drain, 8 partitions
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val changelog = StreamOps.fileStream(ss, stage, orders.schema)
     StreamOps.foreachBatchMerge(changelog, target, s"$root/ckpt",
       keys = Seq("o_orderkey"))

@@ -83,34 +83,24 @@ object JdbcWritePlugin extends StepPlugin {
       Some("org.apache.derby.jdbc.EmbeddedDriver")
     else None
 
-  def run(ctx: StepContext): StepResult = {
+  /** Core sink logic, callable outside the runner (the oracle's
+    * `jdbc_roundtrip` drives it directly). Returns rows written. */
+  def writeDf(incoming: org.apache.spark.sql.DataFrame, url: String,
+              table: String, mode: String,
+              keys: Seq[String] = Nil): Long = {
     // derby.log goes to tmp, never the working tree
     if (sys.props.get("derby.system.home").isEmpty)
       System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
-    val url = jdbcUrl(ctx)
-    val table = ctx.argStr("table")
-    val fmt = ctx.argOpt("format").map(_.toString).getOrElse("parquet")
-    val mode = ctx.argOpt("mode").map(_.toString).getOrElse("overwrite")
     val props = new Properties()
     driverFor(url).foreach(props.setProperty("driver", _))
-    val incoming = ctx.spark.read.format(fmt)
-      .options(if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true")
-               else Map.empty[String, String])
-      .load(ctx.argStr("input"))
-
-    val rows = mode match {
+    mode match {
       case "overwrite" | "append" =>
         incoming.write.mode(mode).jdbc(url, table, props)
         incoming.count()
       case "upsert" =>
-        val keys = ctx.argOpt("keys") match {
-          case Some(l: Seq[_]) => l.map(_.toString)
-          case Some(s) => Seq(s.toString)
-          case None => throw new IllegalArgumentException(
-            "jdbc_write mode:upsert needs keys")
-        }
+        require(keys.nonEmpty, "jdbc_write mode:upsert needs keys")
         val existing =
-          try ctx.spark.read.jdbc(url, table, props)
+          try incoming.sparkSession.read.jdbc(url, table, props)
           catch { case _: Exception => null } // first run: table absent
         val merged =
           if (existing == null) incoming
@@ -126,6 +116,23 @@ object JdbcWritePlugin extends StepPlugin {
       case other => throw new IllegalArgumentException(
         s"jdbc_write mode must be overwrite|append|upsert, got '$other'")
     }
+  }
+
+  def run(ctx: StepContext): StepResult = {
+    val url = jdbcUrl(ctx)
+    val table = ctx.argStr("table")
+    val fmt = ctx.argOpt("format").map(_.toString).getOrElse("parquet")
+    val mode = ctx.argOpt("mode").map(_.toString).getOrElse("overwrite")
+    val keys = ctx.argOpt("keys") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case Some(s) => Seq(s.toString)
+      case None => Nil
+    }
+    val incoming = ctx.spark.read.format(fmt)
+      .options(if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true")
+               else Map.empty[String, String])
+      .load(ctx.argStr("input"))
+    val rows = writeDf(incoming, url, table, mode, keys)
     StepResult(Map("table" -> table, "n_rows" -> rows, "url" -> url))
   }
 }
