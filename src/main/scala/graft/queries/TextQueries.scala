@@ -252,7 +252,35 @@ object TextQueries extends QueryGroup {
     "dedup_components_dist" -> (dedupComponentsDist _),
     "dedup_clusters" -> (dedupClusters _),
     "corpus_clean" -> (corpusClean _),
-    "edit_distance" -> (editDistance _))
+    "edit_distance" -> (editDistance _),
+    "decontaminate" -> (decontaminate _),
+    "stratified_sample" -> (stratifiedSample _))
+
+  /** Benchmark decontamination under the oracle: every 10th doc plays
+    * the held-out eval set; the rest of the corpus is flagged on 8-gram
+    * overlap with it ([[graft.operators.Decontaminate]]). Only per-doc
+    * distinct-overlap COUNTS are emitted (Spark counts 64-bit shingle
+    * hashes, DuckDB counts the n-gram strings — same counts, the
+    * dedup_jaccard equivalence). The test corpus's J≥0.5 near-dup
+    * clusters guarantee nonzero contamination, so the query exercises
+    * both outcomes. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Decontaminate.flag(
+      corpus = d.filter(col("doc_id") % 10 =!= 0),
+      benchmark = d.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", text = col("text"), n = 8)
+  }
+
+  /** Deterministic stratified sampling under the oracle: language as
+    * the stratum (en kept at 50%, de at 25%, everything else 10%),
+    * md5-threshold membership reproduced verbatim in SQL
+    * ([[graft.operators.Sample]]). */
+  private val sampleRates = Map("en" -> 0.5, "de" -> 0.25)
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sample.stratified(Tables.documents(spark, dir),
+      col("doc_id"), col("lang"), sampleRates, defaultRate = 0.1)
+      .select("doc_id", "lang", "sampled")
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -447,6 +475,31 @@ object TextQueries extends QueryGroup {
       s"""WITH comp AS ($componentsOracle)
          |SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS keeper
          |FROM comp GROUP BY 1""".stripMargin,
+    // 8-gram overlap vs the every-10th-doc benchmark set; Spark counts
+    // distinct shingle HASHES, the oracle distinct n-gram STRINGS —
+    // equal counts (the dedup_jaccard equivalence)
+    "decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 8
+         |    THEN list_transform(range(1, len(t) - 6),
+         |      i -> array_to_string(t[i:i+7], ' '))
+         |    ELSE [] END)) AS s FROM tok),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+         |ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+         |  FROM sh JOIN bench USING (s)
+         |  WHERE doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(ov.n_overlap, 0) = 0 AS keep
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // identical md5-hex thresholds on both sides (Sample.sqlPredicate)
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ${graft.operators.Sample.sqlPredicate("doc_id", "lang",
+              sampleRates, 0.1)} AS sampled
+         |FROM documents""".stripMargin,
     "edit_distance" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -143,4 +143,61 @@ class OperatorSpec extends SparkSpecBase {
     assert(rows("d").getAs[Double]("min_num") == 1.0)
     assert(rows("d").getAs[Double]("max_num") == 3.0)
   }
+
+  test("Decontaminate: n-gram leak flags, short docs keep, bench broadcast") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // full 8-gram copy of a benchmark span → contaminated
+      (1L, "prefix the quick brown fox jumps over the lazy dog suffix"),
+      // shares words but no 8-gram run → clean
+      (2L, "the lazy fox and the quick dog do not align here at all"),
+      // shorter than 8 tokens: cannot form one shingle → clean
+      (3L, "too short to leak")).toDF("doc_id", "text")
+    val out = Decontaminate.flag(corpus, bench, "doc_id", col("text"), n = 8)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(1L)._2 == false && byId(1L)._1 > 0, byId.toString)
+    assert(byId(2L) == ((0L, true)), byId.toString)
+    assert(byId(3L) == ((0L, true)), byId.toString)
+    // scale contract: the benchmark side broadcasts; the corpus is never
+    // on the build side of a corpus-sized join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("Sample.stratified: per-stratum rates, null ids never sampled, " +
+    "membership independent of split assignment") {
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sample.stratified(df, col("id"), col("grp"),
+      Map("a" -> 0.5), defaultRate = 0.1)
+    val byGrp = out.groupBy("grp")
+      .agg(avg(col("sampled").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byGrp("a") - 0.5) < 0.05, byGrp.toString)
+    assert(math.abs(byGrp("b") - 0.1) < 0.05, byGrp.toString)
+    // rate extremes are exact, not approximate
+    val ext = Sample.stratified(df, col("id"), col("grp"),
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .groupBy("grp").agg(sum(col("sampled").cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ext == Map("a" -> 2000L, "b" -> 0L), ext.toString)
+    // null id -> never sampled, even at rate 1.0
+    val withNull = Seq((Some(1L), "a"), (None, "a")).toDF("id", "grp")
+    val ns = Sample.stratified(withNull, col("id"), col("grp"),
+      Map("a" -> 1.0), defaultRate = 1.0).collect()
+      .map(r => Option(r.get(0)) -> r.getBoolean(2)).toMap
+    assert(ns(None) == false && ns(Some(1L)) == true, ns.toString)
+    // sampling must not correlate with train/val/test assignment: the
+    // sampled subset's split shares track the full population's
+    val split = Split.assign(
+      Sample.stratified(df, col("id"), col("grp"),
+        Map("a" -> 0.5, "b" -> 0.5), 0.5),
+      col("id"), Seq("train" -> 0.8, "val" -> 0.2))
+    val trainShare = split.filter(col("sampled"))
+      .agg(avg((col("split") === "train").cast("double")))
+      .head().getDouble(0)
+    assert(math.abs(trainShare - 0.8) < 0.05, trainShare.toString)
+  }
 }
