@@ -93,15 +93,25 @@ object Fingerprint {
 
   /** One row per distinct (id, shingle-hash), built codegen-only:
     * posexplode tokens → xxhash64 per token → n-window combine via
-    * `lead()` + shifted XOR → distinct.
+    * `lead()` + per-step rehash → distinct.
     *
     * Measured at sf0.1 (5k docs, 260k shingles): ~0.6 s vs ~4 s for the
     * `transform(...)`-lambda string-shingle form and ~10 s for hashing
     * inside the lambda — higher-order functions evaluate interpreted
     * per-element, while posexplode/window/hash are all whole-stage
     * codegen. The one shuffle (by id, sort by pos) doubles as the
-    * distinct's partitioning. 8-byte keys; collision odds ~d²/2⁶⁴ —
-    * negligible for near-dup semantics.
+    * distinct's partitioning.
+    *
+    * The combine step is a HASH CHAIN — `acc = xxhash64(acc, next)` per
+    * position — not a shifted XOR: shifting destroys the shifted-out
+    * bits, so for n beyond a few tokens some positions contribute only
+    * 1–2 bits and distinct n-grams collide with near-coin-flip odds (a
+    * real doc-1832 8-gram false positive at sf0.1 caught it). Chained
+    * rehashing keeps every position's full 64 bits in play: collision
+    * odds are the generic ~d²/2⁶⁴ birthday bound, negligible for
+    * near-dup semantics. xxhash64 SKIPS null inputs rather than
+    * propagating them, so trailing partial windows are nulled
+    * explicitly — an (n-1)-token tail must not alias a shorter gram.
     */
   def explodedShingleHashes(df: org.apache.spark.sql.DataFrame,
                             idCol: String, text: Column, n: Int)
@@ -109,13 +119,14 @@ object Fingerprint {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos")
     val combined = (1 until n).foldLeft(col("__h0")) { (acc, j) =>
-      acc.bitwiseXOR(shiftleft(lead(col("__h0"), j).over(w), (21 * j) % 64))
+      xxhash64(acc, lead(col("__h0"), j).over(w))
     }
     df.select(col(idCol),
         posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
       .withColumn("__h0", xxhash64(col("__tok")))
-      .withColumn("sh", combined)
-      .filter(col("sh").isNotNull) // trailing positions lack a full window
+      .withColumn("sh", // trailing positions lack a full window
+        when(lead(col("__h0"), n - 1).over(w).isNotNull, combined))
+      .filter(col("sh").isNotNull)
       .select(col(idCol), col("sh")).distinct()
   }
 }

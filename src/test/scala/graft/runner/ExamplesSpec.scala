@@ -89,6 +89,29 @@ class ExamplesSpec extends SparkSpecBase {
     assert(err.getMessage.contains("envs/nope.yml"))
   }
 
+  test("examples/relational_sink.yml runs: seed + upsert into the embedded DB") {
+    val (work, res) = run("relational_sink.yml")
+    assert(res.results.size == 4)
+    val seeded = res.results(1).fields("n_rows").asInstanceOf[Long]
+    val merged = res.results(3).fields("n_rows").asInstanceOf[Long]
+    // the en-only changelog re-keys a subset of the same sources, so the
+    // upsert must not grow the table
+    assert(seeded > 0 && merged == seeded, s"seed=$seeded merged=$merged")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(
+      s"jdbc:derby:$work/relational_sink/corpus_stats_db",
+      "source_stats", props)
+    assert(back.count() == seeded)
+    // upserted sources now carry en-only counts (strictly fewer docs
+    // than the all-language seed for this corpus)
+    import org.apache.spark.sql.functions.{col, sum}
+    val total = back.agg(sum(col("n_docs"))).head().getLong(0)
+    val allDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(total < allDocs, s"expected en-only restat to shrink: $total")
+  }
+
   test("examples/daily_rollup.yml runs: 3-way fan-out + combined csv") {
     val (work, res) = run("daily_rollup.yml")
     assert(res.results.head.fields("n_invocations") == 3)
