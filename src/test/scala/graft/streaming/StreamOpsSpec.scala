@@ -163,4 +163,35 @@ class StreamOpsSpec extends SparkSpecBase {
         abs(col("s.t") - col("b.t")) > 1e-6)
     assert(diff.count() == 0)
   }
+
+  test("drains run identically on the RocksDB state store (the 100 TB " +
+    "state backend)") {
+    // the default HDFS-backed provider keeps state on the JVM heap —
+    // fine at test scale, not at TB state. RocksDB spills to local SSD
+    // with bounded memory; results must be byte-identical. Isolated
+    // sub-session: provider choice is a session conf.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val stream = StreamOps.fileStream(ss, stagedDir, raw.schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = StreamOps.runToMemory(
+      StreamOps.tumblingDailyAgg(stream, "ts", "user_id", "value"),
+      "rocksdb_out", org.apache.spark.sql.streaming.OutputMode.Complete)
+    val got = streamed
+      .select(to_date(col("day_start")).as("day"), col("user_id"),
+        col("n"), col("total"))
+    // batch truth built on the SAME sub-session (mixing DataFrames
+    // across sessions in one plan is not a supported shape)
+    val batch = Tables.events(ss, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val diff = got.alias("s").join(batch.alias("b"), Seq("day", "user_id"))
+      .filter(col("s.n") =!= col("b.n") ||
+        abs(col("s.total") - col("b.total")) > 1e-6)
+    assert(got.count() == batch.count())
+    assert(diff.count() == 0, "RocksDB-backed aggregate diverges from batch")
+  }
 }
