@@ -86,6 +86,13 @@ final case class StepContext(
     throw new IllegalArgumentException(s"missing arg '$key' in $args"))
   def argStr(key: String): String = arg(key).toString
   def argOpt(key: String): Option[Any] = args.get(key)
+  /** First present key wins — plugins accept the reference's YAML arg
+    * names AND the engine's (verbatim reference pipelines must run). */
+  def argAny(keys: String*): Option[Any] =
+    keys.iterator.map(args.get).collectFirst { case Some(v) => v }
+  def argAnyStr(keys: String*): String = argAny(keys: _*).map(_.toString)
+    .getOrElse(throw new IllegalArgumentException(
+      s"missing arg (any of ${keys.mkString("/")}) in $args"))
   def argBool(key: String, default: Boolean): Boolean =
     args.get(key).map(_.toString.toBoolean).getOrElse(default)
   def argInt(key: String, default: Int): Int =

@@ -48,7 +48,10 @@ object JsonUtil {
 object VectorFactsPlugin extends StepPlugin {
   val name = "vector_facts"
   def run(ctx: StepContext): StepResult = {
-    val df = ctx.spark.read.parquet(ctx.argStr("path"))
+    // reference names: input_dir / output_dir
+    // (/root/reference/pipelines/tiger/county.yml:38-40); output_dir
+    // receives the canonical vector_facts.json inside it
+    val df = ctx.spark.read.parquet(ctx.argAnyStr("path", "input_dir"))
     val profile = Profile(df).collect().map { r =>
       Map(
         "column" -> r.getString(0), "dtype" -> r.getString(1),
@@ -59,7 +62,11 @@ object VectorFactsPlugin extends StepPlugin {
       "feature_count" -> df.count(),
       "schema" -> df.schema.json,
       "columns" -> profile)
-    val out = Paths.get(ctx.argStr("output_path"))
+    val out = ctx.argOpt("output_path") match {
+      case Some(p) => Paths.get(p.toString)
+      case None =>
+        Paths.get(ctx.argStr("output_dir")).resolve("vector_facts.json")
+    }
     Files.createDirectories(out.getParent)
     Files.writeString(out, JsonUtil.write(facts))
     StepResult(Map("vector_facts_json" -> out.toString,
@@ -73,9 +80,12 @@ object VectorFactsPlugin extends StepPlugin {
 object EvidenceBundlePlugin extends StepPlugin {
   val name = "ai_dataset_evidence_bundle"
   def run(ctx: StepContext): StepResult = {
-    val outDir = Paths.get(ctx.argStr("out"))
+    // reference arg names accepted verbatim: input_path / output_dir /
+    // supplemental_urls_file / dataset_id / vector_facts_json
+    // (/root/reference/pipelines/tiger/county.yml:44-51)
+    val outDir = Paths.get(ctx.argAnyStr("out", "output_dir"))
     Files.createDirectories(outDir)
-    val df = ctx.spark.read.parquet(ctx.argStr("path"))
+    val df = ctx.spark.read.parquet(ctx.argAnyStr("path", "input_path"))
     val n = ctx.argInt("sample_rows", 10)
     val sample = outDir.resolve("sample.json")
     Files.writeString(sample,
@@ -85,14 +95,30 @@ object EvidenceBundlePlugin extends StepPlugin {
     val notes = outDir.resolve("notes.md")
     Files.writeString(notes, ctx.argOpt("notes").map(_.toString).getOrElse(""))
     val urls = outDir.resolve("supplemental_urls.txt")
-    Files.writeString(urls, ctx.argOpt("supplemental_urls").map {
+    // inline list (`supplemental_urls`) or a urls FILE whose lines are
+    // bundled (`supplemental_urls_file`, the reference's form — resolved
+    // against the runner's asset roots like any pipeline-relative path)
+    val urlLines = ctx.argOpt("supplemental_urls").map {
       case l: Seq[_] => l.mkString("\n")
       case s => s.toString
-    }.getOrElse(""))
+    }.orElse(ctx.argOpt("supplemental_urls_file").map { f =>
+      val p = ctx.runner.resolvePath(Paths.get(f.toString),
+        ctx.currentPipeline.map(Paths.get(_)))
+      Files.readString(p)
+    }).getOrElse("")
+    Files.writeString(urls, urlLines)
+    // dataset identity + upstream facts pointer ride along so the
+    // bundle is self-describing (what the research step consumes)
+    val meta = outDir.resolve("dataset.json")
+    Files.writeString(meta, JsonUtil.write(Map(
+      "dataset_id" -> ctx.argOpt("dataset_id").map(_.toString).getOrElse(""),
+      "vector_facts_json" ->
+        ctx.argOpt("vector_facts_json").map(_.toString).getOrElse(""))))
     StepResult(Map(
       "sample_file" -> sample.toString, "schema_file" -> schema.toString,
       "notes_file" -> notes.toString,
-      "supplemental_urls_file" -> urls.toString))
+      "supplemental_urls_file" -> urls.toString,
+      "dataset_json" -> meta.toString))
   }
 }
 
@@ -103,14 +129,25 @@ object EvidenceBundlePlugin extends StepPlugin {
 object DatasetResearchPlugin extends StepPlugin {
   val name = "ai_dataset_research"
   def run(ctx: StepContext): StepResult = {
-    val out = Paths.get(ctx.argStr("output_file"))
+    // reference contract (/root/reference/pipelines/tiger/county.yml:53-64):
+    // output_dir receives research.md; title/data_class/artifact_uri/
+    // notes_file/supplemental_urls_file all flow into the document so
+    // the downstream catalog_json_upsert has the full record
+    val out = ctx.argOpt("output_file") match {
+      case Some(p) => Paths.get(p.toString)
+      case None => Paths.get(ctx.argStr("output_dir")).resolve("research.md")
+    }
     Files.createDirectories(out.getParent)
-    val sample = ctx.argOpt("sample_file").map(_.toString).getOrElse("")
-    val schema = ctx.argOpt("schema_file").map(_.toString).getOrElse("")
+    def opt(k: String) = ctx.argOpt(k).map(_.toString).getOrElse("")
     val doc = s"""# Dataset research (deterministic stub)
-                 |dataset_id: ${ctx.argOpt("dataset_id").getOrElse("")}
-                 |sample: $sample
-                 |schema: $schema
+                 |dataset_id: ${opt("dataset_id")}
+                 |title: ${opt("title")}
+                 |data_class: ${opt("data_class")}
+                 |artifact_uri: ${opt("artifact_uri")}
+                 |sample: ${opt("sample_file")}
+                 |schema: ${opt("schema_file")}
+                 |notes: ${opt("notes_file")}
+                 |supplemental_urls: ${opt("supplemental_urls_file")}
                  |""".stripMargin
     Files.writeString(out, doc)
     StepResult(Map("output_file" -> out.toString))
@@ -124,7 +161,19 @@ object CatalogJsonUpsertPlugin extends StepPlugin {
   val name = "catalog_json_upsert"
   def run(ctx: StepContext): StepResult = {
     val path = Paths.get(ctx.argStr("catalog_json"))
-    val datasetId = ctx.argStr("dataset_id")
+    // the reference step carries no dataset_id arg
+    // (/root/reference/pipelines/tiger/county.yml:66-71) — the id is
+    // read from the research document it upserts
+    val datasetId = ctx.argOpt("dataset_id").map(_.toString).getOrElse {
+      val rf = ctx.argOpt("research_file").map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          "catalog_json_upsert needs dataset_id or a research_file " +
+            "carrying one"))
+      "(?m)^dataset_id:\\s*(\\S+)".r
+        .findFirstMatchIn(Files.readString(Paths.get(rf)))
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          s"no 'dataset_id:' line in research file $rf"))
+    }
     val existing: Map[String, Any] =
       if (Files.exists(path))
         JsonUtil.parse(Files.readString(path)).asInstanceOf[Map[String, Any]]
@@ -161,7 +210,9 @@ object CatalogYamlSyncPlugin extends StepPlugin {
     val datasetId = ctx.argStr("dataset_id")
     val entry = catalog.getOrElse(datasetId, Map.empty)
       .asInstanceOf[Map[String, Any]]
-    val target = Paths.get(ctx.argStr("target_dir"))
+    // reference name: catalog_repo (the checkout dir the YAML lands in,
+    // /root/reference/pipelines/tiger/county.yml:77)
+    val target = Paths.get(ctx.argAnyStr("target_dir", "catalog_repo"))
       .resolve(s"$datasetId.yml")
     Files.createDirectories(target.getParent)
     val overwriteManaged = ctx.argBool("overwrite_managed_fields", false)

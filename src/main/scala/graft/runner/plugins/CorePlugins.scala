@@ -202,7 +202,9 @@ object WebDownloadPlugin extends StepPlugin {
   * in-memory lister over a local tree).
   */
 class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
-                       fetch: (String, Path) => Unit) extends StepPlugin {
+                       fetch: (String, Path) => Unit,
+                       fetchTimed: Option[(String, Path, Int) => Unit] = None)
+  extends StepPlugin {
   val name = "ftp_download_tree"
 
   def run(ctx: StepContext): StepResult = {
@@ -210,6 +212,13 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
     val out = Paths.get(ctx.argStr("out"))
     val glob = ctx.argOpt("filename_glob").map(_.toString).getOrElse("*")
     val recursive = ctx.argBool("recursive", default = true)
+    // reference contract: per-step network timeout
+    // (/root/reference/pipelines/prism/download-ts-ppt-day.yml:25)
+    val timeoutMs = ctx.argInt("timeout_seconds", 120) * 1000
+    val doFetch: (String, Path) => Unit = fetchTimed match {
+      case Some(ft) => (u, t) => ft(u, t, timeoutMs)
+      case None => fetch
+    }
     Files.createDirectories(out)
     val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
     val uri = URI.create(url)
@@ -224,7 +233,7 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
       Files.createDirectories(
         Option(target.getParent).getOrElse(out))
       if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
-      else { fetch(sourceUrl, target); fetched += 1 }
+      else { doFetch(sourceUrl, target); fetched += 1 }
     }
 
     if (uri.getScheme == "file") {
@@ -317,16 +326,26 @@ object RemoteTreeWalker {
       } catch { case _: Exception => None }
   }
 
-  def jdkFetch(url: String, target: Path): Unit = {
-    val in = URI.create(url).toURL.openStream()
+  def jdkFetch(url: String, target: Path): Unit =
+    jdkFetchTimed(url, target, 120 * 1000)
+
+  /** URL fetch with connect/read timeouts — `timeout_seconds` is part
+    * of the reference's download contract (a hung FTP data channel must
+    * fail the step, not the whole run's wall clock). */
+  def jdkFetchTimed(url: String, target: Path, timeoutMs: Int): Unit = {
+    val conn = URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    val in = conn.getInputStream
     try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
   }
 }
 
-/** Default instance: JDK ftp listing + URL fetch. */
+/** Default instance: JDK ftp listing + timed URL fetch. */
 object FtpDownloadTreePlugin extends RemoteTreeWalker(
-  RemoteTreeWalker.JdkFtpLister, RemoteTreeWalker.jdkFetch)
+  RemoteTreeWalker.JdkFtpLister, RemoteTreeWalker.jdkFetch,
+  fetchTimed = Some(RemoteTreeWalker.jdkFetchTimed))
 
 /** `archive_extract` — unzip one archive or a (recursive `**`) glob
   * (/root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:27-34;
@@ -432,10 +451,31 @@ object CombineFilesPlugin extends StepPlugin {
     if (!Ledger.shouldWrite(outFile, ctx.overwrite))
       return StepResult(Map("output_file" -> outFile.toString), skipped = true)
     val spark = ctx.spark
-    val df = spark.read.option("header", "true").csv(glob)
+    // explicit `format` (the reference passes it —
+    // /root/reference/pipelines/prism/county_daily_aggregate_child.yml
+    // combine form) falls back to the output extension, then csv
+    val fmt = ctx.argOpt("format").map(_.toString.toLowerCase)
+      .orElse(graft.sources.Formats.infer(outFile.toString))
+      .getOrElse("csv")
+    val df = fmt match {
+      case "csv" => spark.read.option("header", "true").csv(glob)
+      case "tsv" => spark.read.option("header", "true")
+        .option("sep", "\t").csv(glob)
+      case "jsonl" | "json" => spark.read.json(glob)
+      case "parquet" => spark.read.parquet(glob)
+      case other => throw new IllegalArgumentException(
+        s"combine_files format must be csv|tsv|jsonl|parquet, got '$other'")
+    }
     val tmp = Files.createTempDirectory("combine_files")
     val tmpOut = tmp.resolve("out")
-    df.coalesce(1).write.option("header", "true").csv(tmpOut.toString)
+    val w = df.coalesce(1).write
+    fmt match {
+      case "csv" => w.option("header", "true").csv(tmpOut.toString)
+      case "tsv" => w.option("header", "true").option("sep", "\t")
+        .csv(tmpOut.toString)
+      case "jsonl" | "json" => w.json(tmpOut.toString)
+      case "parquet" => w.parquet(tmpOut.toString)
+    }
     val part = Files.list(tmpOut).iterator().asScala
       .find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(throw new IllegalStateException("no part file written"))

@@ -46,7 +46,7 @@ object StacAssetDownloadPlugin extends StepPlugin {
         if (href.nonEmpty) {
           val target = out.resolve(s"${id}_$key${ext(href)}")
           if (Ledger.shouldWrite(target, ctx.overwrite)) {
-            stage(href, target)
+            stage(sign(href, ctx), target)
             fetched += 1
           }
         }
@@ -73,23 +73,79 @@ object StacAssetDownloadPlugin extends StepPlugin {
     }
   }
 
+  /** Asset-href signing (`sign_api_url`, the reference's Planetary-
+    * Computer-style token endpoint): GET sign?href=<asset>; the
+    * response is either JSON `{"href": signed}` or the signed URL
+    * itself. No signer configured → href passes through. */
+  private def sign(href: String, ctx: StepContext): String =
+    ctx.argOpt("sign_api_url") match {
+      case Some(s) =>
+        val sep = if (s.toString.contains("?")) "&" else "?"
+        val u = s.toString + sep + "href=" +
+          java.net.URLEncoder.encode(href, "UTF-8")
+        val resp = fetchDoc(u, ctx).trim
+        try JsonUtil.parse(resp) match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            .get("href").map(_.toString).getOrElse(resp)
+          case _ => resp
+        } catch { case _: Exception => resp }
+      case None => href
+    }
+
+  private def fetchDoc(url: String, ctx: StepContext): String =
+    if (url.startsWith("file:"))
+      Files.readString(Paths.get(URI.create(url)))
+    else httpGet(url, ctx)
+
+  /** Paged search: `page_size` becomes the request's `limit` and pages
+    * chain through the FeatureCollection's `rel: next` link (the STAC
+    * API paging contract) until exhausted or `max_items` collected —
+    * item filters stay source-side per page, so an unbounded catalog
+    * never materializes in memory. A visited-URL set guards circular
+    * next links. file:// pages chain identically (network-free tests). */
   private def search(ctx: StepContext): List[Map[String, Any]] = {
     val api = ctx.argStr("api_url")
-    val raw = if (api.startsWith("file:"))
-      Files.readString(Paths.get(URI.create(api)))
-    else httpGet(api, ctx)
-    val tree = JsonUtil.parse(raw)
-    val features: List[Any] = tree match {
-      case m: Map[_, _] =>
-        m.asInstanceOf[Map[String, Any]].getOrElse("features", Nil) match {
-          case l: Seq[_] => l.toList
-          case _ => Nil
-        }
-      case l: Seq[_] => l.toList
-      case _ => Nil
+    val pageSize = ctx.argInt("page_size", 0)
+    val maxItems = ctx.argInt("max_items", 0)
+    val first = if (pageSize > 0 && !api.startsWith("file:")) {
+      val sep = if (api.contains("?")) "&" else "?"
+      s"$api${sep}limit=$pageSize"
+    } else api
+    val acc = List.newBuilder[Map[String, Any]]
+    var n = 0
+    var url: Option[String] = Some(first)
+    val visited = scala.collection.mutable.Set[String]()
+    while (url.isDefined && (maxItems == 0 || n < maxItems) &&
+      visited.add(url.get)) {
+      val tree = JsonUtil.parse(fetchDoc(url.get, ctx))
+      val (features, next) = tree match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val fs = mm.getOrElse("features", Nil) match {
+            case l: Seq[_] => l.toList
+            case _ => Nil
+          }
+          val nx = mm.getOrElse("links", Nil) match {
+            case l: Seq[_] => l.collectFirst {
+              case lm: Map[_, _]
+                if lm.asInstanceOf[Map[String, Any]]
+                  .get("rel").exists(_.toString == "next") =>
+                lm.asInstanceOf[Map[String, Any]]
+                  .getOrElse("href", "").toString
+            }.filter(_.nonEmpty)
+            case _ => None
+          }
+          (fs, nx)
+        case l: Seq[_] => (l.toList, None)
+        case _ => (Nil, None)
+      }
+      val matched = features.map(_.asInstanceOf[Map[String, Any]])
+        .filter(matches(_, ctx))
+      acc ++= matched
+      n += matched.size
+      url = next
     }
-    features.map(_.asInstanceOf[Map[String, Any]])
-      .filter(matches(_, ctx))
+    acc.result()
   }
 
   private def httpGet(url: String, ctx: StepContext): String = {
@@ -124,10 +180,17 @@ object StacAssetDownloadPlugin extends StepPlugin {
     } catch { case _: Exception => None }
   }
 
-  /** bbox intersection + datetime range + query_json property filters. */
+  /** collection + bbox intersection + datetime range + query_json
+    * property filters. */
   private def matches(item: Map[String, Any], ctx: StepContext): Boolean = {
     val props = item.getOrElse("properties", Map.empty)
       .asInstanceOf[Map[String, Any]]
+    // `collection` selects the searched collection
+    // (/root/reference/pipelines/sentinel/download-sentinel2-l2a-michigan.yml:46);
+    // items without the field pass (tolerant, like the other filters)
+    val collOk = ctx.argOpt("collection").forall { c =>
+      item.get("collection").forall(_.toString == c.toString)
+    }
     val bboxOk = ctx.argOpt("bbox") match {
       case Some(q: Seq[_]) =>
         val qb = q.map(_.toString.toDouble)
@@ -179,6 +242,6 @@ object StacAssetDownloadPlugin extends StepPlugin {
         }
       case None => true
     }
-    bboxOk && dtOk && queryOk
+    collOk && bboxOk && dtOk && queryOk
   }
 }

@@ -416,6 +416,128 @@ class RunnerSpec extends SparkSpecBase {
       "async child was orphaned by the failing run")
   }
 
+  test("stac_asset_download: paging via next links, collection filter, " +
+    "signed asset hrefs (S3)") {
+    val root = tmpDir()
+    // two payloads the unsigned hrefs resolve to only through a signer
+    val payloadA = root.resolve("a_data.bin")
+    val payloadC = root.resolve("c_data.bin")
+    Files.writeString(payloadA, "bytes-of-a")
+    Files.writeString(payloadC, "bytes-of-c")
+    // Planetary-Computer-style signing endpoint: href → {"href": signed}
+    val signer = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    signer.createContext("/sign", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = ex.getRequestURI.getQuery // href=<urlencoded>
+      val href = java.net.URLDecoder.decode(q.stripPrefix("href="), "UTF-8")
+      val real = if (href.endsWith("a.bin")) payloadA else payloadC
+      val body = s"""{"href": "${real.toUri}"}""".getBytes
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    signer.start()
+    try {
+      def item(id: String, coll: String, asset: String) =
+        s"""{"id": "$id", "collection": "$coll",
+           |  "properties": {"datetime": "2024-06-0${id.last}T12:00:00Z"},
+           |  "assets": {"data": {"href": "https://cat.invalid/$asset"}}}"""
+          .stripMargin
+      val page2 = root.resolve("page2.json")
+      Files.writeString(page2,
+        s"""{"features": [${item("c3", "wanted", "c.bin")}], "links": []}""")
+      val page1 = root.resolve("page1.json")
+      Files.writeString(page1,
+        s"""{"features": [${item("a1", "wanted", "a.bin")},
+           |              ${item("b2", "other", "b.bin")}],
+           | "links": [{"rel": "next", "href": "${page2.toUri}"}]}"""
+          .stripMargin)
+      val p = write(root, "stac.yml",
+        s"""steps:
+           |  - plugin: stac_asset_download
+           |    args:
+           |      api_url: "${page1.toUri}"
+           |      collection: wanted
+           |      page_size: 1
+           |      sign_api_url: "http://127.0.0.1:${signer.getAddress.getPort}/sign"
+           |      asset_keys: [data]
+           |      save_item_json: true
+           |      out: "{env.basedir}/staged"
+           |""".stripMargin)
+      val res = runner(root).runFile(p).results.head.fields
+      // both pages walked, the 'other'-collection item filtered out
+      assert(res("n_items") == 2 && res("n_assets") == 2, res.toString)
+      assert(Files.readString(root.resolve("staged/a1_data.bin"))
+        == "bytes-of-a")
+      assert(Files.readString(root.resolve("staged/c3_data.bin"))
+        == "bytes-of-c")
+      assert(Files.exists(root.resolve("staged/a1.json")))
+      assert(!Files.exists(root.resolve("staged/b2.json")), "filter leaked")
+    } finally signer.stop(0)
+  }
+
+  test("catalog chain runs under the reference's verbatim arg names " +
+    "(county.yml:36-80)") {
+    val root = tmpDir()
+    val data = root.resolve("extract")
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+      .write.parquet(data.toString)
+    Files.writeString(root.resolve("county_urls.txt"),
+      "https://example.invalid/tiger\nhttps://example.invalid/docs\n")
+    val p = write(root, "chain.yml",
+      s"""steps:
+         |  - plugin: vector_facts
+         |    output_var: vector_facts
+         |    args:
+         |      input_dir: "$data"
+         |      output_dir: "{env.basedir}/facts"
+         |  - plugin: ai_dataset_evidence_bundle
+         |    output_var: evidence
+         |    args:
+         |      dataset_id: tiger_county
+         |      input_path: "$data"
+         |      vector_facts_json: "{vector_facts.vector_facts_json}"
+         |      output_dir: "{env.basedir}/evidence"
+         |      supplemental_urls_file: county_urls.txt
+         |      notes: "boundary facts"
+         |  - plugin: ai_dataset_research
+         |    output_var: catalog_ai
+         |    args:
+         |      dataset_id: tiger_county
+         |      data_class: vector
+         |      title: "TIGER counties"
+         |      artifact_uri: "$data"
+         |      sample_file: "{evidence.sample_file}"
+         |      schema_file: "{evidence.schema_file}"
+         |      notes_file: "{evidence.notes_file}"
+         |      supplemental_urls_file: "{evidence.supplemental_urls_file}"
+         |      output_dir: "{env.basedir}/catalog_ai"
+         |  - plugin: catalog_json_upsert
+         |    args:
+         |      research_file: "{catalog_ai.output_file}"
+         |      catalog_json: "{env.basedir}/catalog.json"
+         |      project_id: land_core
+         |      source_step: 05_ai_research
+         |  - plugin: catalog_yaml_sync
+         |    args:
+         |      dataset_id: tiger_county
+         |      catalog_json: "{env.basedir}/catalog.json"
+         |      catalog_repo: "{env.basedir}/catalog_repo"
+         |      overwrite_managed_fields: false
+         |""".stripMargin)
+    val res = runner(root).runFile(p)
+    assert(res.results.size == 5)
+    assert(Files.exists(root.resolve("facts/vector_facts.json")))
+    // the urls FILE's lines landed in the bundle
+    assert(Files.readString(root.resolve("evidence/supplemental_urls.txt"))
+      .contains("example.invalid/tiger"))
+    val research = Files.readString(
+      root.resolve("catalog_ai/research.md"))
+    assert(research.contains("title: TIGER counties") &&
+      research.contains("data_class: vector"), research)
+    assert(Files.exists(root.resolve("catalog_repo/tiger_county.yml")))
+  }
+
   test("publish_target: file:// copies, gdrive:// stages with manifest (S9)") {
     val root = tmpDir()
     Files.createDirectories(root.resolve("artifact"))
