@@ -19,7 +19,8 @@ object SparkEntry {
 
   private[graft] def groups = Seq[QueryGroup](
     CoreQueries, RelationalQueries, AggregateQueries,
-    TextQueries, VectorQueries, AdvancedQueries, StreamingQueries)
+    TextQueries, CorpusQueries, VectorQueries, AdvancedQueries,
+    StreamingQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

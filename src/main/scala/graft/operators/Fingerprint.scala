@@ -115,18 +115,32 @@ object Fingerprint {
     */
   def explodedShingleHashes(df: org.apache.spark.sql.DataFrame,
                             idCol: String, text: Column, n: Int)
+  : org.apache.spark.sql.DataFrame =
+    explodedShingleHashOccurrences(df, idCol, text, n).distinct()
+
+  /** The NON-distinct base of [[explodedShingleHashes]]: one row per
+    * shingle POSITION (id, `sh`), so downstream consumers that need
+    * occurrence counts (repeated-span detection, [[SpanDedup]]) share
+    * the exact hash-chain semantics of the distinct set consumers.
+    * `carry` names per-document columns (constant within an id) to keep
+    * on the output — threading them through here costs nothing (they
+    * ride the existing doc-keyed shuffle) while joining them back on
+    * doc_id later would re-shuffle the whole corpus. */
+  def explodedShingleHashOccurrences(df: org.apache.spark.sql.DataFrame,
+                                     idCol: String, text: Column, n: Int,
+                                     carry: Seq[String] = Nil)
   : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos")
     val combined = (1 until n).foldLeft(col("__h0")) { (acc, j) =>
       xxhash64(acc, lead(col("__h0"), j).over(w))
     }
-    df.select(col(idCol),
-        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+    df.select(col(idCol) +: carry.map(col) :+
+        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")): _*)
       .withColumn("__h0", xxhash64(col("__tok")))
       .withColumn("sh", // trailing positions lack a full window
         when(lead(col("__h0"), n - 1).over(w).isNotNull, combined))
       .filter(col("sh").isNotNull)
-      .select(col(idCol), col("sh")).distinct()
+      .select((idCol +: carry :+ "sh").map(col): _*)
   }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document repeated-span analysis — the exact-substring face of
+  * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022: repeated n-token spans across documents are the
+  * memorization-driving duplication that whole-doc dedup misses).
+  * [[graft.operators.Dedup]] answers "which DOCUMENTS are near-copies";
+  * this answers "how much of EACH document is copied text", the signal a
+  * curation pipeline thresholds on, plus the source-pair overlap matrix a
+  * corpus audit reports.
+  *
+  * Spans are word n-grams under the chained-xxhash64 scheme of
+  * [[Fingerprint.explodedShingleHashOccurrences]] (full 64 bits per
+  * position — see the collision note there); oracles count the n-gram
+  * STRINGS, the same counts-equivalence the dedup battery pins.
+  *
+  * 100 TB shapes: one combinable aggregate keyed (doc, shingle), one
+  * keyed (shingle) — both map-side partial; the join back is a shuffle
+  * equi-join on the shingle key. Nothing is ever keyed by a corpus-sized
+  * singleton, and no posting list materializes: doc counts per shingle
+  * fold to a single long, so even a boilerplate span in a billion
+  * documents costs one row.
+  */
+object SpanDedup {
+
+  /** Per-document duplicated-span profile over word `n`-grams:
+    * `total_spans` (all positions), `dup_spans` (positions whose n-gram
+    * occurs in ≥2 distinct docs), `dup_shingles` (distinct such
+    * n-grams), and `dup_span_ratio` = dup_spans/total_spans — one IEEE
+    * double division of exact integer counts. Documents shorter than
+    * `n` tokens emit no row (no spans exist). */
+  def dupSpans(df: DataFrame, idCol: String, text: Column,
+               n: Int): DataFrame = {
+    val perDoc = Fingerprint
+      .explodedShingleHashOccurrences(df, idCol, text, n)
+      .groupBy(idCol, "sh").agg(count(lit(1)).as("__c"))
+    // rows of perDoc are unique per (doc, shingle): COUNT(*) per
+    // shingle IS its distinct-document frequency
+    val docFreq = perDoc.groupBy("sh").agg(count(lit(1)).as("__nd"))
+    // the shingle-frequency side is corpus-sized (distinct n-grams grow
+    // with the corpus): pin a shuffle hash join, same as Dedup's postings
+    perDoc.join(docFreq.hint("shuffle_hash"), Seq("sh"))
+      .groupBy(idCol)
+      .agg(
+        sum(col("__c")).as("total_spans"),
+        coalesce(sum(when(col("__nd") >= 2, col("__c"))), lit(0L))
+          .as("dup_spans"),
+        count(when(col("__nd") >= 2, lit(1))).as("dup_shingles"))
+      .withColumn("dup_span_ratio",
+        col("dup_spans").cast("double") / col("total_spans").cast("double"))
+  }
+
+  /** Source-pair overlap matrix: for every pair of sources sharing at
+    * least one distinct word `n`-gram, the count of shared n-grams —
+    * the provenance-contamination audit (which domains/dumps carry the
+    * same boilerplate or syndicated text). Shingling is per DOCUMENT
+    * (`idCol` — positions never cross doc boundaries), then collapsed
+    * to the distinct (source, shingle) set.
+    *
+    * `maxSourcesPerShingle` > 0 drops shingles present in more than
+    * that many sources before pairing — a shingle in k sources emits
+    * k(k−1)/2 pair rows, so universal boilerplate would otherwise
+    * quadratically dominate the join output at a million-domain scale
+    * (the same hot-key cap [[Dedup]] applies to document frequency).
+    * 0 disables the cap (the oracle-checked form at test scale). */
+  def sourceOverlap(df: DataFrame, idCol: String, sourceCol: String,
+                    text: Column, n: Int,
+                    maxSourcesPerShingle: Int = 0): DataFrame = {
+    // source rides the doc-keyed shingle shuffle as a carried column —
+    // a join back on doc_id would re-shuffle the corpus (and AQE would
+    // try to broadcast a corpus-sized side at small scale)
+    val bySource = Fingerprint
+      .explodedShingleHashOccurrences(df, idCol, text, n,
+        carry = Seq(sourceCol))
+      .select(col(sourceCol).as("__src"), col("sh")).distinct()
+    val capped =
+      if (maxSourcesPerShingle <= 0) bySource
+      else {
+        val nSrc = bySource.groupBy("sh")
+          .agg(count(lit(1)).as("__nsrc"))
+          .filter(col("__nsrc") <= maxSourcesPerShingle)
+        bySource.join(nSrc.select("sh"), "sh")
+      }
+    val a = capped.select(col("__src").as("source_a"), col("sh"))
+    val b = capped.select(col("__src").as("source_b"), col("sh"))
+    // rows are distinct per (source, shingle), so each shared shingle
+    // contributes exactly one row per unordered source pair; both sides
+    // are the same corpus-sized set — never broadcast either
+    a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus term statistics and retrieval-index construction — the
+  * term-level curation layer of a training-data pipeline (the reference's
+  * profiling idiom, `vector_facts` at
+  * /root/reference/pipelines/tiger/county.yml:36-41, applied to token
+  * space): distinctive-term extraction for topic tagging, corpus-frequency
+  * scoring for rare-token quality gates, and an inverted shingle index for
+  * corpus search / attribution lookups.
+  *
+  * Everything here is rational-arithmetic only (integer counts + one IEEE
+  * double division, which is correctly rounded in every engine) — no
+  * `ln()`-based idf, whose last-ulp behavior differs between libm and the
+  * JVM and would break cross-engine bit-equality. `tf/df` ranks term
+  * distinctiveness identically to tf·idf for any fixed corpus size (idf is
+  * monotone decreasing in df).
+  *
+  * 100 TB shapes: the exploded token stream folds through ONE map-side
+  * combinable aggregate keyed (doc, term) before anything else touches it;
+  * the per-term tables (df, cf) are vocabulary-sized — sublinear in corpus
+  * size — and join back on the term key (AQE picks broadcast when the
+  * vocabulary is small enough); the final per-document fold re-keys by doc.
+  * No step holds a document's full term set in a single row.
+  */
+object TermIndex {
+
+  /** One row per (id, term) with its in-document occurrence count —
+    * the shared base relation (one explode, one combinable aggregate). */
+  def termFrequencies(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), explode(TextStats.tokens(text)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` most distinctive terms per document, ranked by tf/df
+    * (ties broken lexicographically by term — a total order per doc, so
+    * the cut is deterministic under any partitioning).
+    * Output: (id, term, tf, df, weight, rank). */
+  def tfidfTopK(df: DataFrame, idCol: String, text: Column,
+                k: Int): DataFrame = {
+    val tf = termFrequencies(df, idCol, text)
+    // rows of `tf` are unique per (doc, term), so COUNT(*) per term IS
+    // the document frequency — no second distinct pass
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("weight",
+        col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("weight"), col("rank"))
+  }
+
+  /** Per-document corpus-frequency profile — the rare-token quality
+    * signal (a doc whose tokens are all corpus-rare is likely noise;
+    * all corpus-common, likely boilerplate): token-weighted mean and
+    * extremes of each token's corpus-wide occurrence count `cf`.
+    * `mean_cf` = Σ(tf·cf)/Σtf as one double division of exact integer
+    * sums. Output: (id, n_tokens, n_distinct_terms, min_cf, max_cf,
+    * mean_cf). */
+  def rarity(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val tf = termFrequencies(df, idCol, text)
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    tf.join(cf, "term")
+      .groupBy(idCol)
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_terms"),
+        min(col("cf")).as("min_cf"),
+        max(col("cf")).as("max_cf"),
+        // Σ(tf·cf) stays well under 2^53 for any realistic shard (tf·cf
+        // per term ≤ doc_len × corpus token count of ONE term); the
+        // division is the only float op, bit-identical across engines
+        (sum(col("tf") * col("cf")).cast("double") /
+          sum(col("tf")).cast("double")).as("mean_cf"))
+  }
+
+  /** Inverted word-n-gram index: one row per distinct shingle with its
+    * document frequency and the first `maxPostings` doc ids (ascending) —
+    * the corpus-search/attribution structure, with posting lists capped so
+    * a boilerplate shingle present in half the corpus cannot materialize
+    * an unbounded array in one row. Postings are emitted as a
+    * comma-joined string (numeric sort BEFORE stringify). */
+  def invertedIndex(df: DataFrame, idCol: String, text: Column,
+                    n: Int, maxPostings: Int): DataFrame =
+    Fingerprint.explodedShingles(df, idCol, text, n)
+      .select(col(idCol).as("__id"), col("sh").as("shingle")).distinct()
+      .groupBy("shingle")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(col("__id"))), 1, maxPostings),
+            _.cast("string")),
+          ",").as("postings"))
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.operators.{SpanDedup, TermIndex}
+
+/** Corpus-curation term/span analytics over `documents`: distinctive-term
+  * extraction, corpus-frequency quality scoring, inverted-index
+  * construction, exact-substring duplication profiling, and the
+  * source-pair overlap audit ([[graft.operators.TermIndex]],
+  * [[graft.operators.SpanDedup]]).
+  *
+  * Cross-engine exactness: every compared number is an integer count or
+  * ONE IEEE double division of two integer-exact values (division is
+  * correctly rounded in both engines; `ln`-based idf would not be) — the
+  * same discipline as the rest of the battery. Span queries hash-chain
+  * shingles in Spark but count n-gram STRINGS in DuckDB; counts agree by
+  * the dedup battery's counts-equivalence (collisions ≈ d²/2⁶⁴).
+  */
+object CorpusQueries extends QueryGroup {
+
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.tfidfTopK(Tables.documents(spark, dir), "doc_id",
+      col("text"), k = 3)
+
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.rarity(Tables.documents(spark, dir), "doc_id", col("text"))
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.invertedIndex(Tables.documents(spark, dir), "doc_id",
+      col("text"), n = 3, maxPostings = 5)
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.dupSpans(Tables.documents(spark, dir), "doc_id",
+      col("text"), n = 8)
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.sourceOverlap(Tables.documents(spark, dir), "doc_id",
+      "source", col("text"), n = 8)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_topk" -> (tfidfTopK _),
+    "token_rarity" -> (tokenRarity _),
+    "inverted_index" -> (invertedIndex _),
+    "dup_spans" -> (dupSpans _),
+    "source_overlap" -> (sourceOverlap _))
+
+  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Shared oracle CTE: one row per (doc_id, term, tf). */
+  private val tfCte =
+    s"""tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Positional word 8-grams (the dup-span unit); i runs so each slice
+    * has exactly 8 tokens — docs under 8 tokens emit nothing, matching
+    * the Spark side's full-window filter. */
+  private def gramCte(n: Int) =
+    s"""tok AS (SELECT doc_id, source, $toks AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source, array_to_string(t[i:i+${n - 1}], ' ') AS s
+       |  FROM tok CROSS JOIN unnest(range(1, len(t) - ${n - 2})) AS u(i))"""
+      .stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "tfidf_topk" ->
+      s"""WITH $tfCte,
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df,
+         |  CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS weight, rank
+         |FROM (
+         |  SELECT doc_id, term, tf, df,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term)
+         |      AS rank
+         |  FROM tf JOIN df USING (term))
+         |WHERE rank <= 3""".stripMargin,
+    "token_rarity" ->
+      s"""WITH $tfCte,
+         |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+         |  MIN(cf) AS min_cf, MAX(cf) AS max_cf,
+         |  CAST(CAST(SUM(tf * cf) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS mean_cf
+         |FROM tf JOIN cf USING (term) GROUP BY 1""".stripMargin,
+    "inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 1)) AS u(i))
+         |SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df,
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',')
+         |    AS postings
+         |FROM sh GROUP BY 1""".stripMargin,
+    "dup_spans" ->
+      s"""WITH ${gramCte(8)},
+         |pd AS (SELECT doc_id, s, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+         |ds AS (SELECT s, COUNT(*) AS nd FROM pd GROUP BY 1)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_spans,
+         |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN c END), 0) AS BIGINT)
+         |    AS dup_spans,
+         |  CAST(COUNT(CASE WHEN nd >= 2 THEN 1 END) AS BIGINT)
+         |    AS dup_shingles,
+         |  CAST(CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN c END), 0)
+         |      AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS dup_span_ratio
+         |FROM pd JOIN ds USING (s) GROUP BY 1""".stripMargin,
+    "source_overlap" ->
+      s"""WITH ${gramCte(8)},
+         |sh AS (SELECT DISTINCT source, s FROM occ)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_shingles
+         |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin)
+}

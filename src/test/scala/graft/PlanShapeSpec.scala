@@ -355,6 +355,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected one exchange:\n${p.take(3000)}")
   }
 
+  test("dup_spans + source_overlap: corpus-sized shingle joins are " +
+    "shuffle hash, never broadcast or theta") {
+    // both queries join two corpus-sized relations on the shingle key;
+    // a broadcast there OOMs the moment the corpus outgrows one
+    // executor, and any non-equi fallback is O(n²)
+    Seq(queries.CorpusQueries.dupSpans(spark, sf),
+      queries.CorpusQueries.sourceOverlap(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(3000))
+      assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    }
+  }
+
+  test("tfidf_topk: per-term stats join back on the vocabulary key; " +
+    "the top-k window partitions by doc (no global sort)") {
+    val p = plan(queries.CorpusQueries.tfidfTopK(spark, sf))
+    // vocabulary-sized df table may broadcast (it is sublinear in the
+    // corpus), but a single-partition window over all docs must never
+    // appear: the rank window is keyed by doc_id
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(4000))
+  }
+
   test("edit_distance reuses the shared candidate-pair cache") {
     // candidatePairs persists the J>=0.5 pair subplan; both of its
     // consumers must plan against the SAME InMemoryRelation — the

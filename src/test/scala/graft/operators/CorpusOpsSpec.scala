@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** TermIndex + SpanDedup unit contracts on hand-computable fixtures. */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple", "s1"),
+    (2L, "banana cherry", "s1"),
+    (3L, "apple date date date", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("TermIndex.termFrequencies: per-doc occurrence counts") {
+    val tf = TermIndex.termFrequencies(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(tf((1L, "apple")) == 2L && tf((1L, "banana")) == 1L &&
+      tf((3L, "date")) == 3L)
+  }
+
+  test("TermIndex.tfidfTopK: tf/df ranking with lexicographic tie-break") {
+    // doc 1: apple tf=2 df=2 -> 1.0; banana tf=1 df=2 -> 0.5
+    // doc 3: date tf=3 df=1 -> 3.0; apple tf=1 df=2 -> 0.5
+    val top = TermIndex.tfidfTopK(docs, "doc_id", col("text"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "apple", 2L -> "cherry", 3L -> "date"))
+    // tie case: doc 2 has banana (1/2) and cherry (1/1) -> cherry wins;
+    // with k=2 both appear with deterministic ranks
+    val d2 = TermIndex.tfidfTopK(docs, "doc_id", col("text"), k = 2)
+      .filter(col("doc_id") === 2L)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(d2 == Seq("cherry", "banana"))
+  }
+
+  test("TermIndex.rarity: corpus-frequency profile") {
+    // cf: apple=3, banana=2, cherry=1, date=3
+    val r = TermIndex.rarity(docs, "doc_id", col("text"))
+      .filter(col("doc_id") === 2L).collect().head
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    assert(r.getAs[Long]("n_distinct_terms") == 2L)
+    assert(r.getAs[Long]("min_cf") == 1L)
+    assert(r.getAs[Long]("max_cf") == 2L)
+    assert(r.getAs[Double]("mean_cf") == 1.5)
+  }
+
+  test("TermIndex.invertedIndex: df + numerically-sorted capped postings") {
+    val idx = TermIndex.invertedIndex(docs, "doc_id", col("text"),
+      n = 1, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(idx("apple") == (2L, "1,3"))
+    assert(idx("date") == (1L, "3"))
+    // cap: a term in all 3 docs keeps only the 2 lowest ids
+    val wide = Seq((10L, "x"), (2L, "x"), (9L, "x")).toDF("doc_id", "text")
+    val caps = TermIndex.invertedIndex(wide, "doc_id", col("text"), 1, 2)
+      .collect().head
+    assert(caps.getLong(1) == 3L && caps.getString(2) == "2,9")
+  }
+
+  test("SpanDedup.dupSpans: cross-doc repeated spans, within-doc repeats excluded") {
+    val d = Seq(
+      (1L, "a b c d"), // spans: "a b", "b c", "c d"
+      (2L, "b c x b c"), // spans: "b c", "c x", "x b", "b c" (b c twice!)
+      (3L, "q r")) // span: "q r" — unique, no dups
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dupSpans(d, "doc_id", col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("total_spans"), r.getAs[Long]("dup_spans"),
+          r.getAs[Long]("dup_shingles"))).toMap
+    // "b c" is the only span in >=2 docs; doc 2 has it at 2 positions
+    assert(out(1L) == (3L, 1L, 1L))
+    assert(out(2L) == (4L, 2L, 1L))
+    assert(out(3L) == (1L, 0L, 0L))
+  }
+
+  test("SpanDedup.sourceOverlap: unordered pairs, distinct shingles, cap") {
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "a b z", "s2"), (3L, "b c y", "s2"),
+      (4L, "a b q", "s3"))
+      .toDF("doc_id", "text", "source")
+    // 2-gram "a b" in s1,s2,s3; "b c" in s1,s2
+    val out = SpanDedup.sourceOverlap(d, "doc_id", "source", col("text"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("s1", "s2") -> 2L, ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 1L))
+    // cap 2 drops "a b" (3 sources) before pairing
+    val capped = SpanDedup.sourceOverlap(d, "doc_id", "source", col("text"),
+      2, maxSourcesPerShingle = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == Map(("s1", "s2") -> 1L))
+  }
+}
