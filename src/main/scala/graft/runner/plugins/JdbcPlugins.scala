@@ -151,5 +151,6 @@ object DefaultRegistry {
     CatalogJsonUpsertPlugin, CatalogYamlSyncPlugin, JdbcProbePlugin,
     JdbcWritePlugin,
     PublishTargetPlugin,
-    TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin))
+    TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin,
+    TextSpanAuditPlugin, TextTermIndexPlugin))
 }

@@ -2,7 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Fingerprint, LangId, TextStats}
+import graft.operators.{Components, Dedup, Fingerprint, LangId, SpanDedup,
+  TermIndex, TextStats}
 import graft.runner._
 
 /** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
@@ -123,5 +124,86 @@ object TextFingerprintPlugin extends StepPlugin {
       .write.mode("overwrite").parquet(out)
     val nFps = ctx.spark.read.parquet(out).count()
     StepResult(Map("output_path" -> out, "n_fingerprints" -> nFps))
+  }
+}
+
+/** `text_span_audit` — exact-substring duplication audit as a step
+  * ([[SpanDedup]]): per-document repeated-span profile (`dup_spans
+  * .parquet`) and the source-pair shared-n-gram overlap matrix
+  * (`source_overlap.parquet`).
+  *
+  * Args: `input`, `output_dir`, optional `id_col` (doc_id), `text_col`
+  * (text), `source_col` (source), `ngram` (default 8), `flag_ratio`
+  * (default 0.5 — a doc whose dup_span_ratio meets it is counted
+  * flagged), `max_sources_per_shingle` (default 0 = uncapped).
+  */
+object TextSpanAuditPlugin extends StepPlugin {
+  val name = "text_span_audit"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val outDir = ctx.argStr("output_dir")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val srcCol = ctx.argOpt("source_col").map(_.toString).getOrElse("source")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(8)
+    val flagRatio = ctx.argOpt("flag_ratio").map(_.toString.toDouble)
+      .getOrElse(0.5)
+    val cap = ctx.argOpt("max_sources_per_shingle")
+      .map(_.toString.toInt).getOrElse(0)
+
+    val docs = ctx.spark.read.parquet(in)
+    val spansPath = s"$outDir/dup_spans.parquet"
+    val overlapPath = s"$outDir/source_overlap.parquet"
+    SpanDedup.dupSpans(docs, idCol, col(textCol), n)
+      .write.mode("overwrite").parquet(spansPath)
+    SpanDedup.sourceOverlap(docs, idCol, srcCol, col(textCol), n,
+        maxSourcesPerShingle = cap)
+      .write.mode("overwrite").parquet(overlapPath)
+    val spans = ctx.spark.read.parquet(spansPath)
+    val flagged = spans.filter(col("dup_span_ratio") >= flagRatio).count()
+    StepResult(Map(
+      "dup_spans_path" -> spansPath,
+      "source_overlap_path" -> overlapPath,
+      "n_docs" -> spans.count(),
+      "n_flagged" -> flagged,
+      "n_source_pairs" -> ctx.spark.read.parquet(overlapPath).count()))
+  }
+}
+
+/** `text_term_index` — term-level curation artifacts as a step
+  * ([[TermIndex]]): tf/df top-k distinctive terms per document
+  * (`term_topk.parquet`) and the capped inverted word-n-gram index
+  * (`inverted_index.parquet`).
+  *
+  * Args: `input`, `output_dir`, optional `id_col` (doc_id), `text_col`
+  * (text), `top_k` (default 5), `ngram` (default 3), `max_postings`
+  * (default 10).
+  */
+object TextTermIndexPlugin extends StepPlugin {
+  val name = "text_term_index"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val outDir = ctx.argStr("output_dir")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val k = ctx.argOpt("top_k").map(_.toString.toInt).getOrElse(5)
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val maxPost = ctx.argOpt("max_postings").map(_.toString.toInt)
+      .getOrElse(10)
+
+    val docs = ctx.spark.read.parquet(in)
+    val topkPath = s"$outDir/term_topk.parquet"
+    val indexPath = s"$outDir/inverted_index.parquet"
+    TermIndex.tfidfTopK(docs, idCol, col(textCol), k)
+      .write.mode("overwrite").parquet(topkPath)
+    TermIndex.invertedIndex(docs, idCol, col(textCol), n, maxPost)
+      .write.mode("overwrite").parquet(indexPath)
+    StepResult(Map(
+      "term_topk_path" -> topkPath,
+      "inverted_index_path" -> indexPath,
+      "n_terms" -> ctx.spark.read.parquet(indexPath).count(),
+      "n_docs" -> docs.count()))
   }
 }

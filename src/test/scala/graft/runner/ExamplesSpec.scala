@@ -56,6 +56,30 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("examples/corpus_audit.yml runs: span audit, term index, publish") {
+    val (work, res) = run("corpus_audit.yml")
+    assert(res.results.size == 3)
+    val spans = res.results(0).fields
+    assert(spans("n_docs").asInstanceOf[Long] > 0L)
+    // the test corpus carries J>=0.5 near-dup clusters, so some docs
+    // must exceed the 0.5 repeated-span ratio and some source pairs
+    // must share 8-grams
+    assert(spans("n_flagged").asInstanceOf[Long] > 0L, s"got $spans")
+    assert(spans("n_source_pairs").asInstanceOf[Long] > 0L, s"got $spans")
+    val terms = res.results(1).fields
+    assert(terms("n_terms").asInstanceOf[Long] > 0L)
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(work)
+    try {
+      val files = stream.iterator().asScala.map(_.toString).toSeq
+      assert(files.exists(_.contains("dup_spans.parquet")))
+      assert(files.exists(_.contains("source_overlap.parquet")))
+      assert(files.exists(_.contains("term_topk.parquet")))
+      assert(files.exists(_.contains("inverted_index.parquet")))
+      assert(files.exists(_.contains("published/gdrive")))
+    } finally stream.close()
+  }
+
   test("near_dup_audit re-run is ledger-skipped (idempotent steps)") {
     val work = Files.createTempDirectory("graft_examples_rerun")
     val runner = makeRunner(work)
