@@ -125,10 +125,14 @@ object Fingerprint {
     * `carry` names per-document columns (constant within an id) to keep
     * on the output — threading them through here costs nothing (they
     * ride the existing doc-keyed shuffle) while joining them back on
-    * doc_id later would re-shuffle the whole corpus. */
+    * doc_id later would re-shuffle the whole corpus. `positions = true`
+    * additionally emits the 0-based token offset `__pos` of each
+    * shingle (span-coverage consumers need it; set consumers must NOT
+    * get it, or their distinct() stops deduplicating). */
   def explodedShingleHashOccurrences(df: org.apache.spark.sql.DataFrame,
                                      idCol: String, text: Column, n: Int,
-                                     carry: Seq[String] = Nil)
+                                     carry: Seq[String] = Nil,
+                                     positions: Boolean = false)
   : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__pos")
@@ -141,6 +145,7 @@ object Fingerprint {
       .withColumn("sh", // trailing positions lack a full window
         when(lead(col("__h0"), n - 1).over(w).isNotNull, combined))
       .filter(col("sh").isNotNull)
-      .select((idCol +: carry :+ "sh").map(col): _*)
+      .select((idCol +: carry ++: (if (positions) Seq("__pos") else Nil)
+        :+ "sh").map(col): _*)
   }
 }

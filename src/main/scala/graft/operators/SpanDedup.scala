@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document repeated-span analysis — the exact-substring face of
@@ -51,6 +52,53 @@ object SpanDedup {
         count(when(col("__nd") >= 2, lit(1))).as("dup_shingles"))
       .withColumn("dup_span_ratio",
         col("dup_spans").cast("double") / col("total_spans").cast("double"))
+  }
+
+  /** Per-document repeated-text COVERAGE over word `n`-grams — the
+    * Lee et al. metric proper: the fraction of a document's tokens that
+    * lie inside at least one n-gram repeated in ≥2 distinct docs.
+    * [[dupSpans]] counts repeated positions; overlapping spans make
+    * that an overestimate of copied TEXT, so here the duplicated
+    * intervals [pos, pos+n−1] are merged (gaps-and-islands: a new
+    * island starts where a position exceeds the running max interval
+    * end; adjacency may split islands, which leaves the covered-token
+    * SUM unchanged) and the union length is reported. Every input doc
+    * emits a row (0 coverage when nothing repeats or the doc is shorter
+    * than `n`). Output: (id, n_tokens, covered_tokens, coverage_ratio).
+    *
+    * Shapes: the positional occurrence stream folds to (doc, shingle)
+    * partials for the frequency pass, joins the ≥2-doc shingle set back
+    * on the shingle key (shuffle hash, corpus-sized sides), and the
+    * island windows re-use the doc keying — nothing ever partitions on
+    * a constant. */
+  def dupCoverage(df: DataFrame, idCol: String, text: Column,
+                  n: Int): DataFrame = {
+    val occ = Fingerprint
+      .explodedShingleHashOccurrences(df, idCol, text, n, positions = true)
+    val dupSh = occ.select(col(idCol), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("sh")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + lit(n - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = occ.join(dupSh.hint("shuffle_hash"), Seq("sh"))
+      .withColumn("__new", when(prevEnd.isNull ||
+        col("__pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byPos))
+      .groupBy(col(idCol), col("__island"))
+      .agg((max(col("__pos")) - min(col("__pos")) + lit(n))
+        .cast("long").as("__len"))
+      .groupBy(idCol).agg(sum(col("__len")).as("covered_tokens"))
+    // per-doc coverage is corpus-ROW-sized (one row per doc with any
+    // repeat): the zero-fill outer join must shuffle on the doc key,
+    // never broadcast
+    df.select(col(idCol),
+        size(TextStats.tokens(text)).cast("long").as("n_tokens"))
+      .join(covered.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("coverage_ratio",
+        col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Source-pair overlap matrix: for every pair of sources sharing at

@@ -39,11 +39,16 @@ object CorpusQueries extends QueryGroup {
     SpanDedup.sourceOverlap(Tables.documents(spark, dir), "doc_id",
       "source", col("text"), n = 8)
 
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.dupCoverage(Tables.documents(spark, dir), "doc_id",
+      col("text"), n = 8)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_topk" -> (tfidfTopK _),
     "token_rarity" -> (tokenRarity _),
     "inverted_index" -> (invertedIndex _),
     "dup_spans" -> (dupSpans _),
+    "dup_coverage" -> (dupCoverage _),
     "source_overlap" -> (sourceOverlap _))
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -110,6 +115,37 @@ object CorpusQueries extends QueryGroup {
          |      AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS dup_span_ratio
          |FROM pd JOIN ds USING (s) GROUP BY 1""".stripMargin,
+    // merged-interval union length via gaps-and-islands: both engines
+    // run the identical integer window recurrence (new island when the
+    // 1-based position exceeds the running max interval end; coverage =
+    // max−min+n per island, base-invariant), so covered_tokens is an
+    // exact integer on both sides
+    "dup_coverage" ->
+      s"""WITH ${gramCte(8)},
+         |pos AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s, i AS p
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 6)) AS u(i)),
+         |dup AS (SELECT s FROM (
+         |  SELECT s, COUNT(DISTINCT doc_id) AS nd
+         |  FROM pos GROUP BY 1) WHERE nd >= 2),
+         |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (s)),
+         |isl AS (SELECT doc_id, p,
+         |  CASE WHEN p > COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id
+         |    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    -1) THEN 1 ELSE 0 END AS newi
+         |  FROM dp),
+         |grp AS (SELECT doc_id, p,
+         |  SUM(newi) OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM isl),
+         |cov AS (SELECT doc_id,
+         |  CAST(SUM(mx - mn + 8) AS BIGINT) AS covered_tokens
+         |  FROM (SELECT doc_id, island, MAX(p) AS mx, MIN(p) AS mn
+         |        FROM grp GROUP BY 1, 2) GROUP BY 1)
+         |SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+         |  CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE)
+         |    / CAST(len($toks) AS DOUBLE) AS coverage_ratio
+         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id"""
+        .stripMargin,
     "source_overlap" ->
       s"""WITH ${gramCte(8)},
          |sh AS (SELECT DISTINCT source, s FROM occ)

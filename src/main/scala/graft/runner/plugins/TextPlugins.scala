@@ -154,18 +154,24 @@ object TextSpanAuditPlugin extends StepPlugin {
 
     val docs = ctx.spark.read.parquet(in)
     val spansPath = s"$outDir/dup_spans.parquet"
+    val coveragePath = s"$outDir/dup_coverage.parquet"
     val overlapPath = s"$outDir/source_overlap.parquet"
     SpanDedup.dupSpans(docs, idCol, col(textCol), n)
       .write.mode("overwrite").parquet(spansPath)
+    SpanDedup.dupCoverage(docs, idCol, col(textCol), n)
+      .write.mode("overwrite").parquet(coveragePath)
     SpanDedup.sourceOverlap(docs, idCol, srcCol, col(textCol), n,
         maxSourcesPerShingle = cap)
       .write.mode("overwrite").parquet(overlapPath)
-    val spans = ctx.spark.read.parquet(spansPath)
-    val flagged = spans.filter(col("dup_span_ratio") >= flagRatio).count()
+    val coverage = ctx.spark.read.parquet(coveragePath)
+    // flag on the merged-interval coverage, not raw position counts:
+    // overlapping spans would overstate how much text is copied
+    val flagged = coverage.filter(col("coverage_ratio") >= flagRatio).count()
     StepResult(Map(
       "dup_spans_path" -> spansPath,
+      "dup_coverage_path" -> coveragePath,
       "source_overlap_path" -> overlapPath,
-      "n_docs" -> spans.count(),
+      "n_docs" -> coverage.count(),
       "n_flagged" -> flagged,
       "n_source_pairs" -> ctx.spark.read.parquet(overlapPath).count()))
   }

@@ -361,6 +361,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // a broadcast there OOMs the moment the corpus outgrows one
     // executor, and any non-equi fallback is O(n²)
     Seq(queries.CorpusQueries.dupSpans(spark, sf),
+      queries.CorpusQueries.dupCoverage(spark, sf),
       queries.CorpusQueries.sourceOverlap(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("BroadcastHashJoin") &&

@@ -76,6 +76,32 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out(3L) == (1L, 0L, 0L))
   }
 
+  test("SpanDedup.dupCoverage: overlapping spans merge; split islands " +
+    "sum; short/clean docs emit zero rows") {
+    val d = Seq(
+      // docs 1+2 share the run "a b c d e": 3-gram positions 0,1,2 ->
+      // intervals [0,2],[1,3],[2,4] merge to ONE island of 5 tokens
+      (1L, "a b c d e x y"),
+      (2L, "a b c d e p q"),
+      // doc 4 repeats doc 5's "a b c" at positions 0 and 7 -> two
+      // separate islands of 3, summing to 6
+      (4L, "a b c q r s t a b c"),
+      (5L, "a b c m"),
+      // no cross-doc repeats; shorter than n
+      (3L, "z z z"), (6L, "q"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dupCoverage(d, "doc_id", col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens")))
+      .toMap
+    assert(out(1L) == (7L, 5L)) // merged island, not 3 x 3 = 9
+    assert(out(2L) == (7L, 5L))
+    assert(out(4L) == (10L, 6L)) // two islands of 3
+    assert(out(5L) == (4L, 3L))
+    assert(out(3L) == (3L, 0L)) // clean doc still emits a row
+    assert(out(6L) == (1L, 0L)) // sub-n doc still emits a row
+  }
+
   test("SpanDedup.sourceOverlap: unordered pairs, distinct shingles, cap") {
     val d = Seq(
       (1L, "a b c", "s1"), (2L, "a b z", "s2"), (3L, "b c y", "s2"),

@@ -73,6 +73,7 @@ class ExamplesSpec extends SparkSpecBase {
     try {
       val files = stream.iterator().asScala.map(_.toString).toSeq
       assert(files.exists(_.contains("dup_spans.parquet")))
+      assert(files.exists(_.contains("dup_coverage.parquet")))
       assert(files.exists(_.contains("source_overlap.parquet")))
       assert(files.exists(_.contains("term_topk.parquet")))
       assert(files.exists(_.contains("inverted_index.parquet")))
