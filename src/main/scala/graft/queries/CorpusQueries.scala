@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
-import graft.operators.{SpanDedup, TermIndex}
+import graft.operators.{Resample, Scrub, SpanDedup, TermIndex}
 
 /** Corpus-curation term/span analytics over `documents`: distinctive-term
   * extraction, corpus-frequency quality scoring, inverted-index
@@ -43,13 +43,68 @@ object CorpusQueries extends QueryGroup {
     SpanDedup.dupCoverage(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 8)
 
+  /** Domain-mixture weights for the resample query: sources src0..19
+    * rebalanced to a 1:2:3:4 cycling target share of a 1000-row budget
+    * — small sources upsample (copies ≥ 2), big ones hash-thin. */
+  private val mixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (1.0 + i % 4)).toMap
+
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame =
+    Resample.toMixture(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      col("doc_id"), col("source"), mixWeights, budget = 1000L)
+      .select("doc_id", "source", "copy_idx")
+
+  /** PII text synthesized deterministically from (doc_id, source) —
+    * the corpus itself is digit-free, so both engines build the same
+    * email/IP/phone-bearing string and the scrub counts are nonzero
+    * and doc-varying (the `doc_id % 3` gateway IP toggles n_ips). */
+  private def synthPii(c: DataFrame): Column = concat(
+    lit("reach "), col("source"), lit("@mail.example.com or "),
+    col("source"), lit(".ops@example.org from 10."),
+    (col("doc_id") % 200).cast("string"), lit(".0."),
+    (col("doc_id") % 250).cast("string"),
+    when(col("doc_id") % 3 === 0, lit(" gw 192.168.1.1"))
+      .otherwise(lit("")),
+    lit(" tel 555-01"),
+    lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+    lit(" "), col("text"))
+
+  private val synthPiiSql =
+    "'reach ' || source || '@mail.example.com or ' || source || " +
+      "'.ops@example.org from 10.' || CAST(doc_id % 200 AS VARCHAR) || " +
+      "'.0.' || CAST(doc_id % 250 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' gw 192.168.1.1' ELSE '' END || " +
+      "' tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || " +
+      "' ' || text"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Scrub.scrub(d, col("doc_id"), synthPii(d))
+  }
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct("term").as("distinct_terms"),
+        (countDistinct("term").cast("double") /
+          count(lit(1)).cast("double")).as("type_token_ratio"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_topk" -> (tfidfTopK _),
     "token_rarity" -> (tokenRarity _),
     "inverted_index" -> (invertedIndex _),
     "dup_spans" -> (dupSpans _),
     "dup_coverage" -> (dupCoverage _),
-    "source_overlap" -> (sourceOverlap _))
+    "source_overlap" -> (sourceOverlap _),
+    "mixture_resample" -> (mixtureResample _),
+    "pii_scrub" -> (piiScrub _),
+    "vocab_growth" -> (vocabGrowth _))
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -152,5 +207,19 @@ object CorpusQueries extends QueryGroup {
          |SELECT a.source AS source_a, b.source AS source_b,
          |  CAST(COUNT(*) AS BIGINT) AS shared_shingles
          |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    "mixture_resample" -> Resample.oracleSql(
+      "(SELECT doc_id, source FROM documents)", "doc_id", "source",
+      mixWeights, budget = 1000L),
+    "pii_scrub" -> Scrub.oracleSql(synthPiiSql, "documents"),
+    "vocab_growth" ->
+      s"""WITH tok AS (
+         |  SELECT source, doc_id, unnest($toks) AS term FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         |  CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+         |  CAST(COUNT(DISTINCT term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS type_token_ratio
+         |FROM tok GROUP BY 1""".stripMargin)
 }

@@ -17,6 +17,17 @@ class PlanShapeSpec extends SparkSpecBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("mixture_resample broadcasts the per-stratum factors (no fact shuffle)") {
+    val p = plan(queries.CorpusQueries.mixtureResample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("pii_scrub is a stateless single-stage projection (no exchange)") {
+    val p = plan(queries.CorpusQueries.piiScrub(spark, sf))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("j1_multiply broadcasts the part dimension (no shuffle of facts)") {
     val p = plan(queries.RelationalQueries.j1Multiply(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
