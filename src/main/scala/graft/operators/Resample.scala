@@ -36,7 +36,14 @@ object Resample {
   private val salt = ":mix"
 
   /** One output row per (input row, copy_idx), copy_idx ∈ 1..copies.
-    * Strata missing from `weights` get `defaultWeight` (0 ⇒ dropped). */
+    *
+    * Budget accounting: shares are relative to the sum of the LISTED
+    * weights — listing every stratum makes the expected output exactly
+    * `budget` rows. A stratum missing from `weights` contributes an
+    * ADDITIONAL `defaultWeight / Σweights · budget` expected rows
+    * (0 ⇒ dropped); the per-stratum set need not be known up front,
+    * which is what keeps the targets driver-resolvable constants that
+    * the SQL oracle can reproduce literally. */
   def toMixture(df: DataFrame, id: Column, stratum: Column,
                 weights: Map[String, Double], budget: Long,
                 defaultWeight: Double = 0.0): DataFrame = {

@@ -152,5 +152,6 @@ object DefaultRegistry {
     JdbcWritePlugin,
     PublishTargetPlugin,
     TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin,
-    TextSpanAuditPlugin, TextTermIndexPlugin))
+    TextSpanAuditPlugin, TextTermIndexPlugin,
+    TextResamplePlugin, TextScrubPlugin))
 }

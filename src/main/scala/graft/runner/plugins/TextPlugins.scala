@@ -2,8 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Fingerprint, LangId, SpanDedup,
-  TermIndex, TextStats}
+import graft.operators.{Components, Dedup, Fingerprint, LangId, Resample,
+  Scrub, SpanDedup, TermIndex, TextStats}
 import graft.runner._
 
 /** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
@@ -174,6 +174,73 @@ object TextSpanAuditPlugin extends StepPlugin {
       "n_docs" -> coverage.count(),
       "n_flagged" -> flagged,
       "n_source_pairs" -> ctx.spark.read.parquet(overlapPath).count()))
+  }
+}
+
+/** `text_resample` — domain-mixture rebalancing as a step
+  * ([[Resample.toMixture]]): replicate/thin each stratum to its target
+  * share of a row budget, deterministically.
+  *
+  * Args: `input`, `output_path`, `budget` (rows), `weights` (YAML map
+  * stratum → weight), optional `id_col` (doc_id), `stratum_col`
+  * (source), `default_weight` (0 = drop unlisted strata).
+  */
+object TextResamplePlugin extends StepPlugin {
+  val name = "text_resample"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val budget = ctx.argStr("budget").toLong
+    val weights = ctx.argOpt("weights") match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) =>
+        k.toString -> v.toString.toDouble }
+      case _ => sys.error("text_resample: 'weights' map is required")
+    }
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val stCol = ctx.argOpt("stratum_col").map(_.toString).getOrElse("source")
+    val defW = ctx.argOpt("default_weight").map(_.toString.toDouble)
+      .getOrElse(0.0)
+
+    val docs = ctx.spark.read.parquet(in)
+    Resample.toMixture(docs, col(idCol), col(stCol), weights, budget, defW)
+      .write.mode("overwrite").parquet(out)
+    val outDf = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out,
+      "n_in" -> docs.count(), "n_out" -> outDf.count()))
+  }
+}
+
+/** `text_scrub` — PII redaction as a step ([[Scrub.scrub]]): rewrite
+  * the text column with emails/IPs/phones replaced by sentinels, and
+  * report corpus-wide redaction counts.
+  *
+  * Args: `input`, `output_path`, optional `id_col` (doc_id),
+  * `text_col` (text).
+  */
+object TextScrubPlugin extends StepPlugin {
+  val name = "text_scrub"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+
+    val docs = ctx.spark.read.parquet(in)
+    val scrubbed = Scrub.scrub(docs, col(idCol), col(textCol))
+    docs.drop(textCol)
+      .join(scrubbed.withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("clean", textCol), Seq(idCol))
+      .write.mode("overwrite").parquet(out)
+    val totals = scrubbed.agg(coalesce(sum("n_emails"), lit(0L)),
+      coalesce(sum("n_ips"), lit(0L)),
+      coalesce(sum("n_phones"), lit(0L))).head()
+    StepResult(Map("output_path" -> out,
+      "n_docs" -> ctx.spark.read.parquet(out).count(),
+      "n_emails" -> totals.getLong(0),
+      "n_ips" -> totals.getLong(1),
+      "n_phones" -> totals.getLong(2)))
   }
 }
 

@@ -81,6 +81,28 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("examples/training_cut.yml runs: scrub then mixture resample") {
+    val (work, res) = run("training_cut.yml")
+    assert(res.results.size == 2)
+    val scrub = res.results(0).fields
+    // the corpus is digit-free, so real redaction counts are zero —
+    // the step still rewrites the text column end to end
+    assert(scrub("n_docs").asInstanceOf[Long] > 0L)
+    val mix = res.results(1).fields
+    val nOut = mix("n_out").asInstanceOf[Long]
+    // listed weights (src0+src1 = 8) split the 200-row budget → 100
+    // each; the 18 unlisted sources add default_weight/8 · 200 = 25
+    // each → expectation 650, ± per-stratum Bernoulli jitter
+    assert(nOut > 620L && nOut < 680L, s"got $mix")
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(work)
+    try {
+      val files = stream.iterator().asScala.map(_.toString).toSeq
+      assert(files.exists(_.contains("scrubbed.parquet")))
+      assert(files.exists(_.contains("mixture.parquet")))
+    } finally stream.close()
+  }
+
   test("near_dup_audit re-run is ledger-skipped (idempotent steps)") {
     val work = Files.createTempDirectory("graft_examples_rerun")
     val runner = makeRunner(work)
