@@ -206,4 +206,29 @@ object Components {
     connected(edges, aCol, bCol)
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("keeper"))
+
+  /** Quality-aware keeper selection: per duplicate cluster, keep the
+    * member with the HIGHEST score (ties broken by min id) instead of
+    * [[clusters]]' min-id convention — a near-dup cluster usually holds
+    * one clean original plus truncated/boilerplated copies, and a real
+    * corpus clean wants the best one, not the numerically first.
+    *
+    * `scores` is (idCol, scoreCol), e.g. token counts or a quality
+    * battery output. One hash join on member id (components are tiny
+    * relative to the corpus) + one window keyed by component — the same
+    * shuffle shape as [[clusters]]. */
+  def bestKeepers(edges: DataFrame, aCol: String, bCol: String,
+                  scores: DataFrame, idCol: String,
+                  scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val ranked = connected(edges, aCol, bCol)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        "id")
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__s").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+    ranked.filter(col("__rn") === 1)
+      .select(col("component"), col("n_members"),
+        col("id").as("keeper"), col("__s").as("keeper_score"))
+  }
 }

@@ -140,6 +140,18 @@ object TextQueries extends QueryGroup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Components.clusters(candidatePairs(spark, dir), "doc_a", "doc_b")
 
+  /** Quality-aware cluster canonicalization: keep each near-dup
+    * cluster's LONGEST member (token count as the quality score, min
+    * id on ties) — the "keep the best copy" convention real corpus
+    * cleans use, vs [[dedupClusters]]' min-id keeper
+    * ([[Components.bestKeepers]] over the shared J ≥ 0.5 pairs). */
+  def dedupBestKeeper(spark: SparkSession, dir: String): DataFrame =
+    Components.bestKeepers(candidatePairs(spark, dir), "doc_a", "doc_b",
+      scores = Tables.documents(spark, dir).select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens")),
+      idCol = "doc_id", scoreCol = "n_tokens")
+
   /** Candidate verification by edit distance: the n-gram Jaccard
     * near-dup pairs re-checked with full Levenshtein — the expensive
     * exact measure applied ONLY to the pruned candidate set (the
@@ -251,6 +263,7 @@ object TextQueries extends QueryGroup {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_dist" -> (dedupComponentsDist _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_best_keeper" -> (dedupBestKeeper _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
@@ -475,6 +488,18 @@ object TextQueries extends QueryGroup {
       s"""WITH comp AS ($componentsOracle)
          |SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS keeper
          |FROM comp GROUP BY 1""".stripMargin,
+    "dedup_best_keeper" ->
+      s"""WITH comp AS ($componentsOracle),
+         |tk AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT component, c.doc_id, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY n_tokens DESC, c.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY component) AS n_members
+         |  FROM comp c JOIN tk USING (doc_id))
+         |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keeper, n_tokens AS keeper_score
+         |FROM r WHERE rn = 1""".stripMargin,
     // 8-gram overlap vs the every-10th-doc benchmark set; Spark counts
     // distinct shingle HASHES, the oracle distinct n-gram STRINGS —
     // equal counts (the dedup_jaccard equivalence)

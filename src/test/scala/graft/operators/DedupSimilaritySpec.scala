@@ -86,6 +86,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cl == Map(1L -> (3L, 1L), 5L -> (2L, 5L)))
   }
 
+  test("Components.bestKeepers: highest score wins, min id on ties") {
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 7L))
+      .toDF("id", "len")
+    val got = Components.bestKeepers(edges, "a", "b", scores, "id", "len")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // cluster 1: docs 2 and 3 tie at 30 -> min id 2; cluster 5: tie -> 5
+    assert(got == Map(1L -> (3L, 2L, 30L), 5L -> (2L, 5L, 7L)))
+  }
+
   test("Components: reliable checkpoint path matches; non-convergence throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
       .toString
