@@ -96,7 +96,14 @@ object Bench {
     // inter-query contention — the numbers that stay comparable across
     // rounds (concurrent latencies inflate whenever the battery grows);
     // the graded wall stays the concurrent one (that is how an engine
-    // actually serves a workload)
+    // actually serves a workload).
+    // Re-warm the shared caches first: two full concurrent passes can
+    // evict the persisted shingle/candidate-pair blocks under storage
+    // pressure, and whichever consumer then runs first would be billed
+    // the whole REBUILD (measured: dedup_clusters 0.6 s warm vs 12 s
+    // after eviction) — the pass should measure queries, not eviction
+    // order
+    try CoreWarmup.run(spark, sfDir) catch { case _: Throwable => () }
     val seqT0 = System.nanoTime()
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
