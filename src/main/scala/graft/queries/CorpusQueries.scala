@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
-import graft.operators.{Resample, Scrub, SpanDedup, TermIndex}
+import graft.functions.Exact
+import graft.operators.{Dsir, NgramLm, Resample, Scrub, SpanDedup, TermIndex}
 
 /** Corpus-curation term/span analytics over `documents`: distinctive-term
   * extraction, corpus-frequency quality scoring, inverted-index
@@ -95,7 +96,30 @@ object CorpusQueries extends QueryGroup {
         (countDistinct("term").cast("double") /
           count(lit(1)).cast("double")).as("type_token_ratio"))
 
+  /** Bigram-LM corpus-fit scoring under the oracle: every 10th doc is
+    * the training slice (the decontaminate convention), the rest are
+    * scored ([[graft.operators.NgramLm]] — rational branching-factor
+    * form; see the operator scaladoc for why not `ln`-perplexity). */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    NgramLm.score(
+      docs = d.filter(col("doc_id") % 10 =!= 0),
+      lmDocs = d.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", text = col("text"))
+  }
+
+  /** DSIR importance weights under the oracle: English docs play the
+    * target distribution, the whole corpus is raw
+    * ([[graft.operators.Dsir]], B = 512 md5 buckets). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dsir.weights(docs = d, target = d.filter(col("lang") === "en"),
+      idCol = "doc_id", text = col("text"), b = 512)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_lm_score" -> (ngramLmScore _),
+    "dsir_weights" -> (dsirWeights _),
     "tfidf_topk" -> (tfidfTopK _),
     "token_rarity" -> (tokenRarity _),
     "inverted_index" -> (invertedIndex _),
@@ -125,7 +149,63 @@ object CorpusQueries extends QueryGroup {
        |  FROM tok CROSS JOIN unnest(range(1, len(t) - ${n - 2})) AS u(i))"""
       .stripMargin
 
+  /** Decimal-exact mean of a wild-tailed double expression — the
+    * DuckDB twin of Spark's [[Exact.davg]] over IEEE-division addends
+    * (VARCHAR-routed; see [[Exact.sql.dsumStr]]). */
+  private def davgStr(x: String): String =
+    s"${Exact.sql.dsumStr(x)} / COUNT($x)"
+
   def oracles: Map[String, String] = Map(
+    "ngram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+         |sc AS (SELECT * FROM tok WHERE doc_id % 10 != 0),
+         |uni AS (SELECT w, COUNT(*) AS cu
+         |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS vs FROM uni),
+         |bi AS (SELECT t[i] || ' ' || t[i+1] AS sh, COUNT(*) AS cb
+         |  FROM tr CROSS JOIN unnest(range(1, len(t))) AS r(i) GROUP BY 1),
+         |sb AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS sh
+         |  FROM sc CROSS JOIN unnest(range(1, len(t))) AS r(i)),
+         |j AS (SELECT s.doc_id,
+         |    (COALESCE(u.cu, 0) + v.vs) / (COALESCE(b.cb, 0) + 1) AS inv,
+         |    CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM sb s LEFT JOIN bi b USING (sh)
+         |    LEFT JOIN uni u ON s.w1 = u.w CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |    ${davgStr("inv")} AS branching
+         |  FROM j GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.n_oov, 0) AS n_oov,
+         |  CASE WHEN a.n_bigrams > 0
+         |    THEN CAST(a.n_oov AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+         |  END AS oov_rate,
+         |  a.branching
+         |FROM (SELECT doc_id FROM sc) d LEFT JOIN agg a USING (doc_id)"""
+        .stripMargin,
+    "dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS w
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(w), 1, 6) AS INTEGER) % 512 AS f
+         |  FROM tok),
+         |raw AS (SELECT f, COUNT(*) AS cr FROM f GROUP BY 1),
+         |tgt AS (SELECT f, COUNT(*) AS ct FROM f WHERE lang = 'en'
+         |  GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM f) AS nr,
+         |  (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt),
+         |scored AS (SELECT t.doc_id,
+         |    CAST((COALESCE(g.ct, 0) + 1) * (tot.nr + 512) AS DOUBLE)
+         |      / CAST((COALESCE(r.cr, 0) + 1) * (tot.nt + 512) AS DOUBLE)
+         |      AS ratio
+         |  FROM f t LEFT JOIN raw r USING (f) LEFT JOIN tgt g USING (f)
+         |    CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN ratio > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tgt_leaning,
+         |  ${davgStr("ratio")} AS mean_ratio
+         |FROM scored GROUP BY 1""".stripMargin,
     "tfidf_topk" ->
       s"""WITH $tfCte,
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)

@@ -73,6 +73,14 @@ object VectorQueries extends QueryGroup {
       centroids, k = 5, nprobe = 2)
   }
 
+  /** SemDeDup under the oracle: the same k=8 / 1-refinement k-means
+    * chain the ivf_ann oracle pins, then the within-cluster min-id kill
+    * at the near-dup threshold the cosine battery uses
+    * ([[graft.operators.SemanticDedup]]). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.dedupe(corpus(spark, dir),
+      k = 8, iters = 1, minCosine = 0.3)
+
   /** Top-k over int8-QUANTIZED embeddings — the storage/recall trade a
     * 100 TB ANN index actually ships (quantize at ingest, rank on the
     * 4×-smaller vectors): quantize → dequantize → the same brute-force
@@ -210,6 +218,7 @@ object VectorQueries extends QueryGroup {
     "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
     "ivf_ann" -> (ivfAnn _),
+    "semantic_dedup" -> (semanticDedup _),
     "minhash_signatures" -> (minhashSigs _),
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),
@@ -253,7 +262,57 @@ object VectorQueries extends QueryGroup {
   private val sigMins = (0 until 8)
     .map(i => s"MIN(md5('$i|' || s)) AS m$i").mkString(", ")
 
+  /** Squared-L2 fragment matching [[graft.operators.Ivf]]'s dist2. */
+  private def d2(a: String, b: String) =
+    s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** The full deterministic k-means chain shared by the ivf_ann and
+    * semantic_dedup oracles: k=8 seed centroids (first by id) → assign
+    * (lexicographic tie-break) → one decimal-exact centroid update →
+    * re-assign. `a1` is the refined assignment (id, v, cluster_id). */
+  private val kmeansCte = {
+    val dsumV =
+      "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |init AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) AS cluster_id,
+       |    v AS c
+       |  FROM (SELECT * FROM e ORDER BY id LIMIT 8)),
+       |a0 AS (
+       |  SELECT id, v, cluster_id FROM (
+       |    SELECT e.id, e.v, i.cluster_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${d2("e.v", "i.c")}, i.cluster_id) AS rn
+       |    FROM e, init i) t WHERE rn = 1),
+       |upd AS (
+       |  SELECT cluster_id, i AS pos, $dsumV / COUNT(*) AS m
+       |  FROM a0 CROSS JOIN unnest(range(1, len(v) + 1)) AS t(i)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+       |  FROM upd GROUP BY 1),
+       |a1 AS (
+       |  SELECT id, v, cluster_id FROM (
+       |    SELECT e.id, e.v, ct.cluster_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${d2("e.v", "ct.c")}, ct.cluster_id) AS rn
+       |    FROM e, cent ct) t WHERE rn = 1)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "semantic_dedup" ->
+      s"""WITH $kmeansCte,
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib
+         |  FROM a1 a JOIN a1 b
+         |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+         |k AS (SELECT ib AS id, MIN(ia) AS killer_id FROM pairs
+         |  GROUP BY 1)
+         |SELECT a1.id, a1.cluster_id, k.killer_id,
+         |  k.killer_id IS NULL AS keep
+         |FROM a1 LEFT JOIN k USING (id)""".stripMargin,
     "minhash_signatures" ->
       s"""WITH $shingleCte
          |SELECT doc_id, COUNT(*) AS n_shingles,
@@ -261,36 +320,7 @@ object VectorQueries extends QueryGroup {
              .mkString(" || '_' || ")} AS sig_str
          |FROM sh GROUP BY doc_id""".stripMargin,
     "ivf_ann" -> {
-      // the full deterministic IVF chain: k=8 seed centroids (first by
-      // id) → assign (lexicographic tie-break) → one decimal-exact
-      // k-means update → re-assign → nprobe=2 probes → top-5 by cosine
-      def d2(a: String, b: String) =
-        s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
-      val dsumV =
-        "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |init AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) AS cluster_id,
-         |    v AS c
-         |  FROM (SELECT * FROM e ORDER BY id LIMIT 8)),
-         |a0 AS (
-         |  SELECT id, v, cluster_id FROM (
-         |    SELECT e.id, e.v, i.cluster_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.id
-         |        ORDER BY ${d2("e.v", "i.c")}, i.cluster_id) AS rn
-         |    FROM e, init i) t WHERE rn = 1),
-         |upd AS (
-         |  SELECT cluster_id, i AS pos, $dsumV / COUNT(*) AS m
-         |  FROM a0 CROSS JOIN unnest(range(1, len(v) + 1)) AS t(i)
-         |  GROUP BY 1, 2),
-         |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS c
-         |  FROM upd GROUP BY 1),
-         |a1 AS (
-         |  SELECT id, v, cluster_id FROM (
-         |    SELECT e.id, e.v, ct.cluster_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.id
-         |        ORDER BY ${d2("e.v", "ct.c")}, ct.cluster_id) AS rn
-         |    FROM e, cent ct) t WHERE rn = 1),
+      s"""WITH $kmeansCte,
          |probes AS (
          |  SELECT qid, qv, cluster_id FROM (
          |    SELECT q.id AS qid, q.v AS qv, ct.cluster_id,

@@ -548,4 +548,54 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("skew=true"),
       s"no skew-split join in final plan:\n${p.take(4000)}")
   }
+
+  test("ngram_lm_score joins postings shuffle-side; vocab rides a 1-row broadcast") {
+    val df = queries.CorpusQueries.ngramLmScore(spark, sf)
+    val p = plan(df)
+    // bigram/unigram count tables grow with the training slice — they
+    // must join the scored postings by shuffle hash, never broadcast
+    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    // the only nested-loop allowed is the broadcast of the 1-row vocab
+    // aggregate; an unbounded corpus cross join would be a scale bug
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }.foreach { j =>
+      val bounded = Seq(j.left, j.right).exists(side =>
+        side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined)
+      assert(bounded, s"unbounded cross join in plan:\n$j")
+    }
+  }
+
+  test("dsir_weights joins the B-row bucket stats by broadcast (no corpus shuffle for scoring)") {
+    val p = plan(queries.CorpusQueries.dsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the corpus-sized token stream must never sort-merge; the one SMJ
+    // allowed is the constant B-row raw⋈target full-outer stats merge
+    // (full outers can't broadcast), which is scale-independent
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("FullOuter"), s"corpus-sized SMJ leaked:\n$l")
+    }
+  }
+
+  test("semantic_dedup pair search is a cluster-keyed equi-join, not all-pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LocalRelation}
+    val df = queries.VectorQueries.semanticDedup(spark, sf)
+    val p = plan(df)
+    // the SemDeDup contract: within-cluster pairs only → shuffle hash
+    // join keyed on cluster_id, partitioned across executors
+    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    // any conditionless join must have a constant-bounded side (the
+    // k-row centroid LocalRelation from Ivf.train/assign)
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }.foreach { j =>
+      val bounded = Seq(j.left, j.right).exists(side =>
+        side.collectFirst { case g: GlobalLimit => g }.isDefined ||
+          side.collectFirst { case l: LocalRelation => l }.isDefined)
+      assert(bounded, s"unbounded cross join in plan:\n$j")
+    }
+  }
 }
