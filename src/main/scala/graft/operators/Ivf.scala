@@ -25,7 +25,7 @@ import graft.functions.VectorFunctions
   */
 object Ivf {
 
-  private def dist2(a: Column, b: Column): Column = {
+  private[operators] def dist2(a: Column, b: Column): Column = {
     // squared L2 via dots: |a|² − 2a·b + |b|² (same ranking as L2)
     VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
       VectorFunctions.dot(b, b)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+
+/** PageRank over a document graph (north-star scope: graph-structured
+  * corpus analytics — rank documents by how central they sit in a
+  * similarity/link graph, e.g. to pick canonical representatives or
+  * weight sources).
+  *
+  * Fixed-iteration power method, every step a DataFrame op:
+  * contribution = pr/outdeg shipped along edges (one shuffle join per
+  * iteration, keyed by src then grouped by dst), in-mass summed
+  * DECIMAL-exactly ([[Exact.dsum]]) so the result is independent of
+  * partitioning and bit-reproducible against a single-threaded oracle —
+  * the same discipline as [[Components]]' deterministic label loop.
+  * Dangling-node mass is dropped (not redistributed): the standard
+  * simplification, documented so the oracle unrolls the identical
+  * recurrence. Every arithmetic constant is computed ONCE in Scala and
+  * interpolated into the oracle SQL, because e.g. `1.0 − 0.85` in
+  * binary is NOT the double the literal `0.15` parses to.
+  *
+  * Scale shape: per iteration one equi-join edges⋈pr on src (shuffle
+  * hash; edges carry precomputed outdeg) and one hash aggregate by dst
+  * with map-side partial combine. The node frame with its 1-row count
+  * rides a broadcast. Iterations are a fixed small constant — the plan
+  * grows linearly, no driver data movement, no checkpoint needed below
+  * ~10 iterations (beyond that, persist per round like Components).
+  */
+object PageRank {
+
+  /** @param nodes one column `id` — the full vertex set (isolated
+    *              vertices keep base rank)
+    * @param edges directed (src, dst); symmetrize first for an
+    *              undirected graph
+    * @return (id, pr) after `iters` power iterations. */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 0)
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    // outdeg precomputed once; edges reused every iteration
+    val eo = edges.join(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val base = nodes.crossJoin(broadcast(n1))
+    var pr = base.select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iters).foreach { _ =>
+      val inMass = eo
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy("id").agg(Exact.dsum(col("c")).as("m"))
+      pr = base.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping)) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}

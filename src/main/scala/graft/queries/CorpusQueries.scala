@@ -117,7 +117,18 @@ object CorpusQueries extends QueryGroup {
       idCol = "doc_id", text = col("text"), b = 512)
   }
 
+  /** Length-first curriculum position under the oracle: global rank by
+    * (token count asc, doc_id asc) via the distributed two-pass prefix
+    * ([[graft.operators.Curriculum]] — identical by construction to the
+    * naive global window the oracle runs). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curriculum.order(Tables.documents(spark, dir),
+        col("doc_id"),
+        size(graft.operators.TextStats.tokens(col("text"))).cast("long"))
+      .withColumnRenamed("id", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_order" -> (curriculumOrder _),
     "ngram_lm_score" -> (ngramLmScore _),
     "dsir_weights" -> (dsirWeights _),
     "tfidf_topk" -> (tfidfTopK _),
@@ -156,6 +167,12 @@ object CorpusQueries extends QueryGroup {
     s"${Exact.sql.dsumStr(x)} / COUNT($x)"
 
   def oracles: Map[String, String] = Map(
+    "curriculum_order" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS difficulty,
+         |  ROW_NUMBER() OVER (ORDER BY CAST(len($toks) AS BIGINT), doc_id)
+         |    AS pos
+         |FROM documents""".stripMargin,
     "ngram_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |tr AS (SELECT * FROM tok WHERE doc_id % 10 = 0),

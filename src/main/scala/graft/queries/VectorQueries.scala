@@ -81,6 +81,30 @@ object VectorQueries extends QueryGroup {
     graft.operators.SemanticDedup.dedupe(corpus(spark, dir),
       k = 8, iters = 1, minCosine = 0.3)
 
+  /** PageRank over the similarity graph under the oracle: near-dup
+    * pairs (cosine ≥ 0.3, the production BLOCKED plan — bit-equal to
+    * the oracle's brute-force pair set by construction) symmetrized as
+    * edges, all vectors as vertices, two power iterations
+    * ([[graft.operators.PageRank]]). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val pairs = Similarity.nearDupPairsBlocked(c, 0.3, k = 8)
+      .select("id_a", "id_b")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.operators.PageRank.run(c.select("id"), edges, iters = 2)
+  }
+
+  /** Per-label centroid outlier audit under the oracle
+    * ([[graft.operators.Outliers]]): top-5 farthest vectors per label
+    * by squared L2 to the label's decimal-exact centroid. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.byGroup(
+      Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+        col("label").as("grp"),
+        Similarity.asDouble(col("embedding")).as("vec")), k = 5)
+
   /** Top-k over int8-QUANTIZED embeddings — the storage/recall trade a
     * 100 TB ANN index actually ships (quantize at ingest, rank on the
     * 4×-smaller vectors): quantize → dequantize → the same brute-force
@@ -219,6 +243,8 @@ object VectorQueries extends QueryGroup {
     "lsh_ann" -> (lshAnn _),
     "ivf_ann" -> (ivfAnn _),
     "semantic_dedup" -> (semanticDedup _),
+    "pagerank" -> (pagerank _),
+    "embedding_outliers" -> (embeddingOutliers _),
     "minhash_signatures" -> (minhashSigs _),
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),
@@ -298,7 +324,57 @@ object VectorQueries extends QueryGroup {
        |    FROM e, cent ct) t WHERE rn = 1)""".stripMargin
   }
 
+  /** Two unrolled PageRank iterations over the near-dup pair graph.
+    * Constants are interpolated from the SAME Scala doubles the engine
+    * uses: `1.0 − 0.85` in binary is not the double `0.15` parses to,
+    * so the oracle must print the computed value, not the pretty one. */
+  private val pagerankOracle: String = {
+    val d = 0.85
+    val cosAB = "list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    def iter(i: Int, prev: String): String =
+      s"""c$i AS (SELECT ed.dst AS id, p.pr / deg.outdeg AS c
+         |  FROM ed JOIN $prev p ON ed.src = p.id
+         |    JOIN deg ON ed.src = deg.src),
+         |m$i AS (SELECT id, ${graft.functions.Exact.sql.dsumStr("c")} AS m
+         |  FROM c$i GROUP BY 1),
+         |pr$i AS (SELECT e.id, ${1.0 - d} / nn.n +
+         |    $d * COALESCE(m$i.m, 0.0) AS pr
+         |  FROM e CROSS JOIN nn LEFT JOIN m$i ON e.id = m$i.id)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.id AS ia, b.id AS ib FROM e a JOIN e b
+       |  ON a.id < b.id WHERE $cosAB >= 0.3),
+       |ed AS (SELECT ia AS src, ib AS dst FROM p
+       |  UNION ALL SELECT ib AS src, ia AS dst FROM p),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |pr0 AS (SELECT e.id, 1.0 / nn.n AS pr FROM e CROSS JOIN nn),
+       |${iter(1, "pr0")},
+       |${iter(2, "pr1")}
+       |SELECT id, pr FROM pr2""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "pagerank" -> pagerankOracle,
+    "embedding_outliers" -> {
+      val dsumV =
+        "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH e AS (SELECT vec_id AS id, label AS grp,
+         |  embedding::DOUBLE[] AS v FROM embeddings),
+         |upd AS (SELECT grp, i AS pos, $dsumV / COUNT(*) AS m
+         |  FROM e CROSS JOIN unnest(range(1, len(v) + 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT grp, list(m ORDER BY pos) AS c
+         |  FROM upd GROUP BY 1),
+         |d AS (SELECT e.id, e.grp, ${d2("e.v", "cent.c")} AS sq_dist
+         |  FROM e JOIN cent USING (grp))
+         |SELECT id, grp, sq_dist, CAST(rank AS INT) AS rank,
+         |  rank <= 5 AS is_outlier
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+         |  ORDER BY sq_dist DESC, id) AS rank FROM d)""".stripMargin
+    },
     "semantic_dedup" ->
       s"""WITH $kmeansCte,
          |pairs AS (

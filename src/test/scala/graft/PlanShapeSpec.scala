@@ -580,6 +580,56 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("curriculum_order: no corpus-sized global window (two-pass rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // worst case for the naive ROW_NUMBER() OVER (ORDER BY ...): the
+    // whole corpus funnels into one task. The two-pass form may only
+    // run an unpartitioned window over the bounded per-bucket counts.
+    val docs = spark.range(1, 5001).toDF("doc_id")
+      .withColumn("diff", col("doc_id") % 977)
+    val ranked = operators.Curriculum.order(docs, col("doc_id"),
+      col("diff"), buckets = 8)
+    val wins = ranked.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val bucketKeyed = w.partitionSpec.exists(
+        _.references.exists(_.name == "__bucket"))
+      val boundedInput =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined
+      assert(bucketKeyed || boundedInput,
+        s"corpus-sized global window:\n$w")
+    }
+  }
+
+  test("pagerank iteration joins are equi-joins; only the 1-row count crosses") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = queries.VectorQueries.pagerank(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }.foreach { j =>
+      // bounded cross sides: the 1-row node-count aggregate, or the
+      // constant-k centroid machinery inside the blocked pair search
+      import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalRelation}
+      val bounded = Seq(j.left, j.right).exists(side =>
+        side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined ||
+          side.collectFirst { case g: GlobalLimit => g }.isDefined ||
+          side.collectFirst { case l: LocalRelation => l }.isDefined)
+      assert(bounded, s"unbounded cross join in plan:\n$j")
+    }
+  }
+
+  test("embedding_outliers broadcasts the per-group centroids") {
+    val p = plan(queries.VectorQueries.embeddingOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+  }
+
   test("semantic_dedup pair search is a cluster-keyed equi-join, not all-pairs") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LocalRelation}
     val df = queries.VectorQueries.semanticDedup(spark, sf)
