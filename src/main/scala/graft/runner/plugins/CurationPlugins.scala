@@ -1,0 +1,194 @@
+package graft.runner.plugins
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curriculum, Dsir, NgramLm, Outliers, PageRank,
+  SemanticDedup, Similarity, TextStats}
+import graft.runner._
+
+/** The round-6 curation/analytics operators as runner plugins (SURVEY
+  * §7 step 6) — same library the oracle battery verifies, addressable
+  * from YAML pipelines.
+  */
+
+/** `text_lm_score` — bigram-LM corpus-fit scoring ([[NgramLm.score]]).
+  *
+  * Args: `input`, `output_path`; the training slice is either
+  * `lm_input` (its own parquet) or carved from `input` by
+  * `train_mod` (default 10: ids ≡ 0 mod m train, the rest scored).
+  * Optional `id_col` (doc_id), `text_col` (text).
+  */
+object TextLmScorePlugin extends StepPlugin {
+  val name = "text_lm_score"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val docs = ctx.spark.read.parquet(in)
+    val (lm, scored) = ctx.argOpt("lm_input") match {
+      case Some(p) => (ctx.spark.read.parquet(p.toString), docs)
+      case None =>
+        val m = ctx.argOpt("train_mod").map(_.toString.toInt).getOrElse(10)
+        (docs.filter(col(idCol) % m === 0),
+          docs.filter(col(idCol) % m =!= 0))
+    }
+    NgramLm.score(scored, lm, idCol, col(textCol))
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_scored" -> res.count(),
+      "n_oov_docs" -> res.filter(col("n_oov") > 0).count()))
+  }
+}
+
+/** `text_dsir` — DSIR importance weights ([[Dsir.weights]]).
+  *
+  * Args: `input`, `output_path`, and the target slice as either
+  * `target_input` (parquet) or `target_where` (a SQL predicate over
+  * the input, e.g. `lang = 'en'`). Optional `id_col`, `text_col`,
+  * `buckets` (default 512).
+  */
+object TextDsirPlugin extends StepPlugin {
+  val name = "text_dsir"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val b = ctx.argOpt("buckets").map(_.toString.toInt).getOrElse(512)
+    val docs = ctx.spark.read.parquet(in)
+    val target = (ctx.argOpt("target_input"), ctx.argOpt("target_where")) match {
+      case (Some(p), _) => ctx.spark.read.parquet(p.toString)
+      case (None, Some(w)) => docs.filter(expr(w.toString))
+      case _ => sys.error(
+        "text_dsir: one of 'target_input' / 'target_where' is required")
+    }
+    Dsir.weights(docs, target, idCol, col(textCol), b)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_docs" -> res.count()))
+  }
+}
+
+/** `text_curriculum` — global training-order rank
+  * ([[Curriculum.order]]), difficulty = whitespace token count of
+  * `text_col` or any SQL expression via `difficulty_expr`.
+  *
+  * Args: `input`, `output_path`, optional `id_col`, `text_col`,
+  * `difficulty_expr`, `buckets` (default 64).
+  */
+object TextCurriculumPlugin extends StepPlugin {
+  val name = "text_curriculum"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val buckets = ctx.argOpt("buckets").map(_.toString.toInt).getOrElse(64)
+    val diff = ctx.argOpt("difficulty_expr").map(e => expr(e.toString))
+      .getOrElse(size(TextStats.tokens(col(textCol))).cast("long"))
+    val docs = ctx.spark.read.parquet(in)
+    Curriculum.order(docs, col(idCol), diff, buckets)
+      .withColumnRenamed("id", idCol)
+      .write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out,
+      "n_docs" -> ctx.spark.read.parquet(out).count()))
+  }
+}
+
+/** `embedding_semdedup` — SemDeDup over an embeddings table
+  * ([[SemanticDedup.dedupe]]): write the per-vector verdict, and
+  * optionally the surviving rows.
+  *
+  * Args: `input`, `output_path` (verdicts), optional `keep_path`
+  * (kept input rows), `id_col` (vec_id), `vec_col` (embedding),
+  * `k` (default 8), `iters` (default 1), `min_cosine` (default 0.9).
+  */
+object EmbeddingSemdedupPlugin extends StepPlugin {
+  val name = "embedding_semdedup"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("vec_id")
+    val vecCol = ctx.argOpt("vec_col").map(_.toString).getOrElse("embedding")
+    val k = ctx.argOpt("k").map(_.toString.toInt).getOrElse(8)
+    val iters = ctx.argOpt("iters").map(_.toString.toInt).getOrElse(1)
+    val minCos = ctx.argOpt("min_cosine").map(_.toString.toDouble)
+      .getOrElse(0.9)
+    val raw = ctx.spark.read.parquet(in)
+    val verdicts = SemanticDedup.dedupe(
+      raw.select(col(idCol).as("id"),
+        Similarity.asDouble(col(vecCol)).as("vec")), k, iters, minCos)
+    verdicts.write.mode("overwrite").parquet(out)
+    val v = ctx.spark.read.parquet(out)
+    ctx.argOpt("keep_path").foreach { kp =>
+      raw.join(v.filter(col("keep")).select(col("id").as(idCol)), Seq(idCol))
+        .write.mode("overwrite").parquet(kp.toString)
+    }
+    StepResult(Map("output_path" -> out, "n_in" -> v.count(),
+      "n_kept" -> v.filter(col("keep")).count()))
+  }
+}
+
+/** `embedding_outliers` — per-group centroid outlier audit
+  * ([[Outliers.byGroup]]).
+  *
+  * Args: `input`, `output_path`, optional `id_col` (vec_id),
+  * `group_col` (label), `vec_col` (embedding), `top_k` (default 5).
+  */
+object EmbeddingOutliersPlugin extends StepPlugin {
+  val name = "embedding_outliers"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("vec_id")
+    val grpCol = ctx.argOpt("group_col").map(_.toString).getOrElse("label")
+    val vecCol = ctx.argOpt("vec_col").map(_.toString).getOrElse("embedding")
+    val k = ctx.argOpt("top_k").map(_.toString.toInt).getOrElse(5)
+    Outliers.byGroup(
+        ctx.spark.read.parquet(in).select(col(idCol).as("id"),
+          col(grpCol).as("grp"),
+          Similarity.asDouble(col(vecCol)).as("vec")), k)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_vectors" -> res.count(),
+      "n_outliers" -> res.filter(col("is_outlier")).count()))
+  }
+}
+
+/** `graph_pagerank` — PageRank over an edge table ([[PageRank.run]]).
+  *
+  * Args: `edges_input` (parquet with `src`,`dst`), `output_path`,
+  * optional `nodes_input` (vertex parquet with `id`; default = distinct
+  * edge endpoints), `iters` (default 5), `damping` (default 0.85),
+  * `symmetric` (default false: add reverse edges first).
+  */
+object GraphPagerankPlugin extends StepPlugin {
+  val name = "graph_pagerank"
+
+  def run(ctx: StepContext): StepResult = {
+    val ein = ctx.argStr("edges_input")
+    val out = ctx.argStr("output_path")
+    val iters = ctx.argOpt("iters").map(_.toString.toInt).getOrElse(5)
+    val damping = ctx.argOpt("damping").map(_.toString.toDouble)
+      .getOrElse(0.85)
+    val raw = ctx.spark.read.parquet(ein).select("src", "dst")
+    val edges = if (ctx.argBool("symmetric", default = false))
+      raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    else raw
+    val nodes = ctx.argOpt("nodes_input") match {
+      case Some(p) => ctx.spark.read.parquet(p.toString).select("id")
+      case None => edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+    }
+    PageRank.run(nodes, edges, iters, damping)
+      .write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out,
+      "n_nodes" -> ctx.spark.read.parquet(out).count()))
+  }
+}

@@ -153,5 +153,8 @@ object DefaultRegistry {
     PublishTargetPlugin,
     TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin,
     TextSpanAuditPlugin, TextTermIndexPlugin,
-    TextResamplePlugin, TextScrubPlugin))
+    TextResamplePlugin, TextScrubPlugin,
+    TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
+    EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
+    GraphPagerankPlugin))
 }

@@ -170,4 +170,23 @@ class ExamplesSpec extends SparkSpecBase {
     assert(lines.head.startsWith("user_id"))
     assert(lines.size > 10)
   }
+
+  test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank") {
+    val (_, res) = run("curation_suite.yml")
+    assert(res.results.size == 7)
+    val byStep = res.results.map(_.fields)
+    // lm: 10% train slice → 90% scored, some with OOV bigrams
+    assert(byStep(0)("n_scored") == 450L)
+    assert(byStep(0)("n_oov_docs").asInstanceOf[Long] > 0L)
+    assert(byStep(1)("n_docs") == 500L)  // dsir: every doc weighted
+    assert(byStep(2)("n_docs") == 500L)  // curriculum: every doc ranked
+    // semdedup at the near-dup threshold must actually drop vectors
+    val kept = byStep(3)("n_kept").asInstanceOf[Long]
+    assert(byStep(3)("n_in") == 500L && kept < 500L && kept > 0L)
+    // outlier audit runs over the SURVIVORS only
+    assert(byStep(4)("n_vectors") == kept)
+    assert(byStep(4)("n_outliers").asInstanceOf[Long] > 0L)
+    // pagerank: every doc participates in the same-source chain graph
+    assert(byStep(6)("n_nodes") == 500L)
+  }
 }
