@@ -127,7 +127,18 @@ object CorpusQueries extends QueryGroup {
         size(graft.operators.TextStats.tokens(col("text"))).cast("long"))
       .withColumnRenamed("id", "doc_id")
 
+  /** BM25 retrieval under the oracle: the three corpus-frequency-
+    * heaviest terms as queries, top-10 docs each
+    * ([[graft.operators.Bm25]] — rational-idf form; see the operator
+    * scaladoc for why not `ln`). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Bm25.topK(d, "doc_id", col("text"),
+      graft.operators.Bm25.topTerms(d, "doc_id", col("text"), 3), k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25TopK _),
     "curriculum_order" -> (curriculumOrder _),
     "ngram_lm_score" -> (ngramLmScore _),
     "dsir_weights" -> (dsirWeights _),
@@ -166,7 +177,40 @@ object CorpusQueries extends QueryGroup {
   private def davgStr(x: String): String =
     s"${Exact.sql.dsumStr(x)} / COUNT($x)"
 
+  /** BM25 constants interpolated from the engine's own Scala doubles
+    * (the pagerank-oracle rule: printed-and-reparsed is identity for
+    * doubles) and CAST to DOUBLE explicitly: a bare DuckDB numeric
+    * literal is DECIMAL, and decimal intermediate arithmetic
+    * (`3 * 2.2` → exact 6.6) rounds differently from the double chain
+    * Spark runs (measured: 1-ulp score drift on 8/30 rows). */
+  private val bm25Oracle: String = {
+    val (k1, b) = (1.2, 0.75)
+    def dbl(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+       |tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term FROM (
+       |    SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+       |  ORDER BY cf DESC, term LIMIT 3),
+       |st AS (SELECT COUNT(*) AS n, ${Exact.sql.davg("dl")} AS avgdl
+       |  FROM dl),
+       |s AS (SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+       |    ((st.n - dfreq.df + ${dbl(0.5)}) / (dfreq.df + ${dbl(0.5)})) *
+       |    ((tf.tf * ${dbl(k1 + 1)}) /
+       |     (tf.tf + ${dbl(k1)} * (${dbl(1 - b)} +
+       |      ${dbl(b)} * dl.dl / st.avgdl))) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN st)
+       |SELECT term, doc_id, tf, df, dl, score, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+       |  ORDER BY score DESC, doc_id) AS rank FROM s)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25Oracle,
     "curriculum_order" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS difficulty,

@@ -630,6 +630,20 @@ class PlanShapeSpec extends SparkSpecBase {
       p.take(4000))
   }
 
+  test("bm25_topk: query terms and corpus stats broadcast; rank window per term") {
+    val df = queries.CorpusQueries.bm25TopK(spark, sf)
+    val p = plan(df)
+    // the 3-term query set and the 1-row (N, avgdl) stats must ride
+    // broadcasts onto the postings — never shuffle the corpus for them
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // no global (unpartitioned) window over the corpus: every window
+    // here partitions by the query term
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
   test("semantic_dedup pair search is a cluster-keyed equi-join, not all-pairs") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LocalRelation}
     val df = queries.VectorQueries.semanticDedup(spark, sf)

@@ -68,6 +68,31 @@ class GraphOrderOutlierSpec extends SparkSpecBase {
     assert(math.abs(pr(2L) - (base + 0.85 * base)) < 1e-9)
   }
 
+  test("Bm25.topK: rare matching term outranks common one; length normalization bites") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "spark common common common common common common common " +
+        "common common common common common common common common"),
+      (3L, "common rare"),
+      (4L, "common other words here")).toDF("doc_id", "text")
+    val q = Seq("spark", "rare", "common").toDF("term")
+    val out = Bm25.topK(docs, "doc_id", col("text"), q, k = 10)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"))
+        -> r).toMap
+    // df("rare")=1 < df("spark")=2 < df("common")=4 → idf ordering
+    assert(out(("rare", 3L)).getAs[Double]("score") >
+      out(("spark", 1L)).getAs[Double]("score"))
+    // same term: higher tf in a shorter doc wins
+    assert(out(("spark", 1L)).getAs[Double]("score") >
+      out(("spark", 2L)).getAs[Double]("score"))
+    assert(out(("spark", 1L)).getAs[Int]("rank") == 1)
+    // equal tf: the shorter doc wins on length normalization
+    assert(out(("common", 3L)).getAs[Double]("score") >
+      out(("common", 4L)).getAs[Double]("score"))
+    // only matching docs are ranked
+    assert(!out.contains(("rare", 1L)) && !out.contains(("spark", 3L)))
+  }
+
   test("Outliers.byGroup flags the farthest vectors per group") {
     val df = Seq(
       (1L, 0, Seq(0.0, 0.0)), (2L, 0, Seq(0.1, 0.0)),
