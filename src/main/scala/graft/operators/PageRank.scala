@@ -40,9 +40,17 @@ object PageRank {
           damping: Double = 0.85): DataFrame = {
     require(iters >= 0)
     val n1 = nodes.agg(count(lit(1)).as("n"))
-    // outdeg precomputed once; edges reused every iteration
-    val eo = edges.join(
-      edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    // the edge table feeds the outdeg aggregate AND its own join side
+    // AND every iteration — persist, or a caller handing in a DERIVED
+    // edge set (e.g. the near-dup pair search) re-runs that whole
+    // upstream pipeline once per consumer (measured: 4.7 s → the edge
+    // pipeline dominating a 2-iteration run; the library-wide
+    // multi-consumer rule)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // outdeg precomputed once; the weighted edge table is itself read
+    // once per iteration
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = nodes.crossJoin(broadcast(n1))
     var pr = base.select(col("id"), (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foreach { _ =>
