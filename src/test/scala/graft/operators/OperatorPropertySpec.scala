@@ -71,4 +71,73 @@ class OperatorPropertySpec extends SparkSpecBase {
       none == 0L && a.sorted.toSeq == b.sorted.toSeq
     }, n = 5)
   }
+
+  test("prop: Curriculum.order is a 1..n bijection equal to the naive rank, " +
+    "for any bucket count") {
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 500L),
+      Gen.choose(-1000L, 1000L)))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique ids
+    check(Prop.forAll(rows, Gen.choose(1, 9)) { (data, buckets) =>
+      val df = data.toDF("doc_id", "diff")
+      val got = Curriculum.order(df, col("doc_id"), col("diff"), buckets)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos"))
+        .toMap
+      val want = data.sortBy { case (id, d) => (d, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == want
+    }, n = 5)
+  }
+
+  test("prop: PageRank total mass stays within (1-d)·(the dropped " +
+    "dangling share) of 1 and every rank is ≥ the base floor") {
+    val edges = Gen.listOf(Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+    check(Prop.forAll(edges) { es =>
+      val nodes = (0L to 8L).toDF("id")
+      val e = if (es.isEmpty) Seq((0L, 1L)) else es
+      val pr = PageRank.run(nodes, e.toDF("src", "dst"), iters = 2)
+        .collect().map(_.getAs[Double]("pr"))
+      val floor = 0.15 / 9 - 1e-9
+      // mass only ever LEAKS (dangling drop) — never inflates
+      pr.forall(_ >= floor) && pr.sum <= 1.0 + 1e-9
+    }, n = 5)
+  }
+
+  test("prop: SemanticDedup keeps exactly one survivor per exact-duplicate " +
+    "group and re-dedup of survivors is the identity") {
+    val groups = Gen.nonEmptyListOf(Gen.choose(0, 3)).map(_.take(12))
+    check(Prop.forAll(groups) { gs =>
+      // orthogonal unit axes per group id → duplicates are exact
+      // (cosine 1), cross-group cosine 0
+      val vecs = gs.zipWithIndex.map { case (g, i) =>
+        (i.toLong, Seq.tabulate(4)(d => if (d == g) 1.0 else 0.0))
+      }
+      val df = vecs.toDF("id", "vec")
+      val out = SemanticDedup.dedupe(df, k = 4, iters = 1, minCosine = 0.9)
+        .collect()
+      val kept = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("id"))
+      val wantKept = vecs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      val again = SemanticDedup.dedupe(
+        df.filter(col("id").isin(kept: _*)), k = 4, iters = 1,
+        minCosine = 0.9).collect()
+      kept.toSet == wantKept && again.forall(_.getAs[Boolean]("keep"))
+    }, n = 5)
+  }
+
+  test("prop: Bm25 scores are positive for matching terms and the rank " +
+    "column is dense 1..m per term") {
+    val docs = Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha", "beta", "gamma", "delta")).map(_.take(6).mkString(" ")))
+      .map(_.take(8))
+    check(Prop.forAll(docs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Bm25.topK(df, "doc_id", col("text"),
+        Seq("alpha", "gamma").toDF("term"), k = 100).collect()
+      val byTerm = out.groupBy(_.getAs[String]("term"))
+      out.forall(_.getAs[Double]("score") > 0) && byTerm.values.forall {
+        rs => rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length)
+      }
+    }, n = 5)
+  }
 }
