@@ -137,7 +137,20 @@ object CorpusQueries extends QueryGroup {
       graft.operators.Bm25.topTerms(d, "doc_id", col("text"), 3), k = 10)
   }
 
+  /** Z-order key under the oracle: the Morton interleave is pure
+    * integer bit arithmetic, bit-identical in both engines
+    * ([[graft.operators.ZOrder]]; the layout EFFECT — row-group
+    * pruning — is measured in ScanPruningSpec). */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    Tables.documents(spark, dir).select(col("doc_id"),
+      (col("doc_id") % 65536).as("x"), (col("n_chars") % 65536).as("y"),
+      ZOrder.zValue2(col("doc_id") % 65536, col("n_chars") % 65536)
+        .as("zval"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> (zorderKey _),
     "bm25_topk" -> (bm25TopK _),
     "curriculum_order" -> (curriculumOrder _),
     "ngram_lm_score" -> (ngramLmScore _),
@@ -210,6 +223,11 @@ object CorpusQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    "zorder_key" ->
+      s"""SELECT doc_id, doc_id % 65536 AS x, n_chars % 65536 AS y,
+         |  ${graft.operators.ZOrder.zValue2Sql("doc_id % 65536",
+              "n_chars % 65536")} AS zval
+         |FROM documents""".stripMargin,
     "bm25_topk" -> bm25Oracle,
     "curriculum_order" ->
       s"""SELECT doc_id,
