@@ -216,6 +216,31 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Stream-STATIC enrichment join — the remaining join mode of the
+    * streaming surface (stream-stream is `stream_interval_join`): each
+    * arriving event joins the static customer dimension statelessly (no
+    * state store, no watermark — the static side is simply read per
+    * micro-batch, broadcast by AQE when small). Append emits every
+    * match immediately, so the drain equals the batch join and the
+    * oracle is plain SQL. This is the canonical 100 TB ingest-enrich
+    * shape: facts stream in, dimensions sit still. */
+  def streamEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_enrich")
+    val evs = stagedEventStream(spark, dir, root)
+    val ss = evs.sparkSession
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val enriched = evs
+      .join(dim, evs("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"),
+        // stagedEventStream pre-casts value to the exact-sum decimal;
+        // this join aggregates nothing, so hand back the source double
+        col("value").cast("double").as("value"))
+    StreamOps.toParquetSink(enriched, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Keyed running totals (mapGroupsWithState), drained: the custom-
     * state surface under the oracle. The state sums are exact decimal
     * ([[StreamOps.runningTotals]]), so the FINAL state per key equals a
@@ -285,6 +310,7 @@ object StreamingQueries extends QueryGroup {
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_dedup_keys" -> (streamDedupKeys _),
     "stream_quality_filter" -> (streamQualityFilter _),
+    "stream_enrich_join" -> (streamEnrichJoin _),
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
@@ -370,6 +396,12 @@ object StreamingQueries extends QueryGroup {
       // stateless append drains the full battery — the stream equals
       // the batch query, so it shares quality_filter's oracle verbatim
       "stream_quality_filter" -> TextQueries.oracles("quality_filter"),
+      // stateless stream-static inner join = the batch join, verbatim
+      "stream_enrich_join" ->
+        """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+          |  e."value"
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
+          .stripMargin,
       // final custom state per key = plain batch GROUP BY (exact
       // decimal sums on both sides, double cast at the end)
       "stream_running_totals" ->
