@@ -61,4 +61,21 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Write with parquet BLOOM FILTERS on `bloomCols` — the point-lookup
+    * complement to the z-layout: min/max stats prune RANGES but are
+    * useless for `key = v` on a high-cardinality column scattered
+    * across row groups; a bloom filter lets the reader skip every row
+    * group that provably lacks the key (false-positive rate bounds the
+    * extra reads). `ndv` sizes the filters (expected distinct values
+    * per row group). */
+  def writeWithBloom(df: DataFrame, bloomCols: Seq[String], path: String,
+                     numFiles: Int, ndv: Long = 100000L): Unit = {
+    val w = df.repartition(numFiles).write.mode("overwrite")
+    val opts = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString))
+    opts.foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
+      .parquet(path)
+  }
 }

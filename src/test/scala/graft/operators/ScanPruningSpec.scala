@@ -62,4 +62,32 @@ class ScanPruningSpec extends SparkSpecBase {
     // z-layout: files/row-groups cover disjoint z-ranges → tight boxes
     assert(zRead <= n / 4, s"z read $zRead of $n (rr read $rrRead)")
   }
+
+  test("bloom-filtered layout prunes a point lookup min/max stats cannot") {
+    val n = 200000L
+    // high-cardinality key in RANDOM order: every row group spans
+    // ~the full key domain, so min/max stats never exclude anything —
+    // the exact case bloom filters exist for
+    val data = spark.range(n).toDF("i").select(
+      (hash(col("i")).cast("long").bitwiseAND(lit(0x7FFFFFFFL))).as("key"),
+      col("i").as("payload"))
+    val root = Files.createTempDirectory("graft_bloom")
+    val bPath = s"$root/bloom"
+    val pPath = s"$root/plain"
+    ZOrder.writeWithBloom(data, Seq("key"), bPath, numFiles = 16,
+      ndv = 20000L)
+    data.repartition(16).write.mode("overwrite").parquet(pPath)
+    val probe = data.filter(col("payload") === 12345L)
+      .select("key").head().getLong(0)
+
+    def look(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("key") === probe)
+    assert(look(bPath).count() == look(pPath).count())
+    val bRead = rowsRead(look(bPath))
+    val pRead = rowsRead(look(pPath))
+    // plain layout: all 16 row groups match on min/max → full read
+    assert(pRead >= (n * 9) / 10, s"plain read $pRead of $n")
+    // bloom layout: only the (few) groups that might hold the key
+    assert(bRead <= n / 4, s"bloom read $bRead of $n (plain $pRead)")
+  }
 }
