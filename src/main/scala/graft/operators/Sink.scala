@@ -108,6 +108,48 @@ object Sink {
     * are immutable per key (then only the updates' own partitions are
     * rewritten).
     */
+  /** Targeted deletion — the right-to-be-forgotten pass: remove every
+    * row matching `deleteKeysIn` (on `keys`), rewriting ONLY the
+    * partitions that hold a matching row (one key-column scan finds
+    * them; everything else is untouched bytes, the property the GDPR
+    * audit checks). Partitions emptied by the deletion are removed
+    * outright. Without `partitionCols`, the whole dataset is rewritten
+    * via the crash-safe swap (same as unpartitioned mergeInto).
+    */
+  def deleteKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+                 deleteKeysIn: DataFrame, keys: Seq[String],
+                 partitionCols: Seq[String] = Nil): Unit = {
+    recoverCrashedSwap(spark, path)
+    val existing = spark.read.parquet(path)
+    val delKeys = deleteKeysIn.select(keys.map(col): _*).distinct()
+    if (partitionCols.nonEmpty) {
+      val pcols = partitionCols.map(col)
+      // partitions holding a doomed row — the only ones rewritten;
+      // LocalRelation-materialized so the semi join broadcasts a
+      // constant (bounded by the deletion's partition spread)
+      val touchedPlan = existing.join(delKeys, keys, "left_semi")
+        .select(pcols: _*).distinct()
+      val touched = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          touchedPlan.collect().toSeq.asJava, touchedPlan.schema)
+      }
+      if (touched.isEmpty) return // nothing matches: zero rewrites
+      val keptCond = partitionCols
+        .map(c => existing(c) <=> touched(c)).reduce(_ && _)
+      val slice = existing
+        .join(broadcast(touched), keptCond, "left_semi")
+        .join(delKeys, keys, "left_anti")
+        .localCheckpoint(true)
+      overwritePartitions(slice, partitionCols, path)
+      deleteEmptiedPartitions(spark, path, partitionCols, touched, slice)
+    } else {
+      val kept = existing.join(delKeys, keys, "left_anti")
+      swapInto(spark, path, "merge")(tmp =>
+        kept.write.mode("overwrite").parquet(tmp))
+    }
+  }
+
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
                 updatesIn: DataFrame, keys: Seq[String],
                 partitionCols: Seq[String] = Nil,

@@ -146,7 +146,59 @@ object AggregateQueries extends QueryGroup {
     spark.read.jdbc(url, "orders_keyed", props)
   }
 
+  /** Targeted deletion under the oracle (the GDPR pass): copy events
+    * day-partitioned, [[Sink.deleteKeys]] every user ≡ 0 mod 37 (only
+    * partitions holding their rows rewrite — byte-identity of untouched
+    * files is pinned in PlanShapeSpec), read the survivors back. */
+  def targetedDelete(spark: SparkSession, dir: String): DataFrame = {
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_tdel_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root.toFile)
+    val path = root.resolve("events").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("day"), col("value"))
+    ev.write.partitionBy("day").parquet(path)
+    graft.operators.Sink.deleteKeys(spark, path,
+      ev.filter(col("user_id") % 37 === 0).select("user_id"),
+      keys = Seq("user_id"), partitionCols = Seq("day"))
+    spark.read.parquet(path)
+      .select("event_id", "user_id", "day", "value")
+  }
+
+  /** Schema evolution under the oracle: two file generations of one
+    * dataset (v2 adds a column), read with mergeSchema — v1 rows
+    * surface the new column as NULL, the contract an append-only 100 TB
+    * lake lives on. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_sevo_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root.toFile)
+    val path = root.resolve("docs").toString
+    val d = Tables.documents(spark, dir)
+    d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("append").parquet(path)
+    d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select("doc_id", "lang", "n_chars")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "targeted_delete" -> (targetedDelete _),
+    "schema_evolution" -> (schemaEvolution _),
     "jdbc_roundtrip" -> (jdbcRoundtrip _),
     "a1_zonal_stats" -> (a1ZonalStats _),
     "a2_weighted" -> (a2Weighted _),
@@ -270,6 +322,15 @@ object AggregateQueries extends QueryGroup {
            |JOIN frac USING (bucket)
            |JOIN c2c USING (bucket)
            |GROUP BY 1, 2""".stripMargin,
+      // survivors of the keyed deletion, day surfaced as DATE
+      "targeted_delete" ->
+        """SELECT event_id, user_id, CAST(ts AS DATE) AS day, "value"
+          |FROM events WHERE user_id % 37 != 0""".stripMargin,
+      // v1 generation surfaces the v2-only column as NULL
+      "schema_evolution" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN doc_id % 2 != 0 THEN n_chars END AS n_chars
+          |FROM documents""".stripMargin,
       // last-write-wins over seed ∪ changelog (same contract as
       // stream_cdc_merge, exercised through the relational store)
       "jdbc_roundtrip" ->

@@ -262,6 +262,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(filesIn(s"$dir/part=p2") == p2Before)
   }
 
+  test("deleteKeys rewrites only partitions holding doomed rows; " +
+    "emptied partitions vanish") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_del").toString + "/t"
+    Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0),
+      (4L, "p3", 40.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    def filesIn(p: String) = {
+      val d = new java.io.File(p)
+      if (d.exists) d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toMap
+      else Map.empty[String, Long]
+    }
+    val p2Before = filesIn(s"$dir/part=p2")
+    // id 1 lives in p1 (rewritten, id 2 survives); id 4 empties p3
+    Sink.deleteKeys(spark, dir, Seq(1L, 4L).toDF("id"), Seq("id"),
+      partitionCols = Seq("part"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(2L -> 20.0, 3L -> 30.0))
+    // the untouched partition's FILES are byte-identical (not rewritten)
+    assert(filesIn(s"$dir/part=p2") == p2Before)
+    // the fully-deleted partition's directory is gone, not empty
+    assert(!new java.io.File(s"$dir/part=p3").exists)
+    // no-match deletions touch nothing at all
+    val all = Files.walk(java.nio.file.Paths.get(dir)).toArray.length
+    Sink.deleteKeys(spark, dir, Seq(99L).toDF("id"), Seq("id"),
+      partitionCols = Seq("part"))
+    assert(Files.walk(java.nio.file.Paths.get(dir)).toArray.length == all)
+  }
+
   test("mergeInto: null partition values match null-safely (default " +
     "partition never wrongly emptied)") {
     import spark.implicits._
