@@ -161,6 +161,43 @@ object EmbeddingOutliersPlugin extends StepPlugin {
   }
 }
 
+/** `targeted_delete` — keyed deletion over a partitioned dataset
+  * ([[graft.operators.Sink.deleteKeys]]): the right-to-be-forgotten
+  * step; only partitions holding doomed rows rewrite.
+  *
+  * Args: `dataset_path`, `keys` (list of key column names), and the
+  * doomed keys as either `keys_input` (parquet of key rows) or
+  * `where` (SQL predicate over the dataset selecting rows to delete).
+  * Optional `partition_cols` (list).
+  */
+object TargetedDeletePlugin extends StepPlugin {
+  val name = "targeted_delete"
+
+  def run(ctx: StepContext): StepResult = {
+    val path = ctx.argStr("dataset_path")
+    val keys = ctx.argOpt("keys") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case _ => sys.error("targeted_delete: 'keys' list is required")
+    }
+    val pcols = ctx.argOpt("partition_cols") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case _ => Nil
+    }
+    val before = ctx.spark.read.parquet(path).count()
+    val doomed = (ctx.argOpt("keys_input"), ctx.argOpt("where")) match {
+      case (Some(p), _) => ctx.spark.read.parquet(p.toString)
+      case (None, Some(w)) =>
+        ctx.spark.read.parquet(path).filter(expr(w.toString))
+      case _ => sys.error(
+        "targeted_delete: one of 'keys_input' / 'where' is required")
+    }
+    graft.operators.Sink.deleteKeys(ctx.spark, path, doomed, keys, pcols)
+    val after = ctx.spark.read.parquet(path).count()
+    StepResult(Map("dataset_path" -> path, "n_before" -> before,
+      "n_after" -> after, "n_deleted" -> (before - after)))
+  }
+}
+
 /** `graph_pagerank` — PageRank over an edge table ([[PageRank.run]]).
   *
   * Args: `edges_input` (parquet with `src`,`dst`), `output_path`,

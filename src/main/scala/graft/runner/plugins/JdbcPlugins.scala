@@ -156,5 +156,5 @@ object DefaultRegistry {
     TextResamplePlugin, TextScrubPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
-    GraphPagerankPlugin))
+    GraphPagerankPlugin, TargetedDeletePlugin))
 }

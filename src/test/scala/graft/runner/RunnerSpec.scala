@@ -44,6 +44,29 @@ class RunnerSpec extends SparkSpecBase {
     p
   }
 
+  test("targeted_delete step: keyed forget pass reports counts") {
+    val root = tmpDir()
+    import spark.implicits._
+    val data = s"$root/data"
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(data)
+    val p = write(root, "forget.yml",
+      s"""project_id: default
+         |steps:
+         |  - plugin: targeted_delete
+         |    args:
+         |      dataset_path: "$data"
+         |      keys: [id]
+         |      partition_cols: [part]
+         |      where: "id = 2"
+         |""".stripMargin)
+    val res = runner(root).runFile(p)
+    val f = res.results.head.fields
+    assert(f("n_before") == 3L && f("n_after") == 2L && f("n_deleted") == 1L)
+    assert(spark.read.parquet(data).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+  }
+
   test("echo pipeline: vars/dirs/steps with sys.step numbering (sample.yml shape)") {
     val root = tmpDir()
     val p = write(root, "sample.yml",
