@@ -196,7 +196,47 @@ object AggregateQueries extends QueryGroup {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** Incremental aggregate maintenance under the oracle — THE
+    * production pattern for daily rollups at 100 TB: the served per-
+    * (day, event_type) aggregate is built once from history, then each
+    * arriving day recomputes ONLY ITSELF and merges in via the
+    * partition-scoped [[Sink.mergeInto]] (late data for an existing day
+    * REPLACES that day's row — day+type is the merge key). The oracle
+    * is the full recompute: incremental maintenance must be
+    * indistinguishable from it. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_incr_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root.toFile)
+    val path = root.resolve("rollup").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("event_type"),
+        col("value"))
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
+    // bootstrap: serve everything before the cutover day
+    val cut = ev.agg(max(col("day"))).head().getDate(0)
+    rollup(ev.filter(col("day") < lit(cut)))
+      .write.partitionBy("day").parquet(path)
+    // the new day arrives (plus a LATE batch for the previous day,
+    // which must replace that day's already-served row)
+    val lateFrom = java.sql.Date.valueOf(cut.toLocalDate.minusDays(1))
+    graft.operators.Sink.mergeInto(spark, path,
+      rollup(ev.filter(col("day") >= lit(lateFrom))),
+      keys = Seq("day", "event_type"), partitionCols = Seq("day"),
+      stablePartitions = true)
+    spark.read.parquet(path).select("day", "event_type", "n", "total")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_rollup" -> (incrementalRollup _),
     "targeted_delete" -> (targetedDelete _),
     "schema_evolution" -> (schemaEvolution _),
     "jdbc_roundtrip" -> (jdbcRoundtrip _),
@@ -322,6 +362,11 @@ object AggregateQueries extends QueryGroup {
            |JOIN frac USING (bucket)
            |JOIN c2c USING (bucket)
            |GROUP BY 1, 2""".stripMargin,
+      // incremental maintenance must equal the full recompute
+      "incremental_rollup" ->
+        s"""SELECT CAST(ts AS DATE) AS day, event_type,
+           |  COUNT(*) AS n, ${dsum("\"value\"")} AS total
+           |FROM events GROUP BY 1, 2""".stripMargin,
       // survivors of the keyed deletion, day surfaced as DATE
       "targeted_delete" ->
         """SELECT event_id, user_id, CAST(ts AS DATE) AS day, "value"
