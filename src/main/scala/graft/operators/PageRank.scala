@@ -35,18 +35,32 @@ object PageRank {
     *              vertices keep base rank)
     * @param edges directed (src, dst); symmetrize first for an
     *              undirected graph
+    * @param checkpointDir reliable-checkpoint directory for cluster
+    *              runs (the [[Components.connected]] contract: local
+    *              checkpoint blocks die with their executor); None =
+    *              localCheckpoint, fine on local mode
     * @return (id, pr) after `iters` power iterations. */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85,
+          checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val n1 = nodes.agg(count(lit(1)).as("n"))
     // the edge table feeds the outdeg aggregate AND its own join side
-    // AND every iteration — persist, or a caller handing in a DERIVED
-    // edge set (e.g. the near-dup pair search) re-runs that whole
-    // upstream pipeline once per consumer (measured: 4.7 s → the edge
-    // pipeline dominating a 2-iteration run; the library-wide
-    // multi-consumer rule)
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AND every iteration — a caller handing in a DERIVED edge set
+    // (e.g. the near-dup pair search) would re-run that whole upstream
+    // pipeline once per consumer (measured: 4.7 s → the edge pipeline
+    // dominating a 2-iteration run). Checkpointing (not just persist)
+    // both caches the rows AND truncates the lineage, so the per-
+    // iteration plan references a flat scan instead of replicating the
+    // edge pipeline's subtree per consumer — the Components rule for
+    // anything consumed inside a loop.
+    val e = {
+      val p = edges.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined) p.checkpoint(false)
+      else p.localCheckpoint(false)
+    }
     // outdeg precomputed once; the weighted edge table is itself read
     // once per iteration
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
