@@ -103,7 +103,9 @@ object Ivf {
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("cluster_id"))
-    val scored = probes.join(assigned, Seq("cluster_id"))
+    // shuffle-hash, not sort-merge: cluster_id is a low-cardinality
+    // partition key and nothing downstream needs its sort order
+    val scored = probes.join(assigned.hint("shuffle_hash"), Seq("cluster_id"))
       .filter(col("qid") =!= col("id"))
       .withColumn("cosine", Similarity.cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy("qid")

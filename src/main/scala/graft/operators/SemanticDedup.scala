@@ -45,7 +45,7 @@ object SemanticDedup {
       .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= minCosine)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("killer_id"))
-    assigned.join(killers, Seq("id"), "left")
+    assigned.join(killers.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("cluster_id"), col("killer_id"),
         col("killer_id").isNull.as("keep"))
   }
