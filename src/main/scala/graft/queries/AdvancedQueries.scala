@@ -171,6 +171,21 @@ object AdvancedQueries extends QueryGroup {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k_val"))
 
+  /** The VARIANT path (Spark 4's binary semi-structured type — parse
+    * once, extract typed many times; at 100 TB the shredded-storage
+    * replacement for per-query JSON string parsing): parse_json →
+    * typed variant_get, a missing path through try_variant_get → NULL.
+    * DuckDB reproduces the VALUES via its JSON extraction — the
+    * encoding is engine-internal, the extraction contract is not. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("__v", expr("parse_json(props)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(__v, '$.k', 'bigint')").as("k_big"),
+        expr("variant_get(__v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(__v, '$.missing', 'bigint')").as("k_missing"))
+
   /** HLL sketch, made ORACLE-CHECKABLE despite estimator internals
     * being engine-specific: the sketch estimate itself cannot reproduce
     * in another engine, so the query emits the EXACT distinct plus a
@@ -262,6 +277,7 @@ object AdvancedQueries extends QueryGroup {
     "data_expectations" -> (dataExpectations _),
     "anti_join" -> (antiJoin _),
     "json_funcs" -> (jsonFuncs _),
+    "variant_extract" -> (variantExtract _),
     "hll_distinct" -> (hllDistinct _),
     "approx_quantile" -> (approxQuantile _))
 
@@ -406,6 +422,12 @@ object AdvancedQueries extends QueryGroup {
       "json_funcs" ->
         """SELECT event_id,
           |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+          |FROM events""".stripMargin,
+      "variant_extract" ->
+        """SELECT event_id,
+          |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_big,
+          |  json_extract_string(props, '$.k') AS k_str,
+          |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
           |FROM events""".stripMargin,
       // the sketch estimate is engine-specific; the contract it must
       // honor (≤5% error vs exact) is checked INSIDE Spark and the flag
