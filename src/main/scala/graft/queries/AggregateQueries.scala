@@ -52,6 +52,24 @@ object AggregateQueries extends QueryGroup {
         col("rollsum_14d"), col("rollsum_30d"))
   }
 
+  /** W1's order-statistic sibling: 7-day trailing MEDIAN of the daily
+    * series — the robust-smoothing window a sum can't provide. Same
+    * single shuffle + sort as the rollsum family (one more window
+    * aggregate in the same pass); the exact percentile's equal-straddle
+    * shortcut is reproduced in the oracle via
+    * [[Exact.sql.sparkPercentile]]. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(Exact.DecimalT)).cast("double").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    daily.withColumn("roll_med_7d", expr("percentile(v, 0.5)").over(w))
+      .select("user_id", "day", "v", "roll_med_7d")
+  }
+
   /** A5: single-pass dataset profile (long form, one row per column). */
   def a5Profile(spark: SparkSession, dir: String): DataFrame =
     Profile(Tables.customer(spark, dir))
@@ -236,6 +254,7 @@ object AggregateQueries extends QueryGroup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_median" -> (rollingMedian _),
     "incremental_rollup" -> (incrementalRollup _),
     "targeted_delete" -> (targetedDelete _),
     "schema_evolution" -> (schemaEvolution _),
@@ -362,6 +381,22 @@ object AggregateQueries extends QueryGroup {
            |JOIN frac USING (bucket)
            |JOIN c2c USING (bucket)
            |GROUP BY 1, 2""".stripMargin,
+      "rolling_median" -> {
+        val med = sparkPercentile("list_sort(lw)", "len(lw)", "0.5")
+        s"""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    CAST(CAST(SUM(CAST("value" AS DECIMAL(30,10)))
+           |      AS VARCHAR) AS DOUBLE) AS v
+           |  FROM events GROUP BY 1, 2),
+           |win AS (
+           |  SELECT user_id, day, v,
+           |    list(v) OVER (PARTITION BY user_id
+           |      ORDER BY day - DATE '1970-01-01'
+           |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS lw
+           |  FROM daily)
+           |SELECT user_id, day, v, $med AS roll_med_7d FROM win"""
+          .stripMargin
+      },
       // incremental maintenance must equal the full recompute
       "incremental_rollup" ->
         s"""SELECT CAST(ts AS DATE) AS day, event_type,
