@@ -26,6 +26,42 @@ object AdvancedQueries extends QueryGroup {
         coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
         col("n"), col("total"))
 
+  /** Explicit GROUPING SETS — the general form cube/rollup compile to,
+    * through the SQL front-end (an asymmetric set list neither shortcut
+    * can express), with grouping_id disambiguating real NULL group keys
+    * from the super-aggregate rows. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("__graft_gs_orders")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+         |    AS gid,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+         |    AS total
+         |FROM __graft_gs_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())""".stripMargin)
+  }
+
+  /** Null-SAFE join semantics — the cross-engine trap: an equi-join on
+    * a nullable key silently drops every null-keyed row; the null-safe
+    * operator (`<=>` / IS NOT DISTINCT FROM) matches nulls to nulls.
+    * Keys are nulled deterministically (every 7th order) so both
+    * behaviors are visible in one result. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderpriority")).as("pri"))
+    val dim = Tables.orders(spark, dir).select(col("o_orderpriority"))
+      .distinct()
+      .select(when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_orderpriority")).as("pri"),
+        col("o_orderpriority").as("pri_label"))
+    o.join(dim, o("pri") <=> dim("pri"))
+      .select(col("o_orderkey"), col("pri_label"))
+  }
+
   /** ROLLUP over (returnflag, linestatus). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -269,6 +305,8 @@ object AdvancedQueries extends QueryGroup {
     "weighted_median" -> (weightedMedian _),
     "cube_agg" -> (cubeAgg _),
     "rollup_agg" -> (rollupAgg _),
+    "grouping_sets" -> (groupingSets _),
+    "null_safe_join" -> (nullSafeJoin _),
     "lead_lag" -> (leadLag _),
     "asof_prev_error" -> (asofPrevError _),
     "asof_join" -> (asofJoin _),
@@ -423,6 +461,29 @@ object AdvancedQueries extends QueryGroup {
         """SELECT event_id,
           |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
           |FROM events""".stripMargin,
+      "grouping_sets" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)
+          |    AS gid,
+          |  COUNT(*) AS n,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+          |    AS VARCHAR) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())""".stripMargin,
+      "null_safe_join" ->
+        """WITH o AS (SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |      ELSE o_orderpriority END AS pri
+          |  FROM orders),
+          |d AS (SELECT
+          |    CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+          |      ELSE o_orderpriority END AS pri,
+          |    o_orderpriority AS pri_label
+          |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+          |SELECT o.o_orderkey, d.pri_label
+          |FROM o JOIN d ON o.pri IS NOT DISTINCT FROM d.pri"""
+          .stripMargin,
       "variant_extract" ->
         """SELECT event_id,
           |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_big,
