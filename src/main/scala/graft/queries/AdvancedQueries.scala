@@ -239,6 +239,31 @@ object AdvancedQueries extends QueryGroup {
         (abs(col("__approx") - col("exact_parts")) <=
           col("exact_parts") * lit(0.05)).as("within_5pct"))
 
+  /** MERGEABLE sketch workflow under the [[hllDistinct]] error-contract
+    * pattern — the production shape for distinct counting at 100 TB:
+    * per-DAY Datasketches HLL binaries (the rollup artifact a daily job
+    * persists), merged across days with `hll_union_agg`, estimated
+    * once. Merging sketches must agree with counting the union of the
+    * raw data (to sketch accuracy) — the query checks that contract
+    * inside Spark per user and emits the exact distinct + the flag; the
+    * oracle computes the exact side and literal true. */
+  def hllPartialMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(expr("hll_sketch_agg(event_type)").as("sk"))
+    daily.groupBy("user_id")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__merged"))
+      .join(ev.groupBy("user_id")
+        .agg(count_distinct(col("event_type")).as("exact_types")),
+        Seq("user_id"))
+      .select(col("user_id"), col("exact_types"),
+        (abs(col("__merged") - col("exact_types")) <=
+          greatest(col("exact_types") * lit(0.05), lit(1.0)))
+          .as("within_5pct"))
+  }
+
   /** Quantile sketch under the same error-contract pattern as
     * [[hllDistinct]]: the GK sketch estimate itself is engine-specific,
     * but its guarantee is a RANK error bound (ε = 1/accuracy = 1e-3
@@ -317,6 +342,7 @@ object AdvancedQueries extends QueryGroup {
     "json_funcs" -> (jsonFuncs _),
     "variant_extract" -> (variantExtract _),
     "hll_distinct" -> (hllDistinct _),
+    "hll_partial_merge" -> (hllPartialMerge _),
     "approx_quantile" -> (approxQuantile _))
 
   def oracles: Map[String, String] = {
@@ -498,6 +524,12 @@ object AdvancedQueries extends QueryGroup {
           |  COUNT(DISTINCT l_partkey) AS exact_parts,
           |  TRUE AS within_5pct
           |FROM lineitem GROUP BY 1""".stripMargin,
+      // merged-sketch contract checked in Spark (see scaladoc)
+      "hll_partial_merge" ->
+        """SELECT user_id,
+          |  COUNT(DISTINCT event_type) AS exact_types,
+          |  TRUE AS within_5pct
+          |FROM events GROUP BY 1""".stripMargin,
       // GK-sketch rank-error contract checked in Spark (see scaladoc);
       // Spark-semantics median (equal-straddle shortcut), not
       // quantile_cont — see Exact.sql.sparkPercentile
