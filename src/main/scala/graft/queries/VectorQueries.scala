@@ -195,6 +195,23 @@ object VectorQueries extends QueryGroup {
         col("n_frames"))
   }
 
+  /** REAL image resize under the oracle ([[Multimodal.resizeHalf]]):
+    * the same synthetic PNG table, nearest-neighbor half-scaled, with
+    * the no-blending invariant checked in-engine (oracle: dimensional
+    * contract + literal true). */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        Multimodal.MediaRow(id, Multimodal.encodePng(w, h, id), "image")
+      }
+    Multimodal.resizeHalf(media).toDF()
+  }
+
   /** REAL audio decode under the oracle, same design as
     * [[multimodalMeta]]: per document, synthesize a 16-bit mono WAV
     * whose frame count derives from doc_id, decode the actual RIFF
@@ -249,6 +266,7 @@ object VectorQueries extends QueryGroup {
     "minhash_lsh_candidates" -> (lshCandidates _),
     "simhash" -> (simhash _),
     "multimodal_meta" -> (multimodalMeta _),
+    "image_resize" -> (imageResize _),
     "audio_meta" -> (audioMeta _),
     "binary_stats" -> (binaryStats _),
     "multimodal_frames" -> (multimodalFrames _))
@@ -512,6 +530,18 @@ object VectorQueries extends QueryGroup {
         |WHERE rank <= 5""".stripMargin,
     "near_dup_cosine" -> nearDupOracle,
     "near_dup_cosine_exact" -> nearDupOracle,
+    // dimensional contract from doc_id; the no-blending invariant is
+    // checked in-engine and compared to literal TRUE
+    "image_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 64) + 1 AS INT) AS width,
+        |  CAST(((doc_id * 31) % 48) + 1 AS INT) AS height,
+        |  CAST(GREATEST(((doc_id % 64) + 1) // 2, 1) AS INT)
+        |    AS new_width,
+        |  CAST(GREATEST((((doc_id * 31) % 48) + 1) // 2, 1) AS INT)
+        |    AS new_height,
+        |  TRUE AS nn_pixels_match
+        |FROM documents""".stripMargin,
     // expected dims recomputed from doc_id: the Spark row only matches
     // if the real PNG encode→decode preserved them
     "multimodal_meta" ->
