@@ -20,7 +20,7 @@ object SparkEntry {
   private[graft] def groups = Seq[QueryGroup](
     CoreQueries, RelationalQueries, AggregateQueries,
     TextQueries, CorpusQueries, VectorQueries, AdvancedQueries,
-    StreamingQueries)
+    EventQueries, StreamingQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
