@@ -694,4 +694,37 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(bounded, s"unbounded cross join in plan:\n$j")
     }
   }
+
+  test("scd2_build: both windows and the change-point filter share ONE exchange + sort") {
+    val p = plan(queries.EventQueries.scd2Build(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val sorts = "(?m)^\\s*[+:]?- Sort ".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"lag and lead must share one shuffle, got $exchanges:\n${p.take(3000)}")
+    assert(sorts == 1,
+      s"the filter preserves the sort; lead must not re-sort, got $sorts:\n${p.take(3000)}")
+  }
+
+  test("funnel_steps: every stage is an entity-keyed equi-join/agg, nothing unbounded") {
+    val p = plan(queries.EventQueries.funnelSteps(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"funnel must stay equi-joined:\n${p.take(3000)}")
+    // every shuffle keys on the entity column — one partitioning serves
+    // the whole stage chain (EnsureRequirements elides the repeats)
+    val offKey = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).filterNot(_.contains("user_id"))
+    assert(offKey.isEmpty, offKey.mkString("\n"))
+  }
+
+  test("cohort_retention: first-day join keyed by user; cell agg is partial-agg friendly") {
+    val p = plan(queries.EventQueries.cohortRetention(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"retention must stay equi-joined:\n${p.take(3000)}")
+    // the user-key stages shuffle on user_id; only the final cell
+    // aggregate may key on (cohort_day, week_offset)
+    val keys = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.contains("user_id") || k.contains("cohort_day")), keys.mkString("\n"))
+  }
 }
