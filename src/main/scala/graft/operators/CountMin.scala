@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a MERGEABLE
+  * frequency rollup — the heavy-hitter counterpart of the
+  * `hll_partial_merge` workflow: a daily job persists per-partition
+  * (d × width)-counter grids, any later consumer element-wise-sums the
+  * grids and point-queries token frequencies with the classic
+  * min-over-rows estimate (never an undercount; overcounts bounded by
+  * n·e/width per row with probability 1-e^-d).
+  *
+  * The bucket hash is md5-prefix mod width in the [[Dsir.bucketOf]]
+  * family — bit-identical in every engine, so unlike the opaque
+  * Datasketches HLL binaries, the ENTIRE workflow (partials, merge,
+  * estimates) is oracle-checkable hash-exact, not just an error
+  * contract.
+  *
+  * Scale shape: a partial is a ≤ d·width-row aggregate of its group
+  * (map-side combinable); the merged sketch is ≤ d·width rows TOTAL
+  * (constant, default 1024) and broadcasts to the estimate join — the
+  * corpus shuffles only to count, never to estimate.
+  */
+object CountMin {
+
+  /** Row-`i` bucket of token `w`: md5("i:w") prefix mod `width`.
+    * Codegen — md5/conv/pmod are native expressions. */
+  def bucketOf(w: Column, i: Int, width: Int): Column =
+    (conv(substring(md5(concat_ws(":", lit(i.toString), w)), 1, 6),
+      16, 10).cast("long") % width).cast("int")
+
+  private def hashed(tokens: DataFrame, tok: Column, d: Int,
+                     width: Int): DataFrame =
+    tokens.withColumn("__hb", explode(array((0 until d).map(i =>
+        struct(lit(i).as("h"), bucketOf(tok, i, width).as("b"))): _*)))
+      .select(tokens.columns.map(col) :+ col("__hb.h").as("h") :+
+        col("__hb.b").as("b"): _*)
+
+  /** Per-group sketch partials: one row per (group, h, b) counter that
+    * any token of the group touched. `tokens` is one row per token
+    * occurrence. */
+  def partials(tokens: DataFrame, grp: Column, tok: Column, d: Int = 4,
+               width: Int = 256): DataFrame =
+    hashed(tokens.select(grp.as("grp"), tok.as("__w")), col("__w"), d,
+        width)
+      .groupBy("grp", "h", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Merge partials across groups: element-wise counter sum. ≤ d·width
+    * rows out. */
+  def merge(partials: DataFrame): DataFrame =
+    partials.groupBy("h", "b").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query `queries` (one row per distinct token in `tok`)
+    * against a merged sketch: estimate = min over the d counters.
+    * The sketch is constant-size → broadcast. */
+  def estimate(sketch: DataFrame, queries: DataFrame, tok: Column,
+               d: Int = 4, width: Int = 256): DataFrame =
+    hashed(queries.select(tok.as("token")), col("token"), d, width)
+      .join(broadcast(sketch), Seq("h", "b"))
+      .groupBy("token").agg(min(col("cnt")).as("cms_est"))
+}

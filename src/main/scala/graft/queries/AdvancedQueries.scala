@@ -323,7 +323,31 @@ object AdvancedQueries extends QueryGroup {
         array_sort(collect_list(col("o_orderkey")))).as("order_keys"),
         count(lit(1)).as("n_orders"))
 
+  /** Count-min sketch rollup ([[graft.operators.CountMin]]): per-source
+    * counter-grid partials, merged, then point-queried for every token
+    * whose exact corpus count ≥ 10. The md5 bucket hash makes every
+    * intermediate integer engine-exact, so the FULL workflow sits under
+    * the oracle (vs HLL's opaque binaries, which get an error
+    * contract). Output pins the sketch guarantee too: `cms_est` can
+    * only overcount, so est ≥ exact row-by-row or the hash breaks. */
+  def countMinMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextStats.tokens(col("text"))).as("w"))
+      // two consumers (sketch build + exact heavy-hitter counts):
+      // persist so tokenization runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = graft.operators.CountMin.merge(
+      graft.operators.CountMin.partials(tok, col("source"), col("w")))
+    val heavy = tok.groupBy(col("w").as("token"))
+      .agg(count(lit(1)).as("exact_n")).filter(col("exact_n") >= 10)
+    graft.operators.CountMin.estimate(sketch, heavy, col("token"))
+      .join(heavy, Seq("token"))
+      .select(col("token"), col("exact_n"), col("cms_est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "count_min_merge" -> (countMinMerge _),
     "pivot_agg" -> (pivotAgg _),
     "array_agg" -> (arrayAgg _),
     "histogram" -> (histogramQ _),
@@ -348,6 +372,38 @@ object AdvancedQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      // same md5("i:w")-prefix buckets, same counter grid, same
+      // min-over-rows estimate — every integer engine-exact
+      "count_min_merge" ->
+        """WITH tok AS (
+          |  SELECT source,
+          |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          |  FROM documents),
+          |hb AS (
+          |  SELECT source, w, i,
+          |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 6)
+          |      AS BIGINT) % 256 AS b
+          |  FROM tok CROSS JOIN range(0, 4) r(i)),
+          |part AS (
+          |  SELECT source, i AS h, b, COUNT(*) AS cnt
+          |  FROM hb GROUP BY 1, 2, 3),
+          |sk AS (
+          |  SELECT h, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+          |  FROM part GROUP BY 1, 2),
+          |heavy AS (
+          |  SELECT w AS token, COUNT(*) AS exact_n
+          |  FROM tok GROUP BY 1 HAVING COUNT(*) >= 10),
+          |q AS (
+          |  SELECT token, i,
+          |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token),
+          |      1, 6) AS BIGINT) % 256 AS b
+          |  FROM heavy CROSS JOIN range(0, 4) r(i)),
+          |est AS (
+          |  SELECT q.token, MIN(sk.cnt) AS cms_est
+          |  FROM q JOIN sk ON q.i = sk.h AND q.b = sk.b
+          |  GROUP BY 1)
+          |SELECT heavy.token, heavy.exact_n, est.cms_est
+          |FROM heavy JOIN est ON heavy.token = est.token""".stripMargin,
       "pivot_agg" ->
         """SELECT CAST(year(o_orderdate) AS INT) AS yr,
           |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,

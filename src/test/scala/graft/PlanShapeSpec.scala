@@ -695,6 +695,13 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("count_min_merge: the constant-size sketch broadcasts to the estimate join") {
+    val p = plan(queries.AdvancedQueries.countMinMerge(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(3000))
+  }
+
   test("scd2_build: both windows and the change-point filter share ONE exchange + sort") {
     val p = plan(queries.EventQueries.scd2Build(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
