@@ -1,0 +1,145 @@
+package graft.runner.plugins
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CountMin, Funnel, Retention, Scd2, TextStats}
+import graft.runner._
+
+/** Event-log analytics as runner steps — the downstream query layer
+  * over the event-shaped staging tables the reference's pipelines land
+  * (see [[graft.operators.Funnel]] for the operator contracts).
+  */
+
+/** `event_funnel` — ordered conversion funnel ([[Funnel.steps]]).
+  *
+  * Args: `input` (event parquet), `output_path`, `stages` (ordered
+  * list, required). Optional `user_col` (user_id), `kind_col`
+  * (event_type), `ts_expr` (SQL expression yielding microseconds;
+  * default `ts div 1000` — the lake convention stores ns-precision
+  * BIGINT; pass `unix_micros(ts)` for TIMESTAMP columns).
+  */
+object EventFunnelPlugin extends StepPlugin {
+  val name = "event_funnel"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val stages = ctx.argOpt("stages") match {
+      case Some(l: Seq[_]) if l.nonEmpty => l.map(_.toString)
+      case _ => sys.error("event_funnel: 'stages' list is required")
+    }
+    val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
+    val kindCol = ctx.argOpt("kind_col").map(_.toString).getOrElse("event_type")
+    val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
+      .getOrElse("ts div 1000")
+    Funnel.steps(ctx.spark.read.parquet(ctx.argStr("input")),
+        col(userCol), col(kindCol), expr(tsExpr), stages)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_entered" -> res.count(),
+      "n_converted" ->
+        res.filter(col("steps") === stages.size).count()))
+  }
+}
+
+/** `event_retention` — cohort retention grid ([[Retention.cohorts]]).
+  *
+  * Args: `input`, `output_path`. Optional `user_col` (user_id),
+  * `ts_expr` (SQL expression yielding a timestamp; default
+  * `timestamp_micros(ts div 1000)` per the ns-BIGINT lake convention —
+  * pass just `ts` for TIMESTAMP columns).
+  */
+object EventRetentionPlugin extends StepPlugin {
+  val name = "event_retention"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
+    val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
+      .getOrElse("timestamp_micros(ts div 1000)")
+    Retention.cohorts(ctx.spark.read.parquet(ctx.argStr("input")),
+        col(userCol), expr(tsExpr))
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_cells" -> res.count(),
+      "n_cohorts" -> res.select("cohort_day").distinct().count()))
+  }
+}
+
+/** `event_scd2` — SCD type-2 history build ([[Scd2.build]]).
+  *
+  * Args: `input`, `output_path`, `attr_col` (required). Optional
+  * `user_col` (user_id), `ts_expr` (microseconds; default
+  * `ts div 1000` per the ns-BIGINT lake convention),
+  * `tiebreak_col` (event_id).
+  */
+object EventScd2Plugin extends StepPlugin {
+  val name = "event_scd2"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val attrCol = ctx.argStr("attr_col")
+    val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
+    val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
+      .getOrElse("ts div 1000")
+    val tb = ctx.argOpt("tiebreak_col").map(_.toString).getOrElse("event_id")
+    Scd2.build(ctx.spark.read.parquet(ctx.argStr("input")),
+        col(userCol), col(attrCol), expr(tsExpr), col(tb))
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_intervals" -> res.count(),
+      "n_current" -> res.filter(col("is_current") === 1).count()))
+  }
+}
+
+/** `sketch_count_min` — build/merge a count-min frequency sketch and
+  * optionally point-query it ([[graft.operators.CountMin]]).
+  *
+  * Args: `input`, `output_path` (the merged d×width counter grid — the
+  * persistable rollup artifact). Token stream is either `token_col`
+  * (pre-tokenized) or `text_col` (whitespace-tokenized here). Optional
+  * `group_col` (partial grouping; default one global group), `depth`
+  * (4), `width` (256); `queries_input` + `estimates_path` to also
+  * write point estimates for the distinct tokens of a query table.
+  */
+object SketchCountMinPlugin extends StepPlugin {
+  val name = "sketch_count_min"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val d = ctx.argOpt("depth").map(_.toString.toInt).getOrElse(4)
+    val w = ctx.argOpt("width").map(_.toString.toInt).getOrElse(256)
+    val raw = ctx.spark.read.parquet(ctx.argStr("input"))
+    val grp = ctx.argOpt("group_col").map(c => col(c.toString))
+      .getOrElse(lit("all"))
+    val toks = (ctx.argOpt("token_col"), ctx.argOpt("text_col")) match {
+      case (Some(t), _) => raw.select(grp.as("grp"),
+        col(t.toString).as("w"))
+      case (None, Some(t)) => raw.select(grp.as("grp"),
+        explode(TextStats.tokens(col(t.toString))).as("w"))
+      case _ => sys.error(
+        "sketch_count_min: one of 'token_col' / 'text_col' is required")
+    }
+    val sketch = CountMin.merge(
+      CountMin.partials(toks, col("grp"), col("w"), d, w))
+    sketch.write.mode("overwrite").parquet(out)
+    val persisted = ctx.spark.read.parquet(out)
+    val extra = ctx.argOpt("queries_input").map { qp =>
+      val ep = ctx.argStr("estimates_path")
+      val qraw = ctx.spark.read.parquet(qp.toString)
+      val qtoks = (ctx.argOpt("query_token_col"),
+          ctx.argOpt("query_text_col")) match {
+        case (Some(t), _) => qraw.select(col(t.toString).as("token"))
+        case (None, Some(t)) => qraw.select(
+          explode(TextStats.tokens(col(t.toString))).as("token"))
+        case _ => sys.error("sketch_count_min: queries_input needs one " +
+          "of 'query_token_col' / 'query_text_col'")
+      }
+      CountMin.estimate(persisted, qtoks.distinct(), col("token"), d, w)
+        .write.mode("overwrite").parquet(ep)
+      Map("estimates_path" -> ep,
+        "n_estimated" -> ctx.spark.read.parquet(ep).count())
+    }.getOrElse(Map.empty[String, Any])
+    StepResult(Map("output_path" -> out,
+      "n_counters" -> persisted.count()) ++ extra)
+  }
+}

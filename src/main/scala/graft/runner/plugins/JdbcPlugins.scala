@@ -156,5 +156,7 @@ object DefaultRegistry {
     TextResamplePlugin, TextScrubPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
-    GraphPagerankPlugin, TargetedDeletePlugin))
+    GraphPagerankPlugin, TargetedDeletePlugin,
+    EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
+    SketchCountMinPlugin))
 }

@@ -189,4 +189,25 @@ class ExamplesSpec extends SparkSpecBase {
     // pagerank: every doc participates in the same-source chain graph
     assert(byStep(6)("n_nodes") == 500L)
   }
+
+  test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min") {
+    val (_, res) = run("event_analytics.yml")
+    assert(res.results.size == 4)
+    val byStep = res.results.map(_.fields)
+    // funnel: some users enter (view) and a subset converts end-to-end
+    val entered = byStep(0)("n_entered").asInstanceOf[Long]
+    val converted = byStep(0)("n_converted").asInstanceOf[Long]
+    assert(entered > 0L && converted > 0L && converted <= entered)
+    // retention: at least the offset-0 cell exists per cohort
+    assert(byStep(1)("n_cells").asInstanceOf[Long] >=
+      byStep(1)("n_cohorts").asInstanceOf[Long])
+    // scd2: exactly one open (is_current) interval per user with events
+    assert(byStep(2)("n_current").asInstanceOf[Long] > 0L)
+    assert(byStep(2)("n_intervals").asInstanceOf[Long] >=
+      byStep(2)("n_current").asInstanceOf[Long])
+    // count-min: counter grid bounded by d*width; estimates written
+    val counters = byStep(3)("n_counters").asInstanceOf[Long]
+    assert(counters > 0L && counters <= 4L * 256L)
+    assert(byStep(3)("n_estimated").asInstanceOf[Long] > 0L)
+  }
 }
