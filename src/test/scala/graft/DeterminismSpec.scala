@@ -29,7 +29,10 @@ class DeterminismSpec extends SparkSpecBase {
     "pagerank" -> "iterative decimal in-mass",
     "bm25_topk" -> "IEEE score chain + rank",
     "dsir_weights" -> "hashed-bucket ratios",
-    "stratified_sample" -> "salted md5 thresholds")
+    "stratified_sample" -> "salted md5 thresholds",
+    "funnel_steps" -> "conditional-min stage chain",
+    "scd2_build" -> "tiebroken lag/lead intervals",
+    "count_min_merge" -> "md5 counter grid + min estimate")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted
