@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
-import graft.operators.{Funnel, Retention, Scd2}
+import graft.operators.{Funnel, Retention, RollingActives, Scd2}
 
 /** Event-log analytics over the `events` table: conversion funnels,
   * cohort retention, SCD2 dimension-history builds — the query family a
@@ -29,10 +29,16 @@ object EventQueries extends QueryGroup {
       col("user_id"), col("event_type"), unix_micros(col("ts")),
       col("event_id"))
 
+  /** 7-day rolling distinct active users (WAU) per day. */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame =
+    RollingActives.distinctOverWindow(Tables.events(spark, dir),
+      col("user_id"), col("ts"), windowDays = 7)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
-    "scd2_build" -> (scd2Build _))
+    "scd2_build" -> (scd2Build _),
+    "rolling_actives" -> (rollingActives _))
 
   def oracles: Map[String, String] = Map(
     // conditional-min chain: stage i's earliest event strictly after
@@ -87,5 +93,19 @@ object EventQueries extends QueryGroup {
         |  CAST(CASE WHEN LEAD(us, 1) OVER w IS NULL
         |    THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM c
-        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    // sliding distinct has no window form in either engine — both sides
+    // use the explode-to-report-day + exact-distinct shape, with report
+    // days clamped to the observed day set
+    "rolling_actives" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |contrib AS (
+        |  SELECT p.user_id, p.day + CAST(o AS INT) AS day
+        |  FROM pairs p CROSS JOIN range(0, 7) r(o))
+        |SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT)
+        |  AS n_active
+        |FROM contrib c JOIN days d ON c.day = d.day
+        |GROUP BY 1""".stripMargin)
 }

@@ -79,6 +79,20 @@ class EventAnalyticsSpec extends SparkSpecBase {
       (2L, "paid", 1000L, -1L, 1)))
   }
 
+  test("RollingActives: trailing 7-day distinct, clamped to observed days") {
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(day0.getTime + d * 86400000L)
+    // u1 on days 0 and 8; u2 on day 0 twice (dup must not double-count)
+    val e = Seq((1L, ts(0)), (1L, ts(8)), (2L, ts(0)), (2L, ts(0)))
+      .toDF("u", "ts")
+    val out = RollingActives.distinctOverWindow(e, col("u"), col("ts"), 7)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    // observed days are only {0, 8}: day0 window sees both users,
+    // day8 window (days 2-8) sees only u1's day-8 event
+    assert(out == Seq(("2024-01-01", 2L), ("2024-01-09", 1L)))
+  }
+
   test("Scd2: same-timestamp events break ties by the tiebreak column") {
     val e = ev((1L, "a", 1000000L, 2), (1L, "b", 1000000L, 1))
     val out = Scd2.build(e, col("u"), col("k"), col("us"), col("id"))
