@@ -346,8 +346,45 @@ object AdvancedQueries extends QueryGroup {
       .select(col("token"), col("exact_n"), col("cms_est"))
   }
 
+  /** Calendar gap-fill + forward-fill: each user's daily value series
+    * densified over their own [first, last] day span, holes carried
+    * forward from the last observed day — the time-series resample step
+    * every warehouse serves. Day value is `max_by(value, event_id)`
+    * (deterministic "last write of the day"). Scale: the spine explode
+    * is |user|×span rows into a user-keyed left join + one window —
+    * everything keys on user_id, and the ffill window's state is one
+    * value. */
+  def gapFillFfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("value"), col("event_id")).as("__v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(__lo, __hi)")).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value_ff",
+        last(col("__v"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("day"), col("value_ff"))
+  }
+
+  /** Unpivot (melt): the wide per-year status counts back to long form
+    * — with [[pivotAgg]] this closes the reshape round-trip. Stateless
+    * on top of the pivot aggregate (the melt itself adds no shuffle). */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    pivotAgg(spark, dir).unpivot(
+      Array(col("yr")),
+      Array(col("n_open"), col("n_filled"), col("n_pending")),
+      "status", "n")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "count_min_merge" -> (countMinMerge _),
+    "gap_fill_ffill" -> (gapFillFfill _),
+    "unpivot_long" -> (unpivotLong _),
     "pivot_agg" -> (pivotAgg _),
     "array_agg" -> (arrayAgg _),
     "histogram" -> (histogramQ _),
@@ -372,6 +409,42 @@ object AdvancedQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      // per-user calendar spine + IGNORE NULLS carry-forward; the day
+      // value is max_by so both engines pick the identical double
+      "gap_fill_ffill" ->
+        """WITH daily AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day,
+          |    max_by("value", event_id) AS v
+          |  FROM events GROUP BY 1, 2),
+          |b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+          |      FROM daily GROUP BY 1),
+          |spine AS (
+          |  SELECT user_id, CAST(unnest(generate_series(
+          |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+          |    INTERVAL 1 DAY)) AS DATE) AS day
+          |  FROM b),
+          |j AS (SELECT s.user_id, s.day, d.v
+          |      FROM spine s LEFT JOIN daily d
+          |        ON s.user_id = d.user_id AND s.day = d.day)
+          |SELECT user_id, day,
+          |  last_value(v IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS value_ff
+          |FROM j""".stripMargin,
+      // the melt as its UNION ALL normal form (order-insensitive)
+      "unpivot_long" ->
+        """WITH p AS (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+          |    CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+          |    CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+          |    CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending
+          |  FROM orders GROUP BY 1)
+          |SELECT yr, 'n_open' AS status, n_open AS n FROM p
+          |UNION ALL
+          |SELECT yr, 'n_filled' AS status, n_filled AS n FROM p
+          |UNION ALL
+          |SELECT yr, 'n_pending' AS status, n_pending AS n FROM p""".stripMargin,
       // same md5("i:w")-prefix buckets, same counter grid, same
       // min-over-rows estimate — every integer engine-exact
       "count_min_merge" ->

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSpecBase {
     "stratified_sample" -> "salted md5 thresholds",
     "funnel_steps" -> "conditional-min stage chain",
     "scd2_build" -> "tiebroken lag/lead intervals",
-    "count_min_merge" -> "md5 counter grid + min estimate")
+    "count_min_merge" -> "md5 counter grid + min estimate",
+    "gap_fill_ffill" -> "max_by day value + ignoreNulls ffill")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted
