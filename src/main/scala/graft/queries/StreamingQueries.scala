@@ -303,7 +303,37 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(target)
   }
 
+  /** Incremental SCD2 dimension maintenance, streamed
+    * ([[StreamOps.scd2Changes]]): the change-point rows are detected
+    * statefully as events arrive (the hard part — remembering each
+    * user's last attribute), committed append-only, and the validity
+    * close-out (eff_to, is_current) derives at read-back with lead()
+    * over the committed rows — each user's OPEN interval lives in
+    * state, never in an emitted row. The one-file drain is a single
+    * batch, so per-key arrival order is the sorted (us, id) order and
+    * the committed set equals the batch change-point set: the oracle is
+    * scd2_build's own SQL, verbatim. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_scd2")
+    val evs = stagedEventStream(spark, dir, root)
+    val prepared = evs.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val changes = StreamOps.scd2Changes(evs.sparkSession, prepared,
+      "user_id", "event_type", "us", "event_id")
+    StreamOps.toParquetSink(changes, s"$root/out", s"$root/ckpt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    spark.read.parquet(s"$root/out")
+      .withColumn("__next", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        expr("us div 1000").as("eff_from_ms"),
+        coalesce(expr("__next div 1000"), lit(-1L)).as("eff_to_ms"),
+        when(col("__next").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_scd2" -> (streamScd2 _),
     "stream_daily_agg" -> (streamDailyAgg _),
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_agg" -> (streamSessionAgg _),
@@ -318,6 +348,10 @@ object StreamingQueries extends QueryGroup {
   def oracles: Map[String, String] = {
     import Exact.sql._
     Map(
+      // identical to scd2_build's oracle: the streamed change-point set
+      // + read-back close-out must be indistinguishable from the batch
+      // build
+      "stream_scd2" -> EventQueries.oracles("scd2_build"),
       // the last day (the one holding max(ts)) is held back by the
       // watermark when the AvailableNow drain ends — same cutoff here
       "stream_daily_agg" ->

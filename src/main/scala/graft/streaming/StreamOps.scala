@@ -153,6 +153,44 @@ object StreamOps {
       }.toDF(key, "level", "level_value")
   }
 
+  /** Incremental SCD2 change-point detection via flatMapGroupsWithState
+    * — the streaming form of [[graft.operators.Scd2]]: per key, state is
+    * the last-seen attribute; each batch's group events are sorted into
+    * the total (event-time, id) order before change detection (the
+    * per-batch iterator order is partitioning-dependent), and a row is
+    * emitted for every event whose attribute differs from its
+    * predecessor's. The emitted set equals the batch change-point set
+    * whenever per-key event time is non-decreasing ACROSS batches
+    * (trivially true for a one-batch AvailableNow drain; a production
+    * deployment gets it from ordered per-key ingestion). Validity
+    * close-out (eff_to, is_current) is derived at read-back with lead()
+    * over the committed change rows, because each key's OPEN interval
+    * lives in state, not in any emitted row.
+    *
+    * Scale: state is one string per key; the per-batch sort is per-key
+    * in-memory, bounded by micro-batch sizing (`maxFilesPerTrigger`). */
+  def scd2Changes(spark: SparkSession, events: DataFrame, key: String,
+                  attr: String, us: String, id: String): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col(key).cast("long"),
+        col(attr).cast("string"), col(us).cast("long"),
+        col(id).cast("long"))
+      .as[(Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[String]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          var last = state.getOption
+          val changes = ordered.flatMap { r =>
+            if (last.contains(r._2)) None
+            else { last = Some(r._2); Some((k, r._2, r._3, r._4)) }
+          }
+          last.foreach(state.update)
+          changes.iterator
+      }.toDF(key, attr, us, id)
+  }
+
   /** Session windows: activity bursts separated by >= `gap` of quiet.
     * Spark's native `session_window` — state merges adjacent windows as
     * late events arrive; watermark bounds retained state. Works
