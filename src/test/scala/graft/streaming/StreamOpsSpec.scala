@@ -164,6 +164,50 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(diff.count() == 0)
   }
 
+  test("scd2 change-point state survives MULTI-batch ordered ingestion") {
+    // the one-batch drain is trivially ordered; this pins the cross-
+    // batch contract: state (last attr per key) must stitch batches
+    // together when files arrive in event-time order, one per batch
+    val staging = java.nio.file.Files.createTempDirectory("scd2_multi")
+    val ev = eventsBatch.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val (lo, hi) = {
+      val r = ev.agg(min("us"), max("us")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val slices = Seq(
+      ev.filter(col("us") <= cut1),
+      ev.filter(col("us") > cut1 && col("us") <= cut2),
+      ev.filter(col("us") > cut2))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"scd2_slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val found = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(found, staging.resolve(f"$i%02d.parquet"))
+      Thread.sleep(20) // distinct mtimes: the source processes oldest-first
+    }
+    val stream = StreamOps.fileStream(spark, staging.toString,
+      ev.schema, options = Map("maxFilesPerTrigger" -> "1"))
+    val streamed = StreamOps.runToMemory(
+      StreamOps.scd2Changes(spark, stream, "user_id", "event_type",
+        "us", "event_id"),
+      "scd2_multi_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    val got = streamed.select(col("user_id"), col("event_type"),
+      expr("us div 1000").as("eff_from_ms"))
+    val batch = graft.operators.Scd2.build(eventsBatch, col("user_id"),
+        col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .select(col("user_id"), col("attr").as("event_type"),
+        col("eff_from_ms"))
+    assert(got.count() == batch.count(),
+      s"change-point counts diverge: ${got.count()} vs ${batch.count()}")
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "multi-batch change-point set differs from the batch build")
+  }
+
   test("drains run identically on the RocksDB state store (the 100 TB " +
     "state backend)") {
     // the default HDFS-backed provider keeps state on the JVM heap —
