@@ -372,6 +372,25 @@ object AdvancedQueries extends QueryGroup {
       .select(col("user_id"), col("day"), col("value_ff"))
   }
 
+  /** Explicit FULL OUTER join (the one join mode the battery exercised
+    * only inside the catalog upsert): per (user, day), click counts vs
+    * purchase counts — either side may be absent, absent sides coalesce
+    * to 0. Keyed equi-join; at scale both sides shuffle on the same
+    * key. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    def side(t: String, n: String) = ev.filter(col("event_type") === t)
+      .groupBy("user_id", "day").agg(count(lit(1)).as(n))
+    side("click", "n_clicks")
+      .join(side("purchase", "n_purchases"), Seq("user_id", "day"),
+        "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+  }
+
   /** Unpivot (melt): the wide per-year status counts back to long form
     * — with [[pivotAgg]] this closes the reshape round-trip. Stateless
     * on top of the pivot aggregate (the melt itself adds no shuffle). */
@@ -384,6 +403,7 @@ object AdvancedQueries extends QueryGroup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "count_min_merge" -> (countMinMerge _),
     "gap_fill_ffill" -> (gapFillFfill _),
+    "full_outer_join" -> (fullOuterJoin _),
     "unpivot_long" -> (unpivotLong _),
     "pivot_agg" -> (pivotAgg _),
     "array_agg" -> (arrayAgg _),
@@ -432,6 +452,18 @@ object AdvancedQueries extends QueryGroup {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |    AS value_ff
           |FROM j""".stripMargin,
+      "full_outer_join" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
+          |  FROM events),
+          |c AS (SELECT user_id, day, COUNT(*) AS n_clicks FROM ev
+          |      WHERE event_type = 'click' GROUP BY 1, 2),
+          |p AS (SELECT user_id, day, COUNT(*) AS n_purchases FROM ev
+          |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT user_id, day,
+          |  COALESCE(n_clicks, 0) AS n_clicks,
+          |  COALESCE(n_purchases, 0) AS n_purchases
+          |FROM c FULL OUTER JOIN p USING (user_id, day)""".stripMargin,
       // the melt as its UNION ALL normal form (order-insensitive)
       "unpivot_long" ->
         """WITH p AS (

@@ -140,4 +140,52 @@ class OperatorPropertySpec extends SparkSpecBase {
       }
     }, n = 5)
   }
+
+  // random event logs: (user 0-3, kind, us 0-50, id unique by index)
+  private val eventLog: Gen[List[(Long, String, Long)]] = Gen
+    .nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L),
+      Gen.oneOf("view", "click", "purchase"), Gen.choose(0L, 50L)))
+    .map(_.take(40))
+
+  test("prop: funnel stage times are strictly increasing where reached, " +
+    "and input order never matters") {
+    check(Prop.forAll(eventLog) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, k, t), i) => (u, k, t * 1000, i.toLong) }
+        .toDF("u", "k", "us", "id")
+      val stages = Seq("view", "click", "purchase")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Funnel.steps(d, col("u"), col("k"), col("us"), stages)
+          .orderBy("user_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getInt(4))).toSeq
+      val out = run(df)
+      val monotone = out.forall { case (_, v, c, p, steps) =>
+        (c == -1 || c > v) && (p == -1 || (c != -1 && p > c)) &&
+          steps == 1 + (if (c != -1) 1 else 0) + (if (p != -1) 1 else 0)
+      }
+      monotone && out == run(df.repartition(5).orderBy("us"))
+    }, n = 5)
+  }
+
+  test("prop: scd2 intervals tile each user's timeline — consecutive " +
+    "attrs differ, eff_to chains to the next eff_from, one open tail") {
+    check(Prop.forAll(eventLog) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, k, t), i) => (u, k, t * 1000, i.toLong) }
+        .toDF("u", "k", "us", "id")
+      val out = Scd2.build(df, col("u"), col("k"), col("us"), col("id"))
+        .orderBy("user_id", "eff_from_ms").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      out.groupBy(_._1).values.forall { ivs =>
+        val chainOk = ivs.sliding(2).forall {
+          case Array(a, b) => a._4 == b._3 && a._2 != b._2 && a._5 == 0
+          case _ => true
+        }
+        chainOk && ivs.last._4 == -1L && ivs.last._5 == 1 &&
+          ivs.count(_._5 == 1) == 1
+      }
+    }, n = 5)
+  }
 }
