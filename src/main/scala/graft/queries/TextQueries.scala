@@ -199,6 +199,24 @@ object TextQueries extends QueryGroup {
     Chunker.chunk(Tables.documents(spark, dir), col("doc_id"), col("text"),
       size = 200, overlap = 40)
 
+  /** Higher-order array-function battery — lambdas stay inside codegen
+    * (no UDFs): `filter` (long-token count), `transform`+`aggregate`
+    * (character fold over token lengths), `exists` (digit detection).
+    * The engine uses these internally (e.g. [[graft.operators
+    * .Similarity]]'s vector normalization); this puts the lambda
+    * surface itself under the oracle. Integer-only outputs — exact on
+    * both engines. */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__t", TextStats.tokens(col("text")))
+      .select(col("doc_id"),
+        size(filter(col("__t"), t => length(t) > 5)).cast("long")
+          .as("n_long_tokens"),
+        aggregate(transform(col("__t"), t => length(t).cast("long")),
+          lit(0L), (acc, n) => acc + n).as("token_chars"),
+        when(exists(col("__t"), t => t.rlike("[0-9]")), 1).otherwise(0)
+          .cast("int").as("has_digit"))
+
   /** The composed training-data quality filter: stats + language ID
     * fused into one keep/drop decision with a reason column — the query
     * shape an actual corpus-cleaning pipeline runs. One pass, all
@@ -245,6 +263,7 @@ object TextQueries extends QueryGroup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filter" -> (qualityFilter _),
+    "hof_funcs" -> (hofFuncs _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
     "bpe_token_count" -> (bpeTokens _),
@@ -379,6 +398,17 @@ object TextQueries extends QueryGroup {
         |FROM (SELECT doc_id, text,
         |  unnest(range(1, greatest(length(text) - 40, 1) + 1, 160)) AS s
         |  FROM documents) t""".stripMargin,
+    // same lambda shapes in DuckDB's list dialect; all-integer outputs
+    "hof_funcs" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($toks, x -> len(x) > 5)) AS BIGINT)
+         |    AS n_long_tokens,
+         |  CAST(list_sum(list_transform($toks, x -> len(x))) AS BIGINT)
+         |    AS token_chars,
+         |  CAST(CASE WHEN len(list_filter($toks,
+         |      x -> regexp_matches(x, '[0-9]'))) > 0
+         |    THEN 1 ELSE 0 END AS INT) AS has_digit
+         |FROM documents""".stripMargin,
     "text_stats" -> {
       val sw = TextStats.defaultStopwords.map(s => s"'$s'").mkString(",")
       s"""SELECT doc_id,
