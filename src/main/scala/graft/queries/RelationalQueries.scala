@@ -140,6 +140,40 @@ object RelationalQueries extends QueryGroup {
       .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
   }
 
+  /** §2.7 bag-semantics set ops: EXCEPT ALL keeps multiplicity
+    * (a customer with 3 open and 1 filled order survives twice) —
+    * a different physical operator than the DISTINCT forms above.
+    * Counted output keeps the result deterministic to compare. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F")
+        .select("o_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_surviving"))
+  }
+
+  /** Correlated scalar subqueries through the SQL front-end — Catalyst
+    * decorrelates each into an aggregate + EQUI-join (no per-row
+    * re-execution), the scale-safe form. The correlation must stay
+    * equality-only: an inequality-correlated aggregate decorrelates to
+    * a nested-loop join over the value domain (measured: quadratic in
+    * distinct prices — a scale-killer), and that shape belongs to
+    * window functions instead ([[windowFuncs]]). */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .createOrReplaceTempView("__graft_sq_customer")
+    Tables.orders(spark, dir)
+      .createOrReplaceTempView("__graft_sq_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM __graft_sq_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT COALESCE(MAX(o_totalprice), -1.0)
+        |   FROM __graft_sq_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM __graft_sq_customer c""".stripMargin)
+  }
+
   /** §2.5 rank-based window battery: ntile/percent_rank/cume_dist plus
     * a running count, all sharing ONE window ordering (single sort). */
   def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -187,6 +221,8 @@ object RelationalQueries extends QueryGroup {
     "sort_limit" -> (sortLimit _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_except_all" -> (setExceptAll _),
+    "scalar_subquery" -> (scalarSubquery _),
     "scalar_funcs" -> (scalarFuncs _))
 
   def oracles: Map[String, String] = {
@@ -273,6 +309,19 @@ object RelationalQueries extends QueryGroup {
         """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
           |EXCEPT
           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+      "set_except_all" ->
+        """SELECT o_custkey, COUNT(*) AS n_surviving FROM (
+          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |  EXCEPT ALL
+          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          |GROUP BY 1""".stripMargin,
+      "scalar_subquery" ->
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT COALESCE(MAX(o_totalprice), -1.0) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM customer c""".stripMargin,
       "scalar_funcs" ->
         """SELECT o_orderkey,
           |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,

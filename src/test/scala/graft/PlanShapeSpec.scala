@@ -695,6 +695,15 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("scalar_subquery decorrelates to equi-joins — never a nested loop over the value domain") {
+    // the guard that keeps this query out of the scale-killer shape:
+    // an inequality-correlated aggregate would decorrelate to a
+    // BroadcastNestedLoopJoin over distinct values (measured quadratic)
+    val p = plan(queries.RelationalQueries.scalarSubquery(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(3000))
+  }
+
   test("count_min_merge: the constant-size sketch broadcasts to the estimate join") {
     val p = plan(queries.AdvancedQueries.countMinMerge(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
