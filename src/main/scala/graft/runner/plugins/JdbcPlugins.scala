@@ -154,6 +154,7 @@ object DefaultRegistry {
     TextDedupPlugin, TextQualityPlugin, TextFingerprintPlugin,
     TextSpanAuditPlugin, TextTermIndexPlugin,
     TextResamplePlugin, TextScrubPlugin,
+    TextDecontaminatePlugin, TextPackPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,

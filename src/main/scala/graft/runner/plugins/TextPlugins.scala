@@ -2,8 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Dedup, Fingerprint, LangId, Resample,
-  Scrub, SpanDedup, TermIndex, TextStats}
+import graft.operators.{Components, Decontaminate, Dedup, Fingerprint,
+  LangId, Resample, Scrub, SequencePack, SpanDedup, TermIndex, TextStats}
 import graft.runner._
 
 /** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
@@ -278,5 +278,71 @@ object TextTermIndexPlugin extends StepPlugin {
       "inverted_index_path" -> indexPath,
       "n_terms" -> ctx.spark.read.parquet(indexPath).count(),
       "n_docs" -> docs.count()))
+  }
+}
+
+/** `text_decontaminate` — benchmark-leak removal
+  * ([[Decontaminate.flag]]): drop every corpus doc sharing a distinct
+  * word n-gram with the held-out benchmark set. The benchmark shingle
+  * set broadcasts; the corpus never shuffles for the overlap test.
+  *
+  * Args: `input`, `benchmark_input`, `output_path` (surviving rows),
+  * optional `flags_path` (the per-doc verdicts), `id_col` (doc_id),
+  * `text_col` (text), `ngram` (default 8).
+  */
+object TextDecontaminatePlugin extends StepPlugin {
+  val name = "text_decontaminate"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(8)
+    val docs = ctx.spark.read.parquet(in)
+    val bench = ctx.spark.read.parquet(ctx.argStr("benchmark_input"))
+    val flags = Decontaminate.flag(docs, bench, idCol, col(textCol), n)
+    // flags feed the keep-join and (optionally) their own sink — and
+    // computing them costs the full corpus shingle pass: persist
+    flags.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ctx.argOpt("flags_path").foreach(p =>
+        flags.write.mode("overwrite").parquet(p.toString))
+      docs.join(flags.filter(col("keep")).select(col(idCol)), Seq(idCol))
+        .write.mode("overwrite").parquet(out)
+      val nIn = flags.count()
+      val nKept = ctx.spark.read.parquet(out).count()
+      StepResult(Map("output_path" -> out, "n_in" -> nIn,
+        "n_kept" -> nKept, "n_contaminated" -> (nIn - nKept)))
+    } finally flags.unpersist()
+  }
+}
+
+/** `text_pack` — sequence packing ([[SequencePack.pack]]): assign every
+  * doc its (pack_id, pack_offset) training-sequence coordinates via the
+  * distributed two-pass prefix sum.
+  *
+  * Args: `input`, `output_path`, optional `id_col` (doc_id),
+  * `source_col` (source), `text_col` (text; token count = whitespace
+  * tokens), `seq_len` (default 2048), `buckets` (default 64).
+  */
+object TextPackPlugin extends StepPlugin {
+  val name = "text_pack"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val srcCol = ctx.argOpt("source_col").map(_.toString).getOrElse("source")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val seqLen = ctx.argOpt("seq_len").map(_.toString.toInt).getOrElse(2048)
+    val buckets = ctx.argOpt("buckets").map(_.toString.toInt).getOrElse(64)
+    val docs = ctx.spark.read.parquet(in)
+    SequencePack.pack(docs, col(idCol), col(srcCol),
+        size(TextStats.tokens(col(textCol))), seqLen, buckets)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_docs" -> res.count(),
+      "n_packs" -> res.select("source", "pack_id").distinct().count()))
   }
 }

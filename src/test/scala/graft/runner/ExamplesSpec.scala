@@ -81,25 +81,38 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
-  test("examples/training_cut.yml runs: scrub then mixture resample") {
+  test("examples/training_cut.yml runs: scrub → dedup → decontaminate → " +
+    "mixture → pack (the full assembly)") {
     val (work, res) = run("training_cut.yml")
-    assert(res.results.size == 2)
+    assert(res.results.size == 6)
     val scrub = res.results(0).fields
     // the corpus is digit-free, so real redaction counts are zero —
     // the step still rewrites the text column end to end
     assert(scrub("n_docs").asInstanceOf[Long] > 0L)
-    val mix = res.results(1).fields
-    val nOut = mix("n_out").asInstanceOf[Long]
-    // listed weights (src0+src1 = 8) split the 200-row budget → 100
-    // each; the 18 unlisted sources add default_weight/8 · 200 = 25
-    // each → expectation 650, ± per-stratum Bernoulli jitter
-    assert(nOut > 620L && nOut < 680L, s"got $mix")
+    val dedup = res.results(1).fields
+    val nKept = dedup("n_kept").asInstanceOf[Long]
+    assert(nKept > 0L && nKept <= dedup("n_in").asInstanceOf[Long])
+    // every benchmark doc that survived dedup is a guaranteed self-leak
+    val decon = res.results(3).fields
+    assert(decon("n_contaminated").asInstanceOf[Long] > 0L, s"got $decon")
+    assert(decon("n_kept").asInstanceOf[Long] +
+      decon("n_contaminated").asInstanceOf[Long] ==
+      decon("n_in").asInstanceOf[Long])
+    // mixture: the budget governs listed strata; unlisted ride default
+    val mix = res.results(4).fields
+    assert(mix("n_out").asInstanceOf[Long] > 0L, s"got $mix")
+    // packing covers exactly the decontaminated survivors
+    val pack = res.results(5).fields
+    assert(pack("n_docs") == decon("n_kept"))
+    assert(pack("n_packs").asInstanceOf[Long] >= 1L)
     import scala.jdk.CollectionConverters._
     val stream = Files.walk(work)
     try {
       val files = stream.iterator().asScala.map(_.toString).toSeq
-      assert(files.exists(_.contains("scrubbed.parquet")))
-      assert(files.exists(_.contains("mixture.parquet")))
+      Seq("scrubbed.parquet", "deduped.parquet", "benchmark.parquet",
+        "clean.parquet", "leak_flags.parquet", "mixture.parquet",
+        "packed.parquet").foreach(f =>
+        assert(files.exists(_.contains(f)), s"$f missing"))
     } finally stream.close()
   }
 
