@@ -53,10 +53,15 @@ object CountMin {
 
   /** Point-query `queries` (one row per distinct token in `tok`)
     * against a merged sketch: estimate = min over the d counters.
-    * The sketch is constant-size → broadcast. */
+    * The sketch is constant-size → broadcast. LEFT join + 0-fill: a
+    * sparse sketch omits never-touched counter rows, and a queried
+    * token hashing into one is the CMS answer "0" — an inner join
+    * would silently drop the token (or min over fewer than d
+    * counters, returning pure collision noise). */
   def estimate(sketch: DataFrame, queries: DataFrame, tok: Column,
                d: Int = 4, width: Int = 256): DataFrame =
     hashed(queries.select(tok.as("token")), col("token"), d, width)
-      .join(broadcast(sketch), Seq("h", "b"))
+      .join(broadcast(sketch), Seq("h", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
       .groupBy("token").agg(min(col("cnt")).as("cms_est"))
 }

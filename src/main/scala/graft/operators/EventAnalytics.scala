@@ -154,11 +154,11 @@ object Scd2 {
     val changes = ev
       .withColumn("__prev", lag(col("attr"), 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= col("attr"))
-    // second window runs over the filtered rows — same key + order, the
-    // sort survives the filter so no second exchange
-    val w2 = Window.partitionBy("user_id").orderBy(col("__us"), col("__tb"))
+    // the lead() below evaluates over the FILTERED rows (same spec, new
+    // Window node) — same key + order, the sort survives the filter so
+    // no second exchange (pinned in PlanShapeSpec)
     changes
-      .withColumn("__next", lead(col("__us"), 1).over(w2))
+      .withColumn("__next", lead(col("__us"), 1).over(w))
       .select(col("user_id"), col("attr"),
         expr("__us div 1000").as("eff_from_ms"),
         coalesce(expr("__next div 1000"), lit(-1L)).as("eff_to_ms"),

@@ -97,9 +97,13 @@ object EventScd2Plugin extends StepPlugin {
   * Args: `input`, `output_path` (the merged d×width counter grid — the
   * persistable rollup artifact). Token stream is either `token_col`
   * (pre-tokenized) or `text_col` (whitespace-tokenized here). Optional
-  * `group_col` (partial grouping; default one global group), `depth`
-  * (4), `width` (256); `queries_input` + `estimates_path` to also
-  * write point estimates for the distinct tokens of a query table.
+  * `group_col` + `partials_path`: persist the PER-GROUP counter grids
+  * too (the incremental form — a daily job appends its group's partial
+  * and any consumer re-merges), with the merged grid then built from
+  * the persisted partials, proving the round trip. `depth` (4),
+  * `width` (256); `queries_input` + `estimates_path` to also write
+  * point estimates for the distinct tokens of a query table
+  * (`query_token_col` or `query_text_col`).
   */
 object SketchCountMinPlugin extends StepPlugin {
   val name = "sketch_count_min"
@@ -119,9 +123,16 @@ object SketchCountMinPlugin extends StepPlugin {
       case _ => sys.error(
         "sketch_count_min: one of 'token_col' / 'text_col' is required")
     }
-    val sketch = CountMin.merge(
-      CountMin.partials(toks, col("grp"), col("w"), d, w))
-    sketch.write.mode("overwrite").parquet(out)
+    val partials = CountMin.partials(toks, col("grp"), col("w"), d, w)
+    // with partials_path the merged grid is built from the PERSISTED
+    // per-group partials — the actual incremental-rollup round trip
+    val mergeSrc = ctx.argOpt("partials_path") match {
+      case Some(p) =>
+        partials.write.mode("overwrite").parquet(p.toString)
+        ctx.spark.read.parquet(p.toString)
+      case None => partials
+    }
+    CountMin.merge(mergeSrc).write.mode("overwrite").parquet(out)
     val persisted = ctx.spark.read.parquet(out)
     val extra = ctx.argOpt("queries_input").map { qp =>
       val ep = ctx.argStr("estimates_path")

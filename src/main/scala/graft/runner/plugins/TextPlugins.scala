@@ -322,9 +322,12 @@ object TextDecontaminatePlugin extends StepPlugin {
   * doc its (pack_id, pack_offset) training-sequence coordinates via the
   * distributed two-pass prefix sum.
   *
-  * Args: `input`, `output_path`, optional `id_col` (doc_id),
-  * `source_col` (source), `text_col` (text; token count = whitespace
-  * tokens), `seq_len` (default 2048), `buckets` (default 64).
+  * Args: `input`, `output_path`, optional `id_col` (doc_id) or
+  * `id_expr` (a SQL expression when no single column is unique — e.g.
+  * a resampled mixture repeats doc_id per copy, so
+  * `doc_id * 1024 + copy_idx`), `source_col` (source), `text_col`
+  * (text; token count = whitespace tokens), `seq_len` (default 2048),
+  * `buckets` (default 64).
   */
 object TextPackPlugin extends StepPlugin {
   val name = "text_pack"
@@ -332,13 +335,15 @@ object TextPackPlugin extends StepPlugin {
   def run(ctx: StepContext): StepResult = {
     val in = ctx.argStr("input")
     val out = ctx.argStr("output_path")
-    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val id = ctx.argOpt("id_expr").map(e => expr(e.toString))
+      .getOrElse(col(ctx.argOpt("id_col").map(_.toString)
+        .getOrElse("doc_id")))
     val srcCol = ctx.argOpt("source_col").map(_.toString).getOrElse("source")
     val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
     val seqLen = ctx.argOpt("seq_len").map(_.toString.toInt).getOrElse(2048)
     val buckets = ctx.argOpt("buckets").map(_.toString.toInt).getOrElse(64)
     val docs = ctx.spark.read.parquet(in)
-    SequencePack.pack(docs, col(idCol), col(srcCol),
+    SequencePack.pack(docs, id, col(srcCol),
         size(TextStats.tokens(col(textCol))), seqLen, buckets)
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)

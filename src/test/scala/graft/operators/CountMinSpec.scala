@@ -38,6 +38,20 @@ class CountMinSpec extends SparkSpecBase {
     }
   }
 
+  test("querying a token the sketch never saw estimates 0 (sparse grid, left join)") {
+    import spark.implicits._
+    val sketch = CountMin.merge(
+      CountMin.partials(tokens, col("day"), col("w")))
+    // 7 distinct tokens × 4 rows touch ≤28 of 1024 counters: an unseen
+    // token collides with populated counters in ALL FOUR rows with
+    // probability ~(28/256)^4 ≈ 1e-4 — an inner join would instead
+    // DROP the token or min over the few populated rows it hits
+    val est = CountMin.estimate(sketch,
+      Seq("never-seen-token").toDF("token"), col("token")).collect()
+    assert(est.length == 1, "unseen token must still get an estimate row")
+    assert(est.head.getAs[Long]("cms_est") == 0L)
+  }
+
   test("merging per-day partials equals building one sketch over the union") {
     val merged = CountMin.merge(
       CountMin.partials(tokens, col("day"), col("w")))
