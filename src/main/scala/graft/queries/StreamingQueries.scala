@@ -171,6 +171,36 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join, drained: the
+    * attribution shape again, but clicks with NO purchase within the
+    * hour surface as null-augmented rows — the unconverted-traffic side
+    * an inner join silently drops. Outer emission is watermark-GATED:
+    * a null row may only emit once the watermark proves no matching
+    * purchase can still arrive (left-state eviction), so the drain's
+    * final `maxDelay` of unmatched clicks stays in state and is absent
+    * from the sink. That gate is deterministic — watermark delay 0, so
+    * the final watermark is min(max click ts, max purchase ts) over the
+    * drained input (each side's watermark node sits after its filter),
+    * Spark tracks it in WHOLE MILLISECONDS — and the oracle reproduces
+    * exactly it: matched rows unconditionally, unmatched clicks iff
+    * click_ms + 1 h < watermark_ms. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_ojoin")
+    val evs = stagedEventStream(spark, dir, root)
+    def side(t: String) = evs.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
+      "user_id", "ts", "ts", maxDelay = "1 hour",
+      watermark = "0 seconds", joinType = "left_outer")
+    val out = joined.select(col("user_id"),
+      col("event_id").as("click_id"),
+      expr("unix_micros(ts) div 1000").as("click_ms"),
+      col("r_event_id").as("purchase_id"),
+      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Streaming duplicate suppression, drained: WHICH physical row
     * survives a duplicate group is arrival-order-dependent (not
     * verifiable cross-engine), but the op's contract — every distinct
@@ -338,6 +368,7 @@ object StreamingQueries extends QueryGroup {
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_outer_join" -> (streamOuterJoin _),
     "stream_dedup_keys" -> (streamDedupKeys _),
     "stream_quality_filter" -> (streamQualityFilter _),
     "stream_enrich_join" -> (streamEnrichJoin _),
@@ -424,6 +455,26 @@ object StreamingQueries extends QueryGroup {
           |FROM c JOIN p ON c.user_id = p.user_id
           |  AND p.us >= c.us
           |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000""".stripMargin,
+      // matched pairs emit on match (inner semantics); unmatched
+      // clicks emit only when evicted — click + 1 h strictly below the
+      // final watermark, which is min(max click, max purchase) event
+      // time FLOORED TO MILLISECONDS (Spark tracks watermarks in ms)
+      "stream_outer_join" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'purchase'),
+          |wm AS (SELECT LEAST((SELECT MAX(us) // 1000 FROM c),
+          |    (SELECT MAX(us) // 1000 FROM p)) * 1000 AS w)
+          |SELECT c.user_id, c.event_id AS click_id,
+          |  c.us // 1000 AS click_ms,
+          |  p.event_id AS purchase_id, p.us // 1000 AS purchase_ms
+          |FROM c LEFT JOIN p ON c.user_id = p.user_id
+          |  AND p.us >= c.us
+          |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000
+          |WHERE p.event_id IS NOT NULL
+          |  OR c.us + CAST(3600 AS BIGINT) * 1000000 < (SELECT w FROM wm)"""
+          .stripMargin,
       // the emitted KEY SET is the deterministic contract (see scaladoc)
       "stream_dedup_keys" ->
         "SELECT DISTINCT user_id FROM events",

@@ -96,6 +96,24 @@ object VectorQueries extends QueryGroup {
     graft.operators.PageRank.run(c.select("id"), edges, iters = 2)
   }
 
+  /** Triangle census of the co-purchase graph — parts that share an
+    * order are linked; per-part triangle count + local clustering
+    * coefficient via the degree-ordered orientation
+    * ([[graft.operators.Triangles]]). The graph derives relationally
+    * (a per-order self-join, pair count bounded by items-per-order²),
+    * the census is the skew-capped wedge join — all-integer until the
+    * final coefficient division, so bit-exact cross-engine. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    Triangles.perNode(pairs)
+  }
+
   /** Per-label centroid outlier audit under the oracle
     * ([[graft.operators.Outliers]]): top-5 farthest vectors per label
     * by squared L2 to the label's decimal-exact centroid. */
@@ -261,6 +279,7 @@ object VectorQueries extends QueryGroup {
     "ivf_ann" -> (ivfAnn _),
     "semantic_dedup" -> (semanticDedup _),
     "pagerank" -> (pagerank _),
+    "triangle_count" -> (triangleCount _),
     "embedding_outliers" -> (embeddingOutliers _),
     "minhash_signatures" -> (minhashSigs _),
     "minhash_lsh_candidates" -> (lshCandidates _),
@@ -376,6 +395,28 @@ object VectorQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "pagerank" -> pagerankOracle,
+    // x<y<z once each: e1=(x,y), e2=(y,z), closure e3=(x,z) — every
+    // triangle has exactly one canonical-ordered path, so no /6 fixups
+    "triangle_count" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+        |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+        |  GROUP BY 1),
+        |t AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+        |  UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) /
+        |      CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+        |FROM deg d LEFT JOIN t ON d.node = t.node""".stripMargin,
     "embedding_outliers" -> {
       val dsumV =
         "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"

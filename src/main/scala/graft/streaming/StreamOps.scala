@@ -104,17 +104,27 @@ object StreamOps {
     * follows within `maxDelay` (e.g. purchase ≤ 1 h after click). Both
     * sides carry watermarks so the join state is bounded: left rows are
     * droppable once `leftTs + maxDelay` passes the right watermark.
-    * Right columns come back prefixed `r_`. */
+    * Right columns come back prefixed `r_`.
+    *
+    * `joinType` "left_outer" adds the no-match rows: a left row emits
+    * null-augmented exactly when the watermark proves no future right
+    * row can still land in its interval (state eviction), so the outer
+    * tail of the result is watermark-gated — a drain's last
+    * `maxDelay`-worth of unmatched left rows stays in state and is NOT
+    * emitted. That cutoff is part of the operator contract and what the
+    * `stream_outer_join` oracle reproduces. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, maxDelay: String,
-                   watermark: String = "1 day"): DataFrame = {
+                   watermark: String = "1 day",
+                   joinType: String = "inner"): DataFrame = {
     val r = right.columns.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, s"r_$c"))
     left.withWatermark(leftTs, watermark)
       .join(r.withWatermark(s"r_$rightTs", watermark),
         col(key) === col(s"r_$key") &&
           col(s"r_$rightTs") >= col(leftTs) &&
-          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+          col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        joinType)
   }
 
   /** Threshold-crossing alerts via flatMapGroupsWithState — the 0..n

@@ -581,6 +581,44 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no skew-split join in final plan:\n${p.take(4000)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the AQE runtime-filter path (SURVEY §4 optimizer surface): when a
+    // shuffle join's build side carries a selective predicate, Catalyst
+    // injects bloom_filter_agg on the dim and might_contain on the fact
+    // scan — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~matching slice. Thresholds
+    // sized to the fixture on an isolated session (the application-side
+    // scan floor defaults to 10 GB).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val li = Tables.lineitem(ss, sf).select("l_partkey", "l_quantity")
+    val dim = Tables.part(ss, sf).filter(col("p_size") === 1)
+      .select("p_partkey")
+    val joined = li.join(dim, col("l_partkey") === col("p_partkey"))
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${opt.take(4000)}")
+    // and the result is unaffected by the filter (no false negatives)
+    val expected = Tables.lineitem(ss, sf)
+      .join(Tables.part(ss, sf).filter(col("p_size") === 1),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(joined.count() == expected)
+  }
+
+  test("triangle census: hash joins throughout, no nested-loop blowup") {
+    val df = queries.VectorQueries.triangleCount(spark, sf)
+    val p = plan(df)
+    // wedge self-join + closure join must be equi-joins (skew capped by
+    // the degree orientation); a BroadcastNestedLoopJoin or cartesian
+    // here means the orientation predicate fell out of the join keys
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(4000))
+  }
+
   test("ngram_lm_score joins postings shuffle-side; vocab rides a 1-row broadcast") {
     val df = queries.CorpusQueries.ngramLmScore(spark, sf)
     val p = plan(df)
