@@ -261,7 +261,26 @@ object TextQueries extends QueryGroup {
       .select("doc_id", "verdict", "keeper", "final_keep")
   }
 
+  /** Per-source token budget under the oracle: admit docs in doc_id
+    * order until 30k tokens per source are spent
+    * ([[graft.operators.Budget.capTokens]], the two-pass prefix form —
+    * the oracle pins it against the naive per-source running cumsum). */
+  def tokenBudgetCap(spark: SparkSession, dir: String): DataFrame =
+    Budget.capTokens(Tables.documents(spark, dir), col("doc_id"),
+      col("source"), size(TextStats.tokens(col("text"))), budget = 30000L)
+
+  /** Per-source quality floor under the oracle: drop each source's
+    * bottom token-count quartile ([[graft.operators.Budget
+    * .percentileFilter]]); the oracle is DuckDB's native percent_rank
+    * over the same total order, pinning the two-pass rank
+    * decomposition AND the (rank−1)/(n−1) double. */
+  def qualityPercentileFilter(spark: SparkSession, dir: String): DataFrame =
+    Budget.percentileFilter(Tables.documents(spark, dir), col("doc_id"),
+      col("source"), size(TextStats.tokens(col("text"))), minPct = 0.25)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_cap" -> (tokenBudgetCap _),
+    "quality_percentile_filter" -> (qualityPercentileFilter _),
     "quality_filter" -> (qualityFilter _),
     "hof_funcs" -> (hofFuncs _),
     "text_chunks" -> (textChunks _),
@@ -461,6 +480,30 @@ object TextQueries extends QueryGroup {
          |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
          |    AS repetition_ratio
          |FROM cnt GROUP BY 1""".stripMargin,
+    // the naive per-source running cumsum the two-pass form must equal
+    // (windowed SUM(BIGINT) is HUGEINT in DuckDB → cast back)
+    "token_budget_cap" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_end
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_end,
+         |  cum_end <= 30000 AS kept
+         |FROM c""".stripMargin,
+    // native percent_rank over the same total order: pins the two-pass
+    // rank decomposition and the (rank-1)/(n-1) double
+    "quality_percentile_filter" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($toks) AS BIGINT) AS score FROM documents)
+         |SELECT doc_id, source, score,
+         |  percent_rank() OVER (PARTITION BY source
+         |    ORDER BY score, doc_id) AS pct_rank,
+         |  percent_rank() OVER (PARTITION BY source
+         |    ORDER BY score, doc_id) >= 0.25 AS kept
+         |FROM t""".stripMargin,
     // concat-then-chunk coordinates: same ordering, same integer
     // cumsum/div/mod on both sides
     "sequence_pack" ->

@@ -549,6 +549,54 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
   }
 
+  test("budget ops: two-pass on a giant source, equal to the naive window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // same worst case as sequence_pack: one giant source would bound
+    // the naive `PARTITION BY source` forms to a single task
+    val docs = spark.range(1, 2001).toDF("doc_id")
+      .withColumn("source", lit("shard-0"))
+      .withColumn("n_tokens", col("doc_id") % 97 + 1)
+    def pinBucketed(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+        .foreach { w =>
+          val boundedInput =
+            w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined
+          val bucketKeyed = w.partitionSpec.exists(
+            _.references.exists(_.name == "__bucket"))
+          assert(bucketKeyed || boundedInput,
+            s"data-sized window keyed by source alone:\n$w")
+        }
+    val capped = operators.Budget.capTokens(docs, col("doc_id"),
+      col("source"), col("n_tokens"), budget = 40000L, buckets = 8)
+    pinBucketed(capped)
+    val naiveCumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naiveCap = docs
+      .withColumn("cum_end", sum("n_tokens").over(naiveCumW))
+      .select(col("doc_id"), col("cum_end"),
+        (col("cum_end") <= 40000L).as("kept"))
+    val gotCap = capped.select("doc_id", "cum_end", "kept")
+    assert(gotCap.except(naiveCap).isEmpty &&
+      naiveCap.except(gotCap).isEmpty)
+
+    val filtered = operators.Budget.percentileFilter(docs, col("doc_id"),
+      col("source"), col("n_tokens"), minPct = 0.25, buckets = 8)
+    pinBucketed(filtered)
+    val naiveRankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("score", "doc_id")
+    val naivePct = docs.select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("score"))
+      .withColumn("pct_rank", percent_rank().over(naiveRankW))
+      .select(col("doc_id"), col("pct_rank"),
+        (col("pct_rank") >= 0.25).as("kept"))
+    val gotPct = filtered.select("doc_id", "pct_rank", "kept")
+    assert(gotPct.except(naivePct).isEmpty &&
+      naivePct.except(gotPct).isEmpty)
+  }
+
   test("zonal join splits a giant county under AQE skew handling") {
     // giant-county skew (SURVEY §7 item 7): 95% of pixels land in one
     // county. Manual salting is proven by salted_join/salted_sum; this
