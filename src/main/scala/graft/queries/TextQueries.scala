@@ -262,12 +262,14 @@ object TextQueries extends QueryGroup {
   }
 
   /** Per-source token budget under the oracle: admit docs in doc_id
-    * order until 30k tokens per source are spent
+    * order until 1k tokens per source are spent — sized so the cap
+    * BITES at every SF (sources hold ~1.5k tokens at sf0.001), keeping
+    * both verdicts under test
     * ([[graft.operators.Budget.capTokens]], the two-pass prefix form —
     * the oracle pins it against the naive per-source running cumsum). */
   def tokenBudgetCap(spark: SparkSession, dir: String): DataFrame =
     Budget.capTokens(Tables.documents(spark, dir), col("doc_id"),
-      col("source"), size(TextStats.tokens(col("text"))), budget = 30000L)
+      col("source"), size(TextStats.tokens(col("text"))), budget = 1000L)
 
   /** Per-source quality floor under the oracle: drop each source's
     * bottom token-count quartile ([[graft.operators.Budget
@@ -491,7 +493,7 @@ object TextQueries extends QueryGroup {
          |    AS BIGINT) AS cum_end
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_end,
-         |  cum_end <= 30000 AS kept
+         |  cum_end <= 1000 AS kept
          |FROM c""".stripMargin,
     // native percent_rank over the same total order: pins the two-pass
     // rank decomposition and the (rank-1)/(n-1) double

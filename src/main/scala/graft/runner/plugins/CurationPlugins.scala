@@ -2,8 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curriculum, Dsir, NgramLm, Outliers, PageRank,
-  SemanticDedup, Similarity, TextStats}
+import graft.operators.{Budget, Curriculum, Dsir, NgramLm, Outliers,
+  PageRank, SemanticDedup, Similarity, TextStats, Triangles}
 import graft.runner._
 
 /** The round-6 curation/analytics operators as runner plugins (SURVEY
@@ -227,5 +227,100 @@ object GraphPagerankPlugin extends StepPlugin {
       .write.mode("overwrite").parquet(out)
     StepResult(Map("output_path" -> out,
       "n_nodes" -> ctx.spark.read.parquet(out).count()))
+  }
+}
+
+/** `text_budget_cap` — per-source token budget ([[Budget.capTokens]]):
+  * admit documents in id order until each source's allotment is spent.
+  *
+  * Args: `input`, `output_path`, `budget` (tokens per source); optional
+  * `id_col` (doc_id), `source_col` (source), `text_col` (text;
+  * whitespace token count), `keep_only` (true = write survivors only,
+  * default false = every row with its `cum_end`/`kept` audit columns).
+  */
+object TextBudgetCapPlugin extends StepPlugin {
+  val name = "text_budget_cap"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val budget = ctx.argStr("budget").toLong
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val srcCol = ctx.argOpt("source_col").map(_.toString).getOrElse("source")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val docs = ctx.spark.read.parquet(in)
+    val audited = Budget.capTokens(docs, col(idCol), col(srcCol),
+      size(TextStats.tokens(col(textCol))), budget)
+    val result =
+      if (ctx.argBool("keep_only", default = false))
+        audited.filter(col("kept"))
+      else audited
+    result.write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_out" -> res.count(),
+      "n_kept" -> res.filter(col("kept")).count()))
+  }
+}
+
+/** `text_quality_floor` — per-source quality percentile floor
+  * ([[Budget.percentileFilter]]): drop each source's worst slice by a
+  * score's within-source percent rank.
+  *
+  * Args: `input`, `output_path`, optional `min_pct` (default 0.25 =
+  * drop the bottom quartile), `id_col`, `source_col`; the score is
+  * `score_col` (a numeric column) or the whitespace token count of
+  * `text_col` (default). `keep_only` as in text_budget_cap.
+  */
+object TextQualityFloorPlugin extends StepPlugin {
+  val name = "text_quality_floor"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val minPct = ctx.argOpt("min_pct").map(_.toString.toDouble)
+      .getOrElse(0.25)
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val srcCol = ctx.argOpt("source_col").map(_.toString).getOrElse("source")
+    val docs = ctx.spark.read.parquet(in)
+    val score = ctx.argOpt("score_col").map(c => col(c.toString))
+      .getOrElse(size(TextStats.tokens(
+        col(ctx.argOpt("text_col").map(_.toString).getOrElse("text")))))
+    val audited = Budget.percentileFilter(docs, col(idCol), col(srcCol),
+      score, minPct)
+    val result =
+      if (ctx.argBool("keep_only", default = false))
+        audited.filter(col("kept"))
+      else audited
+    result.write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_out" -> res.count(),
+      "n_kept" -> res.filter(col("kept")).count()))
+  }
+}
+
+/** `graph_triangles` — triangle census + clustering coefficient over an
+  * edge table ([[Triangles.perNode]]).
+  *
+  * Args: `edges_input` (parquet with the edge endpoints), `output_path`;
+  * optional `a_col`/`b_col` (default a/b). Edges are canonicalized
+  * (min, max) and deduped here, so any undirected edge list works.
+  */
+object GraphTrianglesPlugin extends StepPlugin {
+  val name = "graph_triangles"
+
+  def run(ctx: StepContext): StepResult = {
+    val ein = ctx.argStr("edges_input")
+    val out = ctx.argStr("output_path")
+    val aCol = ctx.argOpt("a_col").map(_.toString).getOrElse("a")
+    val bCol = ctx.argOpt("b_col").map(_.toString).getOrElse("b")
+    val raw = ctx.spark.read.parquet(ein)
+      .select(col(aCol).as("__x"), col(bCol).as("__y"))
+      .filter(col("__x") =!= col("__y"))
+    val canon = raw.select(least(col("__x"), col("__y")).as("a"),
+      greatest(col("__x"), col("__y")).as("b")).distinct()
+    Triangles.perNode(canon).write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_nodes" -> res.count(),
+      "n_closed" -> res.filter(col("n_tri") > 0).count()))
   }
 }

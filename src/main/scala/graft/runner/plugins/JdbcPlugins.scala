@@ -156,6 +156,7 @@ object DefaultRegistry {
     TextResamplePlugin, TextScrubPlugin,
     TextDecontaminatePlugin, TextPackPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
+    TextBudgetCapPlugin, TextQualityFloorPlugin, GraphTrianglesPlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
