@@ -33,7 +33,10 @@ class DeterminismSpec extends SparkSpecBase {
     "funnel_steps" -> "conditional-min stage chain",
     "scd2_build" -> "tiebroken lag/lead intervals",
     "count_min_merge" -> "md5 counter grid + min estimate",
-    "gap_fill_ffill" -> "max_by day value + ignoreNulls ffill")
+    "gap_fill_ffill" -> "max_by day value + ignoreNulls ffill",
+    "triangle_count" -> "orientation-invariant triad census",
+    "token_budget_cap" -> "two-pass running total + threshold",
+    "quality_percentile_filter" -> "two-pass (rank-1)/(n-1) double")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted
