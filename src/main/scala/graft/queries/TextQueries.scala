@@ -280,7 +280,15 @@ object TextQueries extends QueryGroup {
     Budget.percentileFilter(Tables.documents(spark, dir), col("doc_id"),
       col("source"), size(TextStats.tokens(col("text"))), minPct = 0.25)
 
+  /** BPE merge learning under the oracle ([[graft.operators.Bpe]]):
+    * six induction rounds over the documents word histogram, the
+    * oracle unrolling the identical argmax/apply recurrence in CTE
+    * stages (the pagerank/kmeans unrolling discipline). */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    Bpe.learnMerges(Tables.documents(spark, dir), col("text"), rounds = 6)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_learn" -> (bpeLearn _),
     "token_budget_cap" -> (tokenBudgetCap _),
     "quality_percentile_filter" -> (qualityPercentileFilter _),
     "quality_filter" -> (qualityFilter _),
@@ -482,6 +490,40 @@ object TextQueries extends QueryGroup {
          |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
          |    AS repetition_ratio
          |FROM cnt GROUP BY 1""".stripMargin,
+    // six BPE rounds unrolled: per round a pair-frequency aggregate
+    // over the double-space segmentation encoding, the deterministic
+    // argmax, and the leftmost-nonoverlapping replace() apply — the
+    // byte-identical recurrence the engine runs (see operators.Bpe)
+    "bpe_learn" -> {
+      def round(r: Int): String = {
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT l[i] AS lhs, l[i + 1] AS rhs,
+           |    CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, string_split(trim(seg), '  ') AS l
+           |        FROM $prev) t
+           |  CROSS JOIN unnest(range(1, len(l))) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT lhs, rhs, n FROM p$r
+           |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT freq, replace(seg,
+           |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
+           |      (SELECT rhs FROM m$r) || ' ',
+           |    ' ' || (SELECT lhs FROM m$r) ||
+           |      (SELECT rhs FROM m$r) || ' ') AS seg
+           |  FROM $prev)""".stripMargin
+      }
+      s"""WITH w AS (SELECT t AS w, COUNT(*) AS freq
+         |  FROM (SELECT unnest($toks) AS t FROM documents) u
+         |  WHERE t <> '' GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT freq,
+         |  '  ' || array_to_string(string_split(w, ''), '  ') || '  '
+         |    AS seg FROM w),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |${(1 to 6).map(r =>
+           s"""SELECT CAST($r AS INT) AS merge_rank, lhs, rhs,
+              |  lhs || rhs AS merged, n FROM m$r""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // the naive per-source running cumsum the two-pass form must equal
     // (windowed SUM(BIGINT) is HUGEINT in DuckDB → cast back)
     "token_budget_cap" ->

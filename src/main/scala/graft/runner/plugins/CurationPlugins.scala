@@ -2,7 +2,7 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Budget, Curriculum, Dsir, NgramLm, Outliers,
+import graft.operators.{Bpe, Budget, Curriculum, Dsir, NgramLm, Outliers,
   PageRank, SemanticDedup, Similarity, TextStats, Triangles}
 import graft.runner._
 
@@ -322,5 +322,26 @@ object GraphTrianglesPlugin extends StepPlugin {
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_nodes" -> res.count(),
       "n_closed" -> res.filter(col("n_tri") > 0).count()))
+  }
+}
+
+/** `text_bpe_learn` — BPE merge-table induction ([[Bpe.learnMerges]]):
+  * learn a tokenizer's merge list from the corpus word histogram.
+  *
+  * Args: `input`, `output_path`, optional `rounds` (default 16),
+  * `text_col` (text).
+  */
+object TextBpeLearnPlugin extends StepPlugin {
+  val name = "text_bpe_learn"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val rounds = ctx.argOpt("rounds").map(_.toString.toInt).getOrElse(16)
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    Bpe.learnMerges(ctx.spark.read.parquet(in), col(textCol), rounds)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_merges" -> res.count()))
   }
 }

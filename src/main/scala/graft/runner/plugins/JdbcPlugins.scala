@@ -157,6 +157,7 @@ object DefaultRegistry {
     TextDecontaminatePlugin, TextPackPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     TextBudgetCapPlugin, TextQualityFloorPlugin, GraphTrianglesPlugin,
+    TextBpeLearnPlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,

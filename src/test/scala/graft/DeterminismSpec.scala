@@ -36,7 +36,8 @@ class DeterminismSpec extends SparkSpecBase {
     "gap_fill_ffill" -> "max_by day value + ignoreNulls ffill",
     "triangle_count" -> "orientation-invariant triad census",
     "token_budget_cap" -> "two-pass running total + threshold",
-    "quality_percentile_filter" -> "two-pass (rank-1)/(n-1) double")
+    "quality_percentile_filter" -> "two-pass (rank-1)/(n-1) double",
+    "bpe_learn" -> "per-round argmax with total-order tie-break")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted

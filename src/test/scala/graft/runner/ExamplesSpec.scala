@@ -190,7 +190,7 @@ class ExamplesSpec extends SparkSpecBase {
 
   test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles") {
     val (_, res) = run("curation_suite.yml")
-    assert(res.results.size == 11)
+    assert(res.results.size == 12)
     val byStep = res.results.map(_.fields)
     // lm: 10% train slice → 90% scored, some with OOV bigrams
     assert(byStep(0)("n_scored") == 450L)
@@ -208,14 +208,16 @@ class ExamplesSpec extends SparkSpecBase {
     // budget: every row audited; the 20k/source cap must actually bite
     val budKept = byStep(7)("n_kept").asInstanceOf[Long]
     assert(byStep(7)("n_out") == 500L && budKept > 0L && budKept < 500L)
+    // bpe: one merge learned per requested round
+    assert(byStep(8)("n_merges") == 8L)
     // floor: dropping each source's bottom quartile keeps ~75%
-    val floorKept = byStep(8)("n_kept").asInstanceOf[Long]
-    assert(byStep(8)("n_out") == 500L &&
+    val floorKept = byStep(9)("n_kept").asInstanceOf[Long]
+    assert(byStep(9)("n_out") == 500L &&
       floorKept > 300L && floorKept < 450L, s"floor kept $floorKept")
     // triangles: chain+skip-2 edges close a triad at every interior
     // doc, so most nodes sit in >=1 closed triangle
-    assert(byStep(10)("n_nodes") == 500L)
-    assert(byStep(10)("n_closed").asInstanceOf[Long] > 400L)
+    assert(byStep(11)("n_nodes") == 500L)
+    assert(byStep(11)("n_closed").asInstanceOf[Long] > 400L)
   }
 
   test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min") {
