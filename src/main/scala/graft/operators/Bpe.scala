@@ -95,4 +95,32 @@ object Bpe {
         StructField("merged", StringType, nullable = false),
         StructField("n", LongType, nullable = false))))
   }
+
+  /** Apply an ordered merge list (the tokenizer's "encode" side):
+    * per document, the whitespace word count and the BPE symbol count
+    * after every merge is applied — the number a packing/budgeting
+    * step actually wants once a tokenizer exists. One explode + the
+    * R-deep replace chain (stateless codegen projections) + one hash
+    * aggregate; the merge list is a constant-size driver value (it IS
+    * the output of [[learnMerges]]), so nothing data-sized leaves the
+    * executors. */
+  def segmentCounts(docs: DataFrame, id: Column, text: Column,
+                    merges: Seq[(String, String)]): DataFrame = {
+    var d = docs
+      .select(id.as("id"), explode(TextStats.tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("seg",
+        concat(lit("  "),
+          concat_ws("  ", filter(split(col("w"), ""), s => s =!= "")),
+          lit("  ")))
+    merges.foreach { case (a, b) =>
+      d = d.withColumn("__find", lit(s" $a  $b "))
+        .withColumn("__repl", lit(s" $a$b "))
+        .withColumn("seg", expr("replace(seg, __find, __repl)"))
+    }
+    d.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(trim(col("seg")), "  "))).cast("long")
+          .as("n_bpe_tokens"))
+  }
 }

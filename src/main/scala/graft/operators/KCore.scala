@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** k-core decomposition by iterative peeling (north-star scope:
+  * graph-structured corpus curation — the k-core is the maximal
+  * subgraph where every node keeps ≥ k neighbors, the standard
+  * dense-cluster extraction for similarity/link graphs; peeling is the
+  * textbook fixpoint: repeatedly delete nodes of degree < k, which can
+  * cascade as deletions lower neighbors' degrees).
+  *
+  * Fixed `rounds` of peeling, every step a DataFrame op: one degree
+  * aggregate + two LEFT SEMI equi-joins (endpoint-in-survivors) per
+  * round — all hash-partitioned with map-side partials, no driver data
+  * movement. A fixed round count (not convergence-polling) keeps the
+  * plan deterministic and the oracle unrollable. Each round CHECKPOINTS
+  * (not merely persists): a round's plan references the previous
+  * edge set THREE times (degree aggregate + both semi-join probes), so
+  * a persist-only loop still grows the LOGICAL tree ~3× per round —
+  * 3^rounds analysis blowup, measured as a driver heap OOM at 6 rounds
+  * on an 870-edge graph — while checkpointing truncates lineage to a
+  * flat scan per round (the [[Components]] contract: `checkpointDir`
+  * for reliable cluster checkpoints, localCheckpoint otherwise).
+  * Callers wanting the exact fixpoint raise `rounds` until the spec's
+  * convergence flag holds — at these densities the cascade settles in
+  * ≤4 peels (KCoreSpec pins a hand-built cascade).
+  */
+object KCore {
+
+  /** @param edges canonical undirected edges (a, b), a < b, deduped
+    * @return (node, deg, in_core) for every node still carrying an
+    *         edge after `rounds` peels; `deg` is the degree within the
+    *         surviving subgraph, `in_core` = deg ≥ k (all true ⇔ the
+    *         peeling converged to the true k-core). */
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    def pin(e: DataFrame): DataFrame = {
+      val p = e.persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined) p.checkpoint(true)
+      else p.localCheckpoint(true)
+    }
+
+    var cur = pin(edges.select("a", "b"))
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      val next = pin(cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b"))
+      cur.unpersist()
+      cur = next
+    }
+    degrees(cur)
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        (col("deg") >= k).as("in_core"))
+  }
+}

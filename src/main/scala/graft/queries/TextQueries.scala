@@ -287,8 +287,23 @@ object TextQueries extends QueryGroup {
   def bpeLearn(spark: SparkSession, dir: String): DataFrame =
     Bpe.learnMerges(Tables.documents(spark, dir), col("text"), rounds = 6)
 
+  /** The learned merges applied back to the corpus ([[graft.operators
+    * .Bpe.segmentCounts]]): per-doc word count and post-merge BPE
+    * symbol count — the token arithmetic a budgeting/packing step runs
+    * once a real tokenizer exists. The merge list is re-learned here
+    * (constant driver value) so the query is self-contained. */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.learnMerges(docs, col("text"), rounds = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.segmentCounts(docs, col("doc_id"), col("text"), merges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_learn" -> (bpeLearn _),
+    "bpe_segment" -> (bpeSegment _),
     "token_budget_cap" -> (tokenBudgetCap _),
     "quality_percentile_filter" -> (qualityPercentileFilter _),
     "quality_filter" -> (qualityFilter _),
@@ -344,6 +359,38 @@ object TextQueries extends QueryGroup {
       .select("doc_id", "lang", "sampled")
 
   private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** The BPE learning recurrence as a CTE prefix (w, s0, p1..m1..s6 —
+    * shared by bpe_learn and bpe_segment). Per-round stages are
+    * AS MATERIALIZED: DuckDB otherwise inlines each stage's upstream
+    * tree once per reference — exponential in rounds (measured >120 s
+    * vs 0.15 s at sf0.001). */
+  private lazy val bpeLearnCtes: String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT l[i] AS lhs, l[i + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, string_split(trim(seg), '  ') AS l
+         |        FROM $prev) t
+         |  CROSS JOIN unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT lhs, rhs, n FROM p$r
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT freq, replace(seg,
+         |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
+         |      (SELECT rhs FROM m$r) || ' ',
+         |    ' ' || (SELECT lhs FROM m$r) ||
+         |      (SELECT rhs FROM m$r) || ' ') AS seg
+         |  FROM $prev)""".stripMargin
+    }
+    s"""w AS (SELECT t AS w, COUNT(*) AS freq
+       |  FROM (SELECT unnest($toks) AS t FROM documents) u
+       |  WHERE t <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT freq,
+       |  '  ' || array_to_string(string_split(w, ''), '  ') || '  '
+       |    AS seg FROM w),
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
 
   /** Shared CTE prefix: the quality-filter verdict per doc (also the
     * base of the corpus_clean oracle). */
@@ -494,36 +541,32 @@ object TextQueries extends QueryGroup {
     // over the double-space segmentation encoding, the deterministic
     // argmax, and the leftmost-nonoverlapping replace() apply — the
     // byte-identical recurrence the engine runs (see operators.Bpe)
-    "bpe_learn" -> {
-      def round(r: Int): String = {
-        val prev = s"s${r - 1}"
-        s"""p$r AS (SELECT l[i] AS lhs, l[i + 1] AS rhs,
-           |    CAST(SUM(freq) AS BIGINT) AS n
-           |  FROM (SELECT freq, string_split(trim(seg), '  ') AS l
-           |        FROM $prev) t
-           |  CROSS JOIN unnest(range(1, len(l))) AS u(i)
-           |  GROUP BY 1, 2),
-           |m$r AS (SELECT lhs, rhs, n FROM p$r
-           |  ORDER BY n DESC, lhs, rhs LIMIT 1),
-           |s$r AS MATERIALIZED (SELECT freq, replace(seg,
-           |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
-           |      (SELECT rhs FROM m$r) || ' ',
-           |    ' ' || (SELECT lhs FROM m$r) ||
-           |      (SELECT rhs FROM m$r) || ' ') AS seg
-           |  FROM $prev)""".stripMargin
-      }
-      s"""WITH w AS (SELECT t AS w, COUNT(*) AS freq
-         |  FROM (SELECT unnest($toks) AS t FROM documents) u
-         |  WHERE t <> '' GROUP BY 1),
-         |s0 AS MATERIALIZED (SELECT freq,
-         |  '  ' || array_to_string(string_split(w, ''), '  ') || '  '
-         |    AS seg FROM w),
-         |${(1 to 6).map(round).mkString(",\n")}
+    "bpe_learn" ->
+      s"""WITH $bpeLearnCtes
          |${(1 to 6).map(r =>
            s"""SELECT CAST($r AS INT) AS merge_rank, lhs, rhs,
               |  lhs || rhs AS merged, n FROM m$r""".stripMargin)
-           .mkString("\nUNION ALL\n")}""".stripMargin
-    },
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+    // the learned merges (same m1..m6 CTEs) applied to per-word doc
+    // segmentations — the tokenizer's "encode" side
+    "bpe_segment" ->
+      s"""WITH $bpeLearnCtes,
+         |t0 AS MATERIALIZED (SELECT doc_id,
+         |  '  ' || array_to_string(string_split(t, ''), '  ') || '  '
+         |    AS seg
+         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |${(1 to 6).map(r =>
+           s"""t$r AS MATERIALIZED (SELECT doc_id, replace(seg,
+              |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
+              |      (SELECT rhs FROM m$r) || ' ',
+              |    ' ' || (SELECT lhs FROM m$r) ||
+              |      (SELECT rhs FROM m$r) || ' ') AS seg
+              |  FROM t${r - 1})""".stripMargin).mkString(",\n")}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM t6 GROUP BY 1""".stripMargin,
     // the naive per-source running cumsum the two-pass form must equal
     // (windowed SUM(BIGINT) is HUGEINT in DuckDB → cast back)
     "token_budget_cap" ->

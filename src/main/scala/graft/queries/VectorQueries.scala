@@ -103,16 +103,29 @@ object VectorQueries extends QueryGroup {
     * (a per-order self-join, pair count bounded by items-per-order²),
     * the census is the skew-capped wedge join — all-integer until the
     * final coefficient division, so bit-exact cross-engine. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** Canonical co-purchase edges: parts sharing an order, (a < b),
+    * deduped — the relational graph the triangle census and the k-core
+    * peel both analyze. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
         "l_orderkey")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    Triangles.perNode(pairs)
   }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    Triangles.perNode(coPurchaseEdges(spark, dir))
+
+  /** k-core of the co-purchase graph ([[graft.operators.KCore]]):
+    * six peels at k=65 — sized so the cascade actually iterates at
+    * sf0.001 (191→189→188 survivors, converged by round 4) while the
+    * denser larger SFs stay mostly intact. Exact integer degrees
+    * throughout → bit-exact cross-engine. */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    KCore.peel(coPurchaseEdges(spark, dir), k = 65, rounds = 6)
 
   /** Per-label centroid outlier audit under the oracle
     * ([[graft.operators.Outliers]]): top-5 farthest vectors per label
@@ -280,6 +293,7 @@ object VectorQueries extends QueryGroup {
     "semantic_dedup" -> (semanticDedup _),
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
+    "k_core" -> (kCore _),
     "embedding_outliers" -> (embeddingOutliers _),
     "minhash_signatures" -> (minhashSigs _),
     "minhash_lsh_candidates" -> (lshCandidates _),
@@ -417,6 +431,30 @@ object VectorQueries extends QueryGroup {
         |      CAST(d.deg * (d.deg - 1) AS DOUBLE)
         |    ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
         |FROM deg d LEFT JOIN t ON d.node = t.node""".stripMargin,
+    // six peels unrolled; per-round CTEs MATERIALIZED (the iterative-
+    // oracle rule: DuckDB inlines multiply-referenced stages otherwise)
+    "k_core" -> {
+      def peelRound(r: Int): String = {
+        val prev = s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+           |  SELECT a AS node FROM $prev
+           |  UNION ALL SELECT b AS node FROM $prev) u GROUP BY 1),
+           |k$r AS (SELECT node FROM d$r WHERE deg >= 65),
+           |e$r AS MATERIALIZED (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT node FROM k$r)
+           |    AND b IN (SELECT node FROM k$r))""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |${(1 to 6).map(peelRound).mkString(",\n")}
+         |SELECT node, CAST(deg AS BIGINT) AS deg, deg >= 65 AS in_core
+         |FROM (SELECT node, COUNT(*) AS deg FROM (
+         |  SELECT a AS node FROM e6
+         |  UNION ALL SELECT b AS node FROM e6) u GROUP BY 1) f"""
+        .stripMargin
+    },
     "embedding_outliers" -> {
       val dsumV =
         "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"

@@ -2,8 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Budget, Curriculum, Dsir, NgramLm, Outliers,
-  PageRank, SemanticDedup, Similarity, TextStats, Triangles}
+import graft.operators.{Bpe, Budget, Curriculum, Dsir, KCore, NgramLm,
+  Outliers, PageRank, SemanticDedup, Similarity, TextStats, Triangles}
 import graft.runner._
 
 /** The round-6 curation/analytics operators as runner plugins (SURVEY
@@ -343,5 +343,36 @@ object TextBpeLearnPlugin extends StepPlugin {
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_merges" -> res.count()))
+  }
+}
+
+/** `graph_kcore` — k-core extraction over an edge table
+  * ([[KCore.peel]]): fixed-round peeling with per-round checkpoints.
+  *
+  * Args: `edges_input`, `output_path`, `k`; optional `rounds`
+  * (default 8), `a_col`/`b_col` (default a/b), `checkpoint_dir`
+  * (reliable checkpoints on clusters; local otherwise).
+  */
+object GraphKcorePlugin extends StepPlugin {
+  val name = "graph_kcore"
+
+  def run(ctx: StepContext): StepResult = {
+    val ein = ctx.argStr("edges_input")
+    val out = ctx.argStr("output_path")
+    val k = ctx.argStr("k").toInt
+    val rounds = ctx.argOpt("rounds").map(_.toString.toInt).getOrElse(8)
+    val aCol = ctx.argOpt("a_col").map(_.toString).getOrElse("a")
+    val bCol = ctx.argOpt("b_col").map(_.toString).getOrElse("b")
+    val raw = ctx.spark.read.parquet(ein)
+      .select(col(aCol).as("__x"), col(bCol).as("__y"))
+      .filter(col("__x") =!= col("__y"))
+    val canon = raw.select(least(col("__x"), col("__y")).as("a"),
+      greatest(col("__x"), col("__y")).as("b")).distinct()
+    KCore.peel(canon, k, rounds,
+        ctx.argOpt("checkpoint_dir").map(_.toString))
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_nodes" -> res.count(),
+      "n_converged" -> res.filter(col("in_core")).count()))
   }
 }

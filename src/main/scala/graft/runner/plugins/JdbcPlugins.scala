@@ -157,7 +157,7 @@ object DefaultRegistry {
     TextDecontaminatePlugin, TextPackPlugin,
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     TextBudgetCapPlugin, TextQualityFloorPlugin, GraphTrianglesPlugin,
-    TextBpeLearnPlugin,
+    TextBpeLearnPlugin, GraphKcorePlugin,
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,

@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkSpecBase {
     "triangle_count" -> "orientation-invariant triad census",
     "token_budget_cap" -> "two-pass running total + threshold",
     "quality_percentile_filter" -> "two-pass (rank-1)/(n-1) double",
-    "bpe_learn" -> "per-round argmax with total-order tie-break")
+    "bpe_learn" -> "per-round argmax with total-order tie-break",
+    "k_core" -> "checkpointed peel loop, integer degrees")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class KCoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // triangle {1,2,3} with a pendant chain 3-4-5: peeling at k=2 must
+  // CASCADE — dropping 5 lowers 4's degree below k only in the next
+  // round
+  private val fixture = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+    (4L, 5L))
+
+  private def run(k: Int, rounds: Int) =
+    KCore.peel(fixture.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Boolean]("in_core")))).toMap
+
+  test("k=2 cascade: pendant chain peels over two rounds, triangle stays") {
+    val c = run(k = 2, rounds = 3)
+    assert(c.keySet == Set(1L, 2L, 3L))
+    assert(c.values.forall { case (deg, in) => deg == 2L && in })
+  }
+
+  test("one round is not enough: the flag exposes the unconverged node") {
+    val c = run(k = 2, rounds = 1)
+    // 5 is gone, but 4 survives round 1 with its degree now below k
+    assert(c(4L) == ((1L, false)))
+    assert(c(1L)._2 && c(2L)._2 && c(3L)._2)
+  }
+
+  test("k above the max degree empties the graph") {
+    assert(run(k = 10, rounds = 2).isEmpty)
+  }
+}

@@ -190,7 +190,7 @@ class ExamplesSpec extends SparkSpecBase {
 
   test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles") {
     val (_, res) = run("curation_suite.yml")
-    assert(res.results.size == 12)
+    assert(res.results.size == 13)
     val byStep = res.results.map(_.fields)
     // lm: 10% train slice → 90% scored, some with OOV bigrams
     assert(byStep(0)("n_scored") == 450L)
@@ -218,6 +218,9 @@ class ExamplesSpec extends SparkSpecBase {
     // doc, so most nodes sit in >=1 closed triangle
     assert(byStep(11)("n_nodes") == 500L)
     assert(byStep(11)("n_closed").asInstanceOf[Long] > 400L)
+    // 2-core of chain+skip-2: nothing peels, convergence is total
+    assert(byStep(12)("n_nodes") == 500L)
+    assert(byStep(12)("n_converged") == 500L)
   }
 
   test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min") {
