@@ -201,6 +201,33 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** FULL OUTER stream-stream interval join, drained: both unmatched
+    * sides surface — clicks that never converted AND purchases with no
+    * qualifying prior click. Each side's null-augmented rows are gated
+    * by ITS OWN state eviction: unmatched clicks need the watermark
+    * past click + maxDelay (as in [[streamOuterJoin]]); unmatched
+    * purchases need it past the purchase time itself (a purchase can
+    * only match clicks in [p − 1 h, p], so its state expires once the
+    * watermark passes p). Same millisecond-floored min-of-sides final
+    * watermark; both gates reproduced in the oracle. */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_fojoin")
+    val evs = stagedEventStream(spark, dir, root)
+    def side(t: String) = evs.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
+      "user_id", "ts", "ts", maxDelay = "1 hour",
+      watermark = "0 seconds", joinType = "full_outer")
+    val out = joined.select(
+      coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+      col("event_id").as("click_id"),
+      expr("unix_micros(ts) div 1000").as("click_ms"),
+      col("r_event_id").as("purchase_id"),
+      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Streaming duplicate suppression, drained: WHICH physical row
     * survives a duplicate group is arrival-order-dependent (not
     * verifiable cross-engine), but the op's contract — every distinct
@@ -369,6 +396,7 @@ object StreamingQueries extends QueryGroup {
     "stream_session_agg" -> (streamSessionAgg _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_outer_join" -> (streamOuterJoin _),
+    "stream_full_outer_join" -> (streamFullOuterJoin _),
     "stream_dedup_keys" -> (streamDedupKeys _),
     "stream_quality_filter" -> (streamQualityFilter _),
     "stream_enrich_join" -> (streamEnrichJoin _),
@@ -474,6 +502,26 @@ object StreamingQueries extends QueryGroup {
           |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000
           |WHERE p.event_id IS NOT NULL
           |  OR c.us + CAST(3600 AS BIGINT) * 1000000 < (SELECT w FROM wm)"""
+          .stripMargin,
+      // both unmatched sides, each gated by its own eviction: clicks
+      // need wm past click + 1 h; purchases past the purchase itself
+      "stream_full_outer_join" ->
+        """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'purchase'),
+          |wm AS (SELECT LEAST((SELECT MAX(us) // 1000 FROM c),
+          |    (SELECT MAX(us) // 1000 FROM p)) * 1000 AS w)
+          |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+          |  c.event_id AS click_id, c.us // 1000 AS click_ms,
+          |  p.event_id AS purchase_id, p.us // 1000 AS purchase_ms
+          |FROM c FULL JOIN p ON c.user_id = p.user_id
+          |  AND p.us >= c.us
+          |  AND p.us <= c.us + CAST(3600 AS BIGINT) * 1000000
+          |WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+          |  OR (p.event_id IS NULL AND
+          |    c.us + CAST(3600 AS BIGINT) * 1000000 < (SELECT w FROM wm))
+          |  OR (c.event_id IS NULL AND p.us < (SELECT w FROM wm))"""
           .stripMargin,
       // the emitted KEY SET is the deterministic contract (see scaladoc)
       "stream_dedup_keys" ->
