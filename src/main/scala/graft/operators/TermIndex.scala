@@ -55,6 +55,63 @@ object TermIndex {
         col("weight"), col("rank"))
   }
 
+  /** Sparse TF-IDF document-document cosine similarity — the inverted-
+    * index twin of the dense-embedding cosine battery
+    * ([[Similarity]]): candidate pairs come from the POSTINGS self-join
+    * (only documents sharing a term ever meet — no all-pairs), with a
+    * document-frequency cap on hot terms bounding the per-term fanout
+    * (the [[Dedup]] shingle-cap pattern: a term in >maxDf docs carries
+    * ~no signal and would otherwise dominate the shuffle quadratically).
+    * Weights stay rational (tf/df — the file-header rule: no libm
+    * `ln()` idf), squared/cross products fold through decimal-exact
+    * sums ([[graft.functions.Exact]]), and the final cosine is a fixed
+    * IEEE chain (sqrt of an exact sum, one multiply, one divide) — so
+    * the pair set at any threshold is bit-stable across engines and
+    * partitionings. Norms are computed over the SAME capped postings
+    * the dot products use, keeping the metric internally consistent.
+    *
+    * The term unit is the CALLER's choice via the occurrence stream —
+    * word shingles, not unigrams, for natural-language near-dup work:
+    * a corpus drawn from a small vocabulary makes every unigram a hot
+    * term (measured on the sf0.1 fixture: 31 distinct tokens, median
+    * df 77% of docs — the cap correctly kills them all and the result
+    * degenerates to empty), while n-gram shingles stay sparse (27k
+    * distinct at the same SF, max df 25).
+    *
+    * @param occurrences one row per term OCCURRENCE: (id, term)
+    * @return (doc_a, doc_b, cosine), doc_a < doc_b, cosine ≥ minCosine */
+  def cosinePairs(occurrences: DataFrame,
+                  minCosine: Double, maxDf: Long = 100): DataFrame = {
+    import graft.functions.Exact
+    val idCol = "id"
+    val tf = occurrences.groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tf.join(dfreq.filter(col("df") <= maxDf), "term")
+      .withColumn("w", col("tf").cast("double") / col("df").cast("double"))
+      .select(col("term"), col(idCol).as("id"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = postings.groupBy("id")
+      .agg(sqrt(Exact.dsum(col("w") * col("w"))).as("nrm"))
+    // both posting sides are corpus-sized: SHUFFLE_HASH, never a
+    // broadcast (the Dedup.jaccard discipline, pinned in PlanShapeSpec)
+    val dots = postings.select(col("term"), col("id").as("doc_a"),
+        col("w").as("wa"))
+      .join(postings.select(col("term"), col("id").as("doc_b"),
+        col("w").as("wb")).hint("shuffle_hash"), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(Exact.dsum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("doc_a"), col("nrm").as("__na")),
+        "doc_a")
+      .join(norms.select(col("id").as("doc_b"), col("nrm").as("__nb")),
+        "doc_b")
+      .withColumn("cosine", col("dot") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
   /** Per-document corpus-frequency profile — the rare-token quality
     * signal (a doc whose tokens are all corpus-rare is likely noise;
     * all corpus-common, likely boilerplate): token-weighted mean and

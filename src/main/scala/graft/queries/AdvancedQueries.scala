@@ -301,6 +301,21 @@ object AdvancedQueries extends QueryGroup {
     graft.operators.Histogram(Tables.events(spark, dir),
       Seq("event_type"), col("value"), width = 25.0)
 
+  /** Mergeable-quantile workflow ([[graft.operators.Histogram
+    * .quantilesFromPartials]]): per-day histogram PARTIALS of event
+    * values merged by bin, quantiles interpolated inside the rank's
+    * bin — unlike hll/approx_quantile, this estimator is FULLY
+    * deterministic, so the oracle replicates the estimate itself
+    * bit-for-bit (not just an error contract). */
+  def histQuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val partials = graft.operators.Histogram(
+      Tables.events(spark, dir).withColumn("day", to_date(col("ts"))),
+      Seq("day"), col("value"), width = 25.0)
+    graft.operators.Histogram.quantilesFromPartials(
+      partials, width = 25.0, origin = 0.0,
+      qs = Seq(0.25, 0.5, 0.9, 0.99))
+  }
+
   /** Pivot: order counts per year × status (fixed column set so the
     * schema is deterministic; missing cells coalesced to 0). */
   def pivotAgg(spark: SparkSession, dir: String): DataFrame =
@@ -408,6 +423,7 @@ object AdvancedQueries extends QueryGroup {
     "pivot_agg" -> (pivotAgg _),
     "array_agg" -> (arrayAgg _),
     "histogram" -> (histogramQ _),
+    "hist_quantile_merge" -> (histQuantileMerge _),
     "weighted_median" -> (weightedMedian _),
     "cube_agg" -> (cubeAgg _),
     "rollup_agg" -> (rollupAgg _),
@@ -527,6 +543,34 @@ object AdvancedQueries extends QueryGroup {
           |  CAST(FLOOR(("value" - 0.0) / 25.0) AS BIGINT) AS bin
           |  FROM events) t
           |GROUP BY event_type, bin""".stripMargin,
+      // the deterministic interpolation estimator replicated verbatim:
+      // exact integer ranks, one double division, fixed IEEE op order
+      // (constants CAST AS DOUBLE — the decimal-literal rule)
+      "hist_quantile_merge" ->
+        """WITH part AS (SELECT CAST(ts AS DATE) AS day,
+          |    CAST(FLOOR(("value" - CAST(0 AS DOUBLE)) /
+          |      CAST(25 AS DOUBLE)) AS BIGINT) AS bin,
+          |    COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n
+          |  FROM part GROUP BY 1),
+          |c AS (SELECT bin, n, CAST(COALESCE(SUM(n) OVER (
+          |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM m),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM m),
+          |p AS (SELECT q, CAST(CEIL(q * total) AS BIGINT) AS rank,
+          |    total
+          |  FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+          |    (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) v(q)
+          |  CROSS JOIN t)
+          |SELECT p.q,
+          |  CAST(0 AS DOUBLE) + c.bin * CAST(25 AS DOUBLE) +
+          |    CAST(25 AS DOUBLE) *
+          |    (CAST(p.rank - c.cum_before AS DOUBLE) /
+          |      CAST(c.n AS DOUBLE)) AS est,
+          |  p.rank, p.total
+          |FROM p JOIN c ON p.rank > c.cum_before
+          |  AND p.rank <= c.cum_before + c.n""".stripMargin,
       "weighted_median" ->
         """WITH cw AS (
           |  SELECT l_suppkey, l_extendedprice AS v,

@@ -25,6 +25,17 @@ object CorpusQueries extends QueryGroup {
     TermIndex.tfidfTopK(Tables.documents(spark, dir), "doc_id",
       col("text"), k = 3)
 
+  /** Sparse TF-IDF doc-doc cosine over the inverted 3-gram-shingle
+    * index ([[TermIndex.cosinePairs]]): candidates from the postings
+    * self-join (df-capped), exact-sum dot products — the sparse twin
+    * of the dense near_dup_cosine battery. */
+  def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.cosinePairs(
+      graft.operators.Fingerprint.explodedShingles(
+        Tables.documents(spark, dir), "doc_id", col("text"), n = 3)
+        .select(col("doc_id").as("id"), col("sh").as("term")),
+      minCosine = 0.3, maxDf = 100)
+
   def tokenRarity(spark: SparkSession, dir: String): DataFrame =
     TermIndex.rarity(Tables.documents(spark, dir), "doc_id", col("text"))
 
@@ -156,6 +167,7 @@ object CorpusQueries extends QueryGroup {
     "ngram_lm_score" -> (ngramLmScore _),
     "dsir_weights" -> (dsirWeights _),
     "tfidf_topk" -> (tfidfTopK _),
+    "sparse_cosine_pairs" -> (sparseCosinePairs _),
     "token_rarity" -> (tokenRarity _),
     "inverted_index" -> (invertedIndex _),
     "dup_spans" -> (dupSpans _),
@@ -285,6 +297,33 @@ object CorpusQueries extends QueryGroup {
          |    AS n_tgt_leaning,
          |  ${davgStr("ratio")} AS mean_ratio
          |FROM scored GROUP BY 1""".stripMargin,
+    // same capped postings, same rational weights, squared/cross
+    // products through the VARCHAR-routed decimal sums (products of
+    // wild doubles — the dsumStr case), same IEEE cosine chain
+    "sparse_cosine_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |shg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 1)) AS u(i)),
+         |tf2 AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM shg GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1),
+         |post AS MATERIALIZED (SELECT tf2.doc_id, tf2.term,
+         |    CAST(tf2.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS w
+         |  FROM tf2 JOIN dfreq d USING (term) WHERE d.df <= 100),
+         |norms AS (SELECT doc_id,
+         |    SQRT(${Exact.sql.dsumStr("w * w")}) AS nrm
+         |  FROM post GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${Exact.sql.dsumStr("a.w * b.w")} AS dot
+         |  FROM post a JOIN post b
+         |    ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
+         |FROM dots
+         |  JOIN norms na ON doc_a = na.doc_id
+         |  JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE dot / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE)"""
+        .stripMargin,
     "tfidf_topk" ->
       s"""WITH $tfCte,
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)

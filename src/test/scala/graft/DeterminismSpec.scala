@@ -38,7 +38,9 @@ class DeterminismSpec extends SparkSpecBase {
     "token_budget_cap" -> "two-pass running total + threshold",
     "quality_percentile_filter" -> "two-pass (rank-1)/(n-1) double",
     "bpe_learn" -> "per-round argmax with total-order tie-break",
-    "k_core" -> "checkpointed peel loop, integer degrees")
+    "k_core" -> "checkpointed peel loop, integer degrees",
+    "hist_quantile_merge" -> "integer ranks + fixed IEEE interpolation",
+    "sparse_cosine_pairs" -> "decimal-exact sparse dot products")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted

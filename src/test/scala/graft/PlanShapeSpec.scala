@@ -657,6 +657,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(joined.count() == expected)
   }
 
+  test("sparse_cosine_pairs: postings self-join is shuffle hash, never broadcast") {
+    val p = plan(queries.CorpusQueries.sparseCosinePairs(spark, sf))
+    // the dot-product join carries two corpus-sized posting relations
+    // on the shingle key — same contract as dup_spans/source_overlap
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("triangle census: hash joins throughout, no nested-loop blowup") {
     val df = queries.VectorQueries.triangleCount(spark, sf)
     val p = plan(df)
