@@ -657,6 +657,29 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(joined.count() == expected)
   }
 
+  test("hist_quantile_merge: partials fold to O(bins) before the probe join") {
+    val df = queries.AdvancedQueries.histQuantileMerge(spark, sf)
+    val p = plan(df)
+    // the only non-equi join carries bins × 4 probe rows — it must sit
+    // ABOVE the bin-merge aggregate, never against row-level data
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec}
+    df.queryExecution.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      // bounded = an aggregate (bin merge / total) or a literal local
+      // relation (the 4 quantile probes) somewhere below each side
+      assert(j.children.forall(c => c.collectFirst {
+          case a: BaseAggregateExec => a
+          case l: LocalTableScanExec => l
+          case r: RDDScanExec => r
+        }.isDefined),
+        s"probe join over unaggregated data:\n$j")
+    }
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("sparse_cosine_pairs: postings self-join is shuffle hash, never broadcast") {
     val p = plan(queries.CorpusQueries.sparseCosinePairs(spark, sf))
     // the dot-product join carries two corpus-sized posting relations
