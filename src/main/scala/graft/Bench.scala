@@ -107,12 +107,21 @@ object Bench {
     val seqT0 = System.nanoTime()
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)},"sf":"$sfDir"}""")
-    // truncation-proof summary: the driver tail-captures output and the
-    // long line above can lose its head (and with it the graded wall,
-    // as happened to BENCH_r03/r04) — repeat the headline numbers in a
-    // short LAST line that any tail keeps
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)},"sf":"$sfDir"}"""
+    // the full distribution goes to a FILE the repo keeps: the driver
+    // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
+    // long line (and with it every per-query value alphabetically early)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(fullJson)
+    // truncation-proof summary: repeat the headline numbers in a short
+    // LAST line that any tail keeps
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall,"full_distribution":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,10 +39,17 @@ object Budget {
     require(budget >= 0 && buckets > 0)
     val base = docs.select(docId.as("doc_id"), source.as("source"),
       nTokens.cast("long").as("n_tokens"))
-    val bounds = base.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0))
+    val bounds = base.agg(min("doc_id"), max("doc_id"),
+      count(lit(1)), count("doc_id")).head()
+    if (bounds.getLong(2) == 0L)
       return base.withColumn("cum_end", lit(0L))
         .withColumn("kept", lit(true)) // empty input, empty output
+    // a null doc_id has no place in the admission order — erroring here
+    // beats the silent everything-kept bypass an all-null input would
+    // otherwise take through the empty-input early return
+    require(bounds.getLong(3) == bounds.getLong(2),
+      "capTokens: null doc_id rows present — the admission order is " +
+        "(doc_id), so null keys are undefined; filter or repair them first")
     val lo = bounds.getAs[Number](0).longValue()
     val hi = bounds.getAs[Number](1).longValue()
     val width = math.max(1L, (hi - lo) / buckets + 1)
@@ -74,21 +81,39 @@ object Budget {
     * integers, bit-equal cross-engine; 0.0 for a single-row source
     * (the SQL-standard percent_rank convention).
     *
+    * The score keeps its ORIGINAL numeric type end to end: ranking and
+    * output never touch an integer cast, so fractional quality scores
+    * (an lm-score/dsir ratio like 0.73) rank correctly. Only the
+    * bucket id derives from a double projection of the score — and a
+    * monotone non-decreasing projection is all the bucket decomposition
+    * needs (equal doubles land in one bucket; order within the bucket
+    * is the original (score, doc_id) sort).
+    *
     * @return (doc_id, source, score, pct_rank, kept) */
   def percentileFilter(docs: DataFrame, docId: Column, source: Column,
                        score: Column, minPct: Double,
                        buckets: Int = 64): DataFrame = {
     require(buckets > 0)
     val base = docs.select(docId.as("doc_id"), source.as("source"),
-      score.cast("long").as("score"))
-    val bounds = base.agg(min("score"), max("score")).head()
-    if (bounds.isNullAt(0))
+      score.as("score"))
+    val bounds = base.agg(min(col("score").cast("double")),
+      max(col("score").cast("double")),
+      count(lit(1)), count("score")).head()
+    if (bounds.getLong(2) == 0L)
       return base.withColumn("pct_rank", lit(0.0))
         .withColumn("kept", lit(true)) // empty input, empty output
-    val lo = bounds.getAs[Number](0).longValue()
-    val hi = bounds.getAs[Number](1).longValue()
-    val width = math.max(1L, (hi - lo) / buckets + 1)
-    val bucket = expr(s"(score - ${lo}L) div ${width}L")
+    require(bounds.getLong(3) == bounds.getLong(2),
+      "percentileFilter: null score rows present — the rank order is " +
+        "(score, doc_id), so null scores are undefined; filter or " +
+        "impute them first")
+    val lo = bounds.getDouble(0)
+    val hi = bounds.getDouble(1)
+    val width = (hi - lo) / buckets
+    val bucket =
+      if (width > 0)
+        least(floor((col("score").cast("double") - lo) / width)
+          .cast("long"), lit(buckets - 1L))
+      else lit(0L) // all scores equal: one bucket
 
     // bucket ranges partition the SORT KEY, so cross-bucket order is
     // bucket order and the global per-source rank decomposes exactly

@@ -39,10 +39,17 @@ object Curriculum {
     require(buckets > 0)
     val base = df.select(id.as("id"),
       difficulty.cast("long").as("difficulty"))
-    // difficulty bounds: one constant-size aggregate (2 longs)
-    val bounds = base.agg(min("difficulty"), max("difficulty")).head()
-    if (bounds.isNullAt(0))
+    // difficulty bounds: one constant-size aggregate (2 longs + counts)
+    val bounds = base.agg(min("difficulty"), max("difficulty"),
+      count(lit(1)), count("difficulty")).head()
+    if (bounds.getLong(2) == 0L)
       return base.withColumn("pos", lit(0L)) // empty input, empty output
+    // null difficulties have no rank position — error rather than let
+    // them fall out of the bucket join silently
+    require(bounds.getLong(3) == bounds.getLong(2),
+      "Curriculum.order: null difficulty rows present — the sort key " +
+        "is (difficulty, id), so null keys are undefined; filter or " +
+        "impute them first")
     val lo = bounds.getAs[Number](0).longValue()
     val hi = bounds.getAs[Number](1).longValue()
     val width = math.max(1L, (hi - lo) / buckets + 1)

@@ -71,10 +71,18 @@ object Dsir {
       .withColumn("ratio",
         ((coalesce(col("ct"), lit(0L)) + lit(1L)) * (col("nr") + lit(b.toLong))) /
           ((coalesce(col("cr"), lit(0L)) + lit(1L)) * (col("nt") + lit(b.toLong))))
-    scored.groupBy(idCol).agg(
+    val agg = scored.groupBy(idCol).agg(
       count(lit(1)).as("n_tokens"),
       sum(when(col("ratio") > 1.0, lit(1L)).otherwise(lit(0L)))
         .as("n_tgt_leaning"),
       Exact.davg(col("ratio")).as("mean_ratio"))
+    // every requested doc appears, including token-free ones (zero
+    // tokens → n_tokens 0, null mean_ratio) — same one-row-per-doc
+    // contract as [[NgramLm.score]]
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tgt_leaning"), lit(0L)).as("n_tgt_leaning"),
+        col("mean_ratio"))
   }
 }

@@ -148,8 +148,15 @@ object Scd2 {
     * (partition, order) so Spark plans a single exchange + sort. */
   def build(events: DataFrame, user: Column, attr: Column, ts: Column,
             tiebreak: Column): DataFrame = {
+    // Null contract (shared with the streaming form,
+    // [[graft.streaming.StreamOps.scd2Changes]]): a null attribute
+    // carries no dimension value, so the event is IGNORED — dropped up
+    // front on both sides. Without the filter the two forms diverge:
+    // lag() can't tell "no predecessor" from "null predecessor", and
+    // GroupState.update(null) throws. Pinned by StreamOpsSpec.
     val ev = events.select(user.as("user_id"), attr.as("attr"),
-      ts.as("__us"), tiebreak.as("__tb"))
+        ts.as("__us"), tiebreak.as("__tb"))
+      .filter(col("attr").isNotNull)
     val w = Window.partitionBy("user_id").orderBy(col("__us"), col("__tb"))
     val changes = ev
       .withColumn("__prev", lag(col("attr"), 1).over(w))

@@ -48,14 +48,26 @@ object KCore {
     }
 
     var cur = pin(edges.select("a", "b"))
+    // each pin() materializes, so count() below reads cached blocks —
+    // one cheap action per round buys fixpoint detection: once a peel
+    // removes no edge, every further peel is the identity, so the
+    // remaining rounds are skipped with an identical result (rounds
+    // stays the semantic upper bound the caller/oracle declares)
+    var curCount = cur.count()
+    var converged = false
     (1 to rounds).foreach { _ =>
-      val keep = degrees(cur).filter(col("deg") >= k).select("node")
-      val next = pin(cur
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b"))
-      cur.unpersist()
-      cur = next
+      if (!converged) {
+        val keep = degrees(cur).filter(col("deg") >= k).select("node")
+        val next = pin(cur
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+        val nextCount = next.count()
+        cur.unpersist()
+        cur = next
+        converged = nextCount == curCount
+        curCount = nextCount
+      }
     }
     degrees(cur)
       .select(col("node"), col("deg").cast("long").as("deg"),

@@ -118,7 +118,8 @@ object Sink {
     */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, path: String,
                  deleteKeysIn: DataFrame, keys: Seq[String],
-                 partitionCols: Seq[String] = Nil): Unit = {
+                 partitionCols: Seq[String] = Nil,
+                 checkpointDir: Option[String] = None): Unit = {
     recoverCrashedSwap(spark, path)
     val existing = spark.read.parquet(path)
     val delKeys = deleteKeysIn.select(keys.map(col): _*).distinct()
@@ -137,10 +138,9 @@ object Sink {
       if (touched.isEmpty) return // nothing matches: zero rewrites
       val keptCond = partitionCols
         .map(c => existing(c) <=> touched(c)).reduce(_ && _)
-      val slice = existing
+      val slice = materializeSlice(existing
         .join(broadcast(touched), keptCond, "left_semi")
-        .join(delKeys, keys, "left_anti")
-        .localCheckpoint(true)
+        .join(delKeys, keys, "left_anti"), checkpointDir)
       overwritePartitions(slice, partitionCols, path)
       deleteEmptiedPartitions(spark, path, partitionCols, touched, slice)
     } else {
@@ -150,11 +150,26 @@ object Sink {
     }
   }
 
+  /** Materialize the rewrite slice before the overwrite. Local
+    * checkpoint is the local-mode default; with executor loss or
+    * dynamic allocation its blocks can vanish mid-write, so a cluster
+    * caller passes `checkpointDir` for a reliable checkpoint instead —
+    * the same contract as [[Components]]/[[KCore]]. */
+  private def materializeSlice(df: DataFrame,
+                               checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
                 updatesIn: DataFrame, keys: Seq[String],
                 partitionCols: Seq[String] = Nil,
                 precedence: Seq[Column] = Nil,
-                stablePartitions: Boolean = false): Unit = {
+                stablePartitions: Boolean = false,
+                checkpointDir: Option[String] = None): Unit = {
     recoverCrashedSwap(spark, path) // BEFORE reading: path may be mid-swap
     val existing = spark.read.parquet(path)
     import org.apache.spark.sql.expressions.Window
@@ -214,7 +229,7 @@ object Sink {
       // the overwrite — Spark (rightly) refuses to overwrite a path its
       // own plan is still reading, and the slice is only the touched
       // partitions, so the footprint is bounded by the update's spread
-      val slice = kept.unionByName(updates).localCheckpoint(true)
+      val slice = materializeSlice(kept.unionByName(updates), checkpointDir)
       overwritePartitions(slice, partitionCols, path)
       // dynamic overwrite only rewrites partitions PRESENT in the
       // output — a touched partition whose every row was an updated

@@ -292,11 +292,15 @@ object CorpusQueries extends QueryGroup {
          |      AS ratio
          |  FROM f t LEFT JOIN raw r USING (f) LEFT JOIN tgt g USING (f)
          |    CROSS JOIN tot)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |, agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |  CAST(SUM(CASE WHEN ratio > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_tgt_leaning,
          |  ${davgStr("ratio")} AS mean_ratio
-         |FROM scored GROUP BY 1""".stripMargin,
+         |FROM scored GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_tgt_leaning, 0) AS n_tgt_leaning, a.mean_ratio
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // same capped postings, same rational weights, squared/cross
     // products through the VARCHAR-routed decimal sums (products of
     // wild doubles — the dsumStr case), same IEEE cosine chain

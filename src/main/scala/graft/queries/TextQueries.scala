@@ -278,7 +278,12 @@ object TextQueries extends QueryGroup {
     * decomposition AND the (rank−1)/(n−1) double. */
   def qualityPercentileFilter(spark: SparkSession, dir: String): DataFrame =
     Budget.percentileFilter(Tables.documents(spark, dir), col("doc_id"),
-      col("source"), size(TextStats.tokens(col("text"))), minPct = 0.25)
+      col("source"),
+      // cast HERE, not in the operator: percentileFilter ranks the
+      // score in its original numeric type (fractional scores are
+      // legal); this query's score is an integer token count and the
+      // oracle declares it BIGINT
+      size(TextStats.tokens(col("text"))).cast("long"), minPct = 0.25)
 
   /** BPE merge learning under the oracle ([[graft.operators.Bpe]]):
     * six induction rounds over the documents word histogram, the

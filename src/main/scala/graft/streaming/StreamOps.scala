@@ -182,9 +182,14 @@ object StreamOps {
   def scd2Changes(spark: SparkSession, events: DataFrame, key: String,
                   attr: String, us: String, id: String): DataFrame = {
     import spark.implicits._
+    // Null contract (shared with batch [[graft.operators.Scd2.build]]):
+    // null-attr events are IGNORED — GroupState.update(null) throws and
+    // last.contains(null) never matches, so letting them through would
+    // both crash and mis-detect changes. Pinned by StreamOpsSpec.
     val typed = events.select(col(key).cast("long"),
         col(attr).cast("string"), col(us).cast("long"),
         col(id).cast("long"))
+      .filter(col(attr).isNotNull)
       .as[(Long, String, Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[String, (Long, String, Long, Long)](

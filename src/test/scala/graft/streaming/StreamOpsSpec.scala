@@ -208,6 +208,44 @@ class StreamOpsSpec extends SparkSpecBase {
       "multi-batch change-point set differs from the batch build")
   }
 
+  test("scd2 null contract: null-attr events are ignored by BOTH the " +
+    "batch and streaming forms") {
+    // the shared contract (a null attribute carries no dimension
+    // value): without the up-front filter the forms diverge — batch
+    // lag() conflates null-attr with no-predecessor, and streaming
+    // GroupState.update(null) throws IllegalArgumentException
+    val rows = Seq(
+      (1L, "a", 1000L, 1L), (1L, null, 2000L, 2L), (1L, "b", 3000L, 3L),
+      (2L, null, 1000L, 4L), (2L, "x", 2000L, 5L), (2L, "x", 3000L, 6L))
+    val sparkLocal = spark
+    import sparkLocal.implicits._
+    val ev = rows.toDF("user_id", "event_type", "us", "event_id")
+    val batch = graft.operators.Scd2.build(ev, col("user_id"),
+        col("event_type"), col("us"), col("event_id"))
+      .select(col("user_id"), col("attr"), col("eff_from_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(batch == Set((1L, "a", 1L), (1L, "b", 3L), (2L, "x", 2L)),
+      s"batch got $batch")
+    val staging = java.nio.file.Files.createTempDirectory("scd2_nulls")
+    val tmp = java.nio.file.Files.createTempDirectory("scd2_nulls_w")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val found = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(found, staging.resolve("00.parquet"))
+    val stream = StreamOps.fileStream(spark, staging.toString, ev.schema)
+    val streamed = StreamOps.runToMemory(
+      StreamOps.scd2Changes(spark, stream, "user_id", "event_type",
+        "us", "event_id"),
+      "scd2_nulls_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    val got = streamed.select(col("user_id"), col("event_type"), col("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, "a", 1000L), (1L, "b", 3000L), (2L, "x", 2000L)),
+      s"stream got $got")
+  }
+
   test("drains run identically on the RocksDB state store (the 100 TB " +
     "state backend)") {
     // the default HDFS-backed provider keeps state on the JVM heap —
