@@ -121,8 +121,17 @@ object TextQueries extends QueryGroup {
   def dedupComponentsDist(spark: SparkSession, dir: String): DataFrame = {
     val safe = spark.sparkContext.applicationId + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ckpt = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_ccdist_$safe")
+    // reliable-checkpoint SCRATCH: prefer tmpfs when the box has it —
+    // the point of this twin is exercising the reliable-checkpoint CODE
+    // PATH (file write + lineage cut), not local disk latency; on a
+    // cluster this path is HDFS/object storage anyway
+    val scratchBase = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm.toString
+      else sys.props("java.io.tmpdir")
+    }
+    val ckpt = java.nio.file.Paths.get(scratchBase, s"graft_ccdist_$safe")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()

@@ -93,6 +93,10 @@ object JdbcWritePlugin extends StepPlugin {
       System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
     val props = new Properties()
     driverFor(url).foreach(props.setProperty("driver", _))
+    // one JDBC batch per partition-sized chunk: the default 1000-row
+    // executeBatch round-trips 10× more often than needed on an
+    // embedded engine where the batch boundary is a commit boundary
+    props.setProperty("batchsize", "10000")
     mode match {
       case "overwrite" | "append" =>
         incoming.write.mode(mode).jdbc(url, table, props)
