@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // the reference ecosystem's declared store is a .duckdb file
+  // (reference pipelines/sample_step.yml:10 duckdb_path) — the JDBC
+  // driver lets jdbc_write land results in it verbatim
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
 )
 Test / fork := true
 run / fork := true

@@ -15,9 +15,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to core count (right at the gate SF);
+    // at larger SFs partitions must scale with data, not cores — a 32-
+    // partition shuffle over 10× the rows spills and goes super-linear
+    // (measured: triangle_count 14.7× at 10× data with partitions
+    // pinned to 32). On a real cluster this is the one number that
+    // must track input size; AQE coalesces back down when small.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -42,10 +42,14 @@ object Dsir {
   def bucketOf(w: Column, b: Int): Column =
     (conv(substring(md5(w), 1, 6), 16, 10).cast("long") % b).cast("int")
 
+  /** One row per (doc, token) — plus one null-token row for a doc
+    * whose text tokenizes to nothing (explode_outer), so every doc
+    * survives to the final aggregate without a corpus-sized back-join.
+    * Consumers must count `w`, not rows. */
   private def tokenBuckets(df: DataFrame, idCol: String, text: Column,
                            b: Int): DataFrame =
     df.select(col(idCol),
-        explode(TextStats.tokens(text)).as("w"))
+        explode_outer(TextStats.tokens(text)).as("w"))
       .withColumn("f", bucketOf(col("w"), b))
 
   /** Importance weights for every document of `docs`, with `target` the
@@ -56,33 +60,37 @@ object Dsir {
               text: Column, b: Int = 512): DataFrame = {
     val rawTok = tokenBuckets(docs, idCol, text, b)
     val tgtTok = tokenBuckets(target, idCol, text, b)
-    val raw = rawTok.groupBy("f").agg(count(lit(1)).as("cr"))
-    val tgt = tgtTok.groupBy("f").agg(count(lit(1)).as("ct"))
+    // distributions and totals see TOKENS only (count(w) skips the
+    // null placeholder rows explode_outer emits for token-free docs)
+    val raw = rawTok.groupBy("f").agg(count(col("w")).as("cr"))
+      .filter(col("f").isNotNull)
+    val tgt = tgtTok.groupBy("f").agg(count(col("w")).as("ct"))
+      .filter(col("f").isNotNull)
     // ≤ b rows after the full-outer merge; totals ride along as a 1-row
     // frame — everything below broadcasts
     val stats = raw.join(tgt, Seq("f"), "full_outer")
       .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
-    val totals = rawTok.agg(count(lit(1)).as("nr"))
-      .crossJoin(tgtTok.agg(count(lit(1)).as("nt")))
+    val totals = rawTok.agg(count(col("w")).as("nr"))
+      .crossJoin(tgtTok.agg(count(col("w")).as("nt")))
     val scored = rawTok
       .join(broadcast(stats), Seq("f"), "left")
       .crossJoin(broadcast(totals))
-      .withColumn("ratio",
+      // null for the placeholder row (w null → f null → no stats match
+      // would still produce a ratio via the coalesces, so gate on w)
+      .withColumn("ratio", when(col("w").isNotNull,
         ((coalesce(col("ct"), lit(0L)) + lit(1L)) * (col("nr") + lit(b.toLong))) /
-          ((coalesce(col("cr"), lit(0L)) + lit(1L)) * (col("nt") + lit(b.toLong))))
-    val agg = scored.groupBy(idCol).agg(
-      count(lit(1)).as("n_tokens"),
+          ((coalesce(col("cr"), lit(0L)) + lit(1L)) * (col("nt") + lit(b.toLong)))))
+    // every requested doc appears, including token-free ones (zero
+    // tokens → n_tokens 0, null mean_ratio) — the one-row-per-doc
+    // contract of [[NgramLm.score]], held WITHOUT a corpus-sized
+    // back-join: the placeholder row carries the doc to this aggregate
+    scored.groupBy(idCol).agg(
+      count(col("w")).as("n_tokens"),
       sum(when(col("ratio") > 1.0, lit(1L)).otherwise(lit(0L)))
         .as("n_tgt_leaning"),
       Exact.davg(col("ratio")).as("mean_ratio"))
-    // every requested doc appears, including token-free ones (zero
-    // tokens → n_tokens 0, null mean_ratio) — same one-row-per-doc
-    // contract as [[NgramLm.score]]
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_tgt_leaning"), lit(0L)).as("n_tgt_leaning"),
+      .select(col(idCol), col("n_tokens"), col("n_tgt_leaning"),
         col("mean_ratio"))
   }
 }

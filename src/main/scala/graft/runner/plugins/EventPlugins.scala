@@ -2,7 +2,8 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CountMin, Funnel, Retention, Scd2, TextStats}
+import graft.operators.{CountMin, Funnel, Histogram, Retention, Scd2,
+  TextStats}
 import graft.runner._
 
 /** Event-log analytics as runner steps — the downstream query layer
@@ -152,5 +153,54 @@ object SketchCountMinPlugin extends StepPlugin {
     }.getOrElse(Map.empty[String, Any])
     StepResult(Map("output_path" -> out,
       "n_counters" -> persisted.count()) ++ extra)
+  }
+}
+
+/** `sketch_quantiles` — mergeable-quantile rollup
+  * ([[graft.operators.Histogram.quantilesFromPartials]]): per-group
+  * fixed-width histogram partials merge by summing bin counts, then
+  * quantiles interpolate inside the target rank's bin. Completes the
+  * mergeable-sketch step family (HLL distinct / count-min frequency /
+  * THIS for quantiles) — same incremental contract as
+  * [[SketchCountMinPlugin]]: a daily job appends its group's partial
+  * and any consumer re-merges.
+  *
+  * Args: `input`, `output_path` (the quantile estimates), `value_col`;
+  * `width` (bin width, default 25.0), `origin` (default 0.0),
+  * `quantiles` (YAML list, default [0.25, 0.5, 0.9, 0.99]). Optional
+  * `group_col` + `partials_path`: persist the per-group bin grids and
+  * rebuild the merged estimate from the PERSISTED partials (the
+  * round-trip proof, mirroring sketch_count_min).
+  */
+object SketchQuantilesPlugin extends StepPlugin {
+  val name = "sketch_quantiles"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val valueCol = ctx.argStr("value_col")
+    val width = ctx.argOpt("width").map(_.toString.toDouble).getOrElse(25.0)
+    val origin = ctx.argOpt("origin").map(_.toString.toDouble).getOrElse(0.0)
+    val qs = ctx.argOpt("quantiles") match {
+      case Some(l: Seq[_]) if l.nonEmpty => l.map(_.toString.toDouble)
+      case Some(other) => sys.error(
+        s"sketch_quantiles: 'quantiles' must be a list, got $other")
+      case None => Seq(0.25, 0.5, 0.9, 0.99)
+    }
+    val raw = ctx.spark.read.parquet(ctx.argStr("input"))
+    val grpKeys = ctx.argOpt("group_col").map(_.toString).toSeq
+    val partials = Histogram(raw, grpKeys, col(valueCol), width, origin)
+      .select((grpKeys.map(col) :+ col("bin") :+ col("n")): _*)
+    // with partials_path the estimate is built from the PERSISTED
+    // per-group grids — the actual incremental-rollup round trip
+    val mergeSrc = ctx.argOpt("partials_path") match {
+      case Some(p) =>
+        partials.write.mode("overwrite").parquet(p.toString)
+        ctx.spark.read.parquet(p.toString)
+      case None => partials
+    }
+    Histogram.quantilesFromPartials(mergeSrc, width, origin, qs)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_quantiles" -> res.count()))
   }
 }

@@ -75,12 +75,18 @@ object JdbcWritePlugin extends StepPlugin {
       val p = ctx.argStr("db_path")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(p).toAbsolutePath.getParent)
-      s"jdbc:derby:$p;create=true"
+      // the reference's declared store IS a .duckdb file (reference
+      // pipelines/sample_step.yml:10 duckdb_path) — route it verbatim;
+      // any other path gets the embedded Derby single-file DB
+      if (p.endsWith(".duckdb")) s"jdbc:duckdb:$p"
+      else s"jdbc:derby:$p;create=true"
     }
 
   private def driverFor(url: String): Option[String] =
     if (url.startsWith("jdbc:derby:"))
       Some("org.apache.derby.jdbc.EmbeddedDriver")
+    else if (url.startsWith("jdbc:duckdb:"))
+      Some("org.duckdb.DuckDBDriver")
     else None
 
   /** Core sink logic, callable outside the runner (the oracle's
@@ -91,6 +97,7 @@ object JdbcWritePlugin extends StepPlugin {
     // derby.log goes to tmp, never the working tree
     if (sys.props.get("derby.system.home").isEmpty)
       System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    graft.sources.DuckDbDialect.ensureRegistered()
     val props = new Properties()
     driverFor(url).foreach(props.setProperty("driver", _))
     // one JDBC batch per partition-sized chunk: the default 1000-row
@@ -165,5 +172,5 @@ object DefaultRegistry {
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
-    SketchCountMinPlugin))
+    SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin))
 }

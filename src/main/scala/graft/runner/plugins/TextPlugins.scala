@@ -351,3 +351,37 @@ object TextPackPlugin extends StepPlugin {
       "n_packs" -> res.select("source", "pack_id").distinct().count()))
   }
 }
+
+/** `text_cosine_pairs` — sparse TF-IDF doc-doc cosine similarity over
+  * the inverted n-gram-shingle index ([[TermIndex.cosinePairs]]): the
+  * near-dup pair finder that never goes all-pairs — candidates come
+  * from the postings self-join, df-capped so a stop-shingle cannot
+  * create a quadratic hot term (the 100 TB-safe form; the dense
+  * embedding twin is `embedding_semdedup`).
+  *
+  * Args: `input` (documents parquet), `output_path` (pairs id_a < id_b
+  * with their cosine). Optional `id_col` (doc_id), `text_col` (text),
+  * `ngram` (shingle width, default 3), `min_cosine` (default 0.3),
+  * `max_df` (postings cap per term, default 100).
+  */
+object TextCosinePairsPlugin extends StepPlugin {
+  val name = "text_cosine_pairs"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val minCos = ctx.argOpt("min_cosine").map(_.toString.toDouble)
+      .getOrElse(0.3)
+    val maxDf = ctx.argOpt("max_df").map(_.toString.toLong).getOrElse(100L)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val occurrences = Fingerprint
+      .explodedShingles(docs, idCol, col(textCol), n = n)
+      .select(col(idCol).as("id"), col("sh").as("term"))
+    TermIndex.cosinePairs(occurrences, minCosine = minCos, maxDf = maxDf)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_pairs" -> res.count()))
+  }
+}

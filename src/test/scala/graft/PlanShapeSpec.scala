@@ -629,6 +629,43 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no skew-split join in final plan:\n${p.take(4000)}")
   }
 
+  test("sparse cosine hot-term fanout is capped: above-cap terms never join") {
+    // hot-term skew defense. AQE's skew-split cannot help this join:
+    // both sides read the PERSISTED postings cache (TableCacheQueryStage,
+    // partitioning reused from the build), so there is no shuffle stage
+    // to split at runtime. The defense is the df cap, and it is static:
+    // (a) a term above maxDf is filtered out BEFORE the join — it
+    // contributes zero candidate pairs no matter how hot; (b) a term at
+    // the cap fans out to at most maxDf·(maxDf−1)/2 pairs inside one
+    // task — bounded by construction, so no partition can exceed
+    // (#terms hashed there)·cap²/2 regardless of data skew.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val cap = 500L
+    // docs 0..499: the hot term at EXACTLY the cap (worst legal key)
+    // plus a unique cold term each (df=1 → no pairs of their own)
+    val hotDocs = ss.range(0, cap).toDF("id")
+      .select(col("id"), explode(array(lit("hot_term"),
+        concat(lit("cold_"), col("id")))).as("term"))
+    // docs 10000..14999: ONLY a mega term 10× over the cap; their
+    // vectors are identical, so if the term leaked past the cap they
+    // would pair at cosine 1.0 and inflate the count below
+    val megaDocs = ss.range(10000, 15000).toDF("id")
+      .select(col("id"), lit("mega_term").as("term"))
+    val pairs = graft.operators.TermIndex.cosinePairs(
+      hotDocs.unionByName(megaDocs), minCosine = 0.0, maxDf = cap)
+    // exactly the hot term's cap-bounded fanout — nothing from the
+    // 5000-doc mega term (its docs carry no surviving postings at all)
+    assert(pairs.count() == cap * (cap - 1) / 2)
+    val p = pairs.queryExecution.executedPlan.toString
+    // and the candidate join stays a shuffled equi-join — no broadcast
+    // of a corpus-sized side, no all-pairs fallback
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the AQE runtime-filter path (SURVEY §4 optimizer surface): when a
     // shuffle join's build side carries a selective predicate, Catalyst

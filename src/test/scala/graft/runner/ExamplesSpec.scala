@@ -58,7 +58,7 @@ class ExamplesSpec extends SparkSpecBase {
 
   test("examples/corpus_audit.yml runs: span audit, term index, publish") {
     val (work, res) = run("corpus_audit.yml")
-    assert(res.results.size == 3)
+    assert(res.results.size == 4)
     val spans = res.results(0).fields
     assert(spans("n_docs").asInstanceOf[Long] > 0L)
     // the test corpus carries J>=0.5 near-dup clusters, so some docs
@@ -153,7 +153,7 @@ class ExamplesSpec extends SparkSpecBase {
     assert(err.getMessage.contains("envs/nope.yml"))
   }
 
-  test("examples/relational_sink.yml runs: seed + upsert into the embedded DB") {
+  test("examples/relational_sink.yml runs: seed + upsert into the .duckdb file") {
     val (work, res) = run("relational_sink.yml")
     assert(res.results.size == 4)
     val seeded = res.results(1).fields("n_rows").asInstanceOf[Long]
@@ -161,16 +161,20 @@ class ExamplesSpec extends SparkSpecBase {
     // the en-only changelog re-keys a subset of the same sources, so the
     // upsert must not grow the table
     assert(seeded > 0 && merged == seeded, s"seed=$seeded merged=$merged")
+    // read back through the DuckDB JDBC driver — the store really is
+    // the reference's declared .duckdb single-file database
     val props = new java.util.Properties()
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props.setProperty("driver", "org.duckdb.DuckDBDriver")
     val back = spark.read.jdbc(
-      s"jdbc:derby:$work/relational_sink/corpus_stats_db",
+      s"jdbc:duckdb:$work/relational_sink/corpus_stats.duckdb",
       "source_stats", props)
     assert(back.count() == seeded)
     // upserted sources now carry en-only counts (strictly fewer docs
     // than the all-language seed for this corpus)
     import org.apache.spark.sql.functions.{col, sum}
-    val total = back.agg(sum(col("n_docs"))).head().getLong(0)
+    // DuckDB surfaces SUM(BIGINT) as HUGEINT → DECIMAL on read-back
+    val total = back.agg(sum(col("n_docs"))).head()
+      .getAs[Number](0).longValue()
     val allDocs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert(total < allDocs, s"expected en-only restat to shrink: $total")
@@ -223,9 +227,9 @@ class ExamplesSpec extends SparkSpecBase {
     assert(byStep(12)("n_converged") == 500L)
   }
 
-  test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min") {
+  test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min, quantiles") {
     val (_, res) = run("event_analytics.yml")
-    assert(res.results.size == 4)
+    assert(res.results.size == 5)
     val byStep = res.results.map(_.fields)
     // funnel: some users enter (view) and a subset converts end-to-end
     val entered = byStep(0)("n_entered").asInstanceOf[Long]
@@ -242,5 +246,7 @@ class ExamplesSpec extends SparkSpecBase {
     val counters = byStep(3)("n_counters").asInstanceOf[Long]
     assert(counters > 0L && counters <= 4L * 256L)
     assert(byStep(3)("n_estimated").asInstanceOf[Long] > 0L)
+    // quantiles: one estimate row per requested q, from merged partials
+    assert(byStep(4)("n_quantiles").asInstanceOf[Long] == 4L)
   }
 }
