@@ -2,8 +2,9 @@ package graft.runner.plugins
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Budget, Curriculum, Dsir, KCore, NgramLm,
-  Outliers, PageRank, SemanticDedup, Similarity, TextStats, Triangles}
+import graft.operators.{Bpe, Budget, Curriculum, Dsir, Ivf, KCore,
+  NgramLm, Outliers, PageRank, SemanticDedup, Similarity, TextStats,
+  Triangles}
 import graft.runner._
 
 /** The round-6 curation/analytics operators as runner plugins (SURVEY
@@ -374,5 +375,58 @@ object GraphKcorePlugin extends StepPlugin {
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_nodes" -> res.count(),
       "n_converged" -> res.filter(col("in_core")).count()))
+  }
+}
+
+/** `embedding_ann` — IVF approximate-nearest-neighbor over an
+  * embeddings table ([[Ivf]]): deterministic k-means training, the
+  * cluster-partitioned on-disk index (`partitionBy(cluster_id)`
+  * parquet — a probe reads only its `nprobe` cluster directories via
+  * Catalyst partition pruning, the 100 TB search path), and optional
+  * top-k answers for a query table.
+  *
+  * Args: `input`, `index_path` (the partitioned index), optional
+  * `centroids_path` (persist the trained codebook too), `id_col`
+  * (vec_id), `vec_col` (embedding), `clusters` (default 8), `iters`
+  * (default 1); `queries_input` + `topk_path` to also answer queries
+  * (`query_id_col` defaults to id_col, `query_vec_col` to vec_col)
+  * with `k` (default 5) neighbors probing `nprobe` (default 2)
+  * clusters — searched AGAINST THE PERSISTED INDEX, proving the
+  * pruned-scan round trip, not the in-memory frame.
+  */
+object EmbeddingAnnPlugin extends StepPlugin {
+  val name = "embedding_ann"
+
+  def run(ctx: StepContext): StepResult = {
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("vec_id")
+    val vecCol = ctx.argOpt("vec_col").map(_.toString).getOrElse("embedding")
+    val clusters = ctx.argOpt("clusters").map(_.toString.toInt).getOrElse(8)
+    val iters = ctx.argOpt("iters").map(_.toString.toInt).getOrElse(1)
+    val indexPath = ctx.argStr("index_path")
+    val corpus = ctx.spark.read.parquet(ctx.argStr("input"))
+      .select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("vec"))
+    val centroids = Ivf.train(corpus, clusters, iters)
+    val assigned = Ivf.assign(corpus, centroids)
+    Ivf.writeIndex(assigned, indexPath)
+    ctx.argOpt("centroids_path").foreach(p =>
+      centroids.write.mode("overwrite").parquet(p.toString))
+    val index = ctx.spark.read.parquet(indexPath)
+    val extra = ctx.argOpt("queries_input").map { qp =>
+      val tp = ctx.argStr("topk_path")
+      val qid = ctx.argOpt("query_id_col").map(_.toString).getOrElse(idCol)
+      val qvec = ctx.argOpt("query_vec_col").map(_.toString).getOrElse(vecCol)
+      val k = ctx.argOpt("k").map(_.toString.toInt).getOrElse(5)
+      val nprobe = ctx.argOpt("nprobe").map(_.toString.toInt).getOrElse(2)
+      val queries = ctx.spark.read.parquet(qp.toString)
+        .select(col(qid).as("qid"),
+          Similarity.asDouble(col(qvec)).as("qvec"))
+      Ivf.searchTopK(queries, index, centroids, k, nprobe)
+        .write.mode("overwrite").parquet(tp)
+      Map("topk_path" -> tp,
+        "n_answers" -> ctx.spark.read.parquet(tp).count())
+    }.getOrElse(Map.empty[String, Any])
+    StepResult(Map("index_path" -> indexPath,
+      "n_indexed" -> index.count(),
+      "n_clusters" -> index.select("cluster_id").distinct().count()) ++ extra)
   }
 }

@@ -169,7 +169,7 @@ object DefaultRegistry {
     TextLmScorePlugin, TextDsirPlugin, TextCurriculumPlugin,
     TextBudgetCapPlugin, TextQualityFloorPlugin, GraphTrianglesPlugin,
     TextBpeLearnPlugin, GraphKcorePlugin,
-    EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin,
+    EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin, EmbeddingAnnPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
     SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin))

@@ -192,9 +192,9 @@ class ExamplesSpec extends SparkSpecBase {
     assert(lines.size > 10)
   }
 
-  test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles") {
+  test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles, ann") {
     val (_, res) = run("curation_suite.yml")
-    assert(res.results.size == 13)
+    assert(res.results.size == 14)
     val byStep = res.results.map(_.fields)
     // lm: 10% train slice → 90% scored, some with OOV bigrams
     assert(byStep(0)("n_scored") == 450L)
@@ -225,6 +225,11 @@ class ExamplesSpec extends SparkSpecBase {
     // 2-core of chain+skip-2: nothing peels, convergence is total
     assert(byStep(12)("n_nodes") == 500L)
     assert(byStep(12)("n_converged") == 500L)
+    // ann: every survivor indexed across 8 clusters; each query gets
+    // its k=3 neighbors from the persisted partition-pruned index
+    assert(byStep(13)("n_indexed") == kept)
+    assert(byStep(13)("n_clusters") == 8L)
+    assert(byStep(13)("n_answers") == kept * 3L)
   }
 
   test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min, quantiles") {
