@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver test tables (see /root/repo/TESTDATA.md).
   *
@@ -36,23 +36,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by our session
-    * builders) maps it to LONG nanos. Normalize to a TimestampType column
-    * here via integer division (`div`, NOT `/` — double division loses
-    * precision above 2^53, and ns epochs are ~1.7e18). Sub-microsecond
-    * precision is dropped, matching what any Spark pipeline would see.
+  /** `events.ts` arrives in whatever physical form the lake wrote:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 maps to LONG nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by our session
+    * builders) or a naive `timestamp[us]` (which Spark 4 infers as
+    * TIMESTAMP_NTZ). Normalize both to a session-zoned TimestampType
+    * column so every downstream `unix_micros`/window expression sees one
+    * type. The ns branch uses integer division (`div`, NOT `/` — double
+    * division loses precision above 2^53, and ns epochs are ~1.7e18);
+    * the NTZ branch is a cast, deterministic because every session in
+    * this library pins `spark.sql.session.timeZone=UTC`.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
 
-  /** The ns→µs normalization above, shared with the streaming queries
+  /** The ts normalization above, shared with the streaming queries
     * (same expression on both sides, so the streamed result and its
     * batch oracle can never diverge on timestamp handling). */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,6 +1,8 @@
 package graft.runner.plugins
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 import graft.operators.{CountMin, Funnel, Histogram, Retention, Scd2,
   TextStats}
@@ -11,13 +13,36 @@ import graft.runner._
   * (see [[graft.operators.Funnel]] for the operator contracts).
   */
 
+/** Default `ts` expressions for event steps, chosen from the PHYSICAL
+  * type the lake wrote — ns-precision BIGINT (the legacy convention),
+  * naive `timestamp[us]` (Spark reads TIMESTAMP_NTZ; cast is
+  * deterministic under the library's pinned UTC session timezone), or
+  * an already-zoned TIMESTAMP. An explicit `ts_expr` arg always wins.
+  */
+private[plugins] object EventTs {
+  /** SQL expression yielding epoch microseconds. */
+  def microsExpr(df: DataFrame): String =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => "ts div 1000"
+      case Some(TimestampNTZType) => "unix_micros(cast(ts as timestamp))"
+      case _                      => "unix_micros(ts)"
+    }
+
+  /** SQL expression yielding a session-zoned TIMESTAMP. */
+  def timestampExpr(df: DataFrame): String =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => "timestamp_micros(ts div 1000)"
+      case Some(TimestampNTZType) => "cast(ts as timestamp)"
+      case _                      => "ts"
+    }
+}
+
 /** `event_funnel` — ordered conversion funnel ([[Funnel.steps]]).
   *
   * Args: `input` (event parquet), `output_path`, `stages` (ordered
   * list, required). Optional `user_col` (user_id), `kind_col`
   * (event_type), `ts_expr` (SQL expression yielding microseconds;
-  * default `ts div 1000` — the lake convention stores ns-precision
-  * BIGINT; pass `unix_micros(ts)` for TIMESTAMP columns).
+  * default adapts to the physical `ts` type — see [[EventTs]]).
   */
 object EventFunnelPlugin extends StepPlugin {
   val name = "event_funnel"
@@ -30,9 +55,10 @@ object EventFunnelPlugin extends StepPlugin {
     }
     val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
     val kindCol = ctx.argOpt("kind_col").map(_.toString).getOrElse("event_type")
+    val input = ctx.spark.read.parquet(ctx.argStr("input"))
     val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
-      .getOrElse("ts div 1000")
-    Funnel.steps(ctx.spark.read.parquet(ctx.argStr("input")),
+      .getOrElse(EventTs.microsExpr(input))
+    Funnel.steps(input,
         col(userCol), col(kindCol), expr(tsExpr), stages)
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)
@@ -45,9 +71,8 @@ object EventFunnelPlugin extends StepPlugin {
 /** `event_retention` — cohort retention grid ([[Retention.cohorts]]).
   *
   * Args: `input`, `output_path`. Optional `user_col` (user_id),
-  * `ts_expr` (SQL expression yielding a timestamp; default
-  * `timestamp_micros(ts div 1000)` per the ns-BIGINT lake convention —
-  * pass just `ts` for TIMESTAMP columns).
+  * `ts_expr` (SQL expression yielding a timestamp; default adapts to
+  * the physical `ts` type — see [[EventTs]]).
   */
 object EventRetentionPlugin extends StepPlugin {
   val name = "event_retention"
@@ -55,9 +80,10 @@ object EventRetentionPlugin extends StepPlugin {
   def run(ctx: StepContext): StepResult = {
     val out = ctx.argStr("output_path")
     val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
+    val input = ctx.spark.read.parquet(ctx.argStr("input"))
     val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
-      .getOrElse("timestamp_micros(ts div 1000)")
-    Retention.cohorts(ctx.spark.read.parquet(ctx.argStr("input")),
+      .getOrElse(EventTs.timestampExpr(input))
+    Retention.cohorts(input,
         col(userCol), expr(tsExpr))
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)
@@ -69,9 +95,9 @@ object EventRetentionPlugin extends StepPlugin {
 /** `event_scd2` — SCD type-2 history build ([[Scd2.build]]).
   *
   * Args: `input`, `output_path`, `attr_col` (required). Optional
-  * `user_col` (user_id), `ts_expr` (microseconds; default
-  * `ts div 1000` per the ns-BIGINT lake convention),
-  * `tiebreak_col` (event_id).
+  * `user_col` (user_id), `ts_expr` (microseconds; default adapts to
+  * the physical `ts` type — see [[EventTs]]), `tiebreak_col`
+  * (event_id).
   */
 object EventScd2Plugin extends StepPlugin {
   val name = "event_scd2"
@@ -80,10 +106,11 @@ object EventScd2Plugin extends StepPlugin {
     val out = ctx.argStr("output_path")
     val attrCol = ctx.argStr("attr_col")
     val userCol = ctx.argOpt("user_col").map(_.toString).getOrElse("user_id")
+    val input = ctx.spark.read.parquet(ctx.argStr("input"))
     val tsExpr = ctx.argOpt("ts_expr").map(_.toString)
-      .getOrElse("ts div 1000")
+      .getOrElse(EventTs.microsExpr(input))
     val tb = ctx.argOpt("tiebreak_col").map(_.toString).getOrElse("event_id")
-    Scd2.build(ctx.spark.read.parquet(ctx.argStr("input")),
+    Scd2.build(input,
         col(userCol), col(attrCol), expr(tsExpr), col(tb))
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)

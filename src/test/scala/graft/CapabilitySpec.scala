@@ -147,7 +147,7 @@ class CapabilitySpec extends SparkSpecBase {
     }
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.Tables.normalizeEventTs(df)
     val streamed = StreamOps.runToMemory(
       StreamOps.sessionAgg(
         normalize(StreamOps.fileStream(spark, stagedDir, schema)),

@@ -21,6 +21,15 @@ class BackfillSliceSpec extends SparkSpecBase {
   test("parent/child backfill over date spans == single-plan computation") {
     val root = Files.createTempDirectory("graft_backfill")
     val events = s"$sf/events.parquet"
+    // SQL form of Tables.normalizeEventTs for the embedded sql_transform:
+    // the lake's physical ts is ns-BIGINT or naive timestamp[us]
+    val tsSql = spark.read.parquet(events).schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestamp_micros(ts div 1000)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        "cast(ts as timestamp)"
+      case _ => "ts"
+    }
 
     Files.writeString(root.resolve("child.yml"),
       s"""vars:
@@ -33,10 +42,10 @@ class BackfillSliceSpec extends SparkSpecBase {
          |        events_raw: "$events"
          |      query: >
          |        SELECT user_id AS cell_id, user_id AS x, 0 AS y,
-         |          CAST(timestamp_micros(ts div 1000) AS DATE) AS day,
+         |          CAST($tsSql AS DATE) AS day,
          |          CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS value
          |        FROM events_raw
-         |        WHERE pmod(day(timestamp_micros(ts div 1000)), 3) = {span}
+         |        WHERE pmod(day($tsSql), 3) = {span}
          |        GROUP BY 1, 2, 3, 4
          |      output_path: "{env.basedir}/spans/daily_{span}.parquet"
          |""".stripMargin)

@@ -17,11 +17,11 @@ class StreamOpsSpec extends SparkSpecBase {
       dir.resolve("events.parquet"))
     dir.toString
   }
-  // stream the staged dir; normalize ns→ts like Tables.events
+  // stream the staged dir; normalize the physical ts like Tables.events
   private lazy val eventsStream = {
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    StreamOps.fileStream(spark, stagedDir, raw.schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(
+      StreamOps.fileStream(spark, stagedDir, raw.schema))
   }
 
   test("tumbling daily aggregate equals batch groupBy(day)") {
@@ -64,9 +64,9 @@ class StreamOpsSpec extends SparkSpecBase {
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     val dup = eventsBatch.limit(100)
-    val stream = StreamOps.fileStream(spark, stagedDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeEventTs(
+      StreamOps.fileStream(spark, stagedDir,
+        spark.read.parquet(s"$sf/events.parquet").schema))
     val deduped = StreamOps.runToMemory(
       StreamOps.dedupedStream(stream.unionByName(stream), "ts", "event_id"),
       "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append)
@@ -257,8 +257,8 @@ class StreamOpsSpec extends SparkSpecBase {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val stream = StreamOps.fileStream(ss, stagedDir, raw.schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeEventTs(
+      StreamOps.fileStream(ss, stagedDir, raw.schema))
     val streamed = StreamOps.runToMemory(
       StreamOps.tumblingDailyAgg(stream, "ts", "user_id", "value"),
       "rocksdb_out", org.apache.spark.sql.streaming.OutputMode.Complete)
