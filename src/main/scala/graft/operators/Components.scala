@@ -207,6 +207,34 @@ object Components {
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("keeper"))
 
+  /** Per-member soft-dedup sampling weight: `1/|cluster|` for every
+    * document, `1.0` for documents outside any duplicate cluster — the
+    * mixture-correct ALTERNATIVE to dropping non-keepers. Sampling the
+    * corpus by these weights makes each distinct work contribute
+    * equally to the training mix regardless of how many near-copies
+    * the crawl picked up, without discarding the copies outright (they
+    * still serve as augmentation when the budget allows). The cluster
+    * membership/size relation is component-sized — tiny next to the
+    * corpus — and joins back on the id key (AQE broadcasts it when
+    * small); the weight itself is one exact-integer reciprocal, so the
+    * column is bit-stable across engines and partitionings.
+    *
+    * Output: (id, cluster_size, weight). */
+  def memberWeights(docs: DataFrame, idCol: String, edges: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
+    val comp = connected(edges, aCol, bCol)
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    val member = comp.join(sizes, "component")
+      .select(col("id"), col("cluster_size"))
+    docs.select(col(idCol).as("id"))
+      .join(member, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   /** Quality-aware keeper selection: per duplicate cluster, keep the
     * member with the HIGHEST score (ties broken by min id) instead of
     * [[clusters]]' min-id convention — a near-dup cluster usually holds

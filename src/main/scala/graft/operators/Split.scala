@@ -42,6 +42,26 @@ object Split {
       when(id.isNull, lit(null).cast("string")).otherwise(expr))
   }
 
+  /** Leakage-safe variant for near-dup corpora: the hash key is the
+    * row's duplicate-cluster REPRESENTATIVE instead of its own id, so
+    * every member of a cluster lands in the same split — a near-copy
+    * of a training document can never surface in a held-out set (the
+    * train/test contamination a plain per-id split silently allows
+    * whenever dedup keeps more than one cluster member, e.g. under
+    * soft dedup or a similarity threshold above the clustering one).
+    * `rep` is nullable: rows outside any cluster fall back to their
+    * own id, making this a strict generalization of [[assign]] (null
+    * `rep` everywhere ≡ assign). Null id AND null rep yields a null
+    * split, per the [[assign]] contract.
+    *
+    * Output adds both `rep` (the effective key — auditable) and
+    * `split`. Cost over [[assign]] is only whatever join produced the
+    * `rep` column; the assignment itself stays a stateless projection.
+    */
+  def assignByRepresentative(df: DataFrame, id: Column, rep: Column,
+                             splits: Seq[(String, Double)]): DataFrame =
+    assign(df.withColumn("rep", coalesce(rep, id)), col("rep"), splits)
+
   /** The same thresholds (and the null-id rule) as SQL, for oracles. */
   def sqlCase(idExpr: String, splits: Seq[(String, Double)]): String = {
     val total = splits.map(_._2).sum

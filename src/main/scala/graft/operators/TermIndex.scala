@@ -112,6 +112,54 @@ object TermIndex {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Distinctive-term co-occurrence mining (the market-basket shape
+    * over documents): pairs of terms that appear together in a
+    * document's top-`k` tf/df-distinctive set ([[tfidfTopK]]), with
+    * support count and lift. The naive form — all token pairs per
+    * document — is quadratic in document length and degenerates on any
+    * corpus with hot terms; restricting the basket to each document's
+    * top-`k` DISTINCTIVE terms bounds the per-document fanout at
+    * C(k,2) BY CONSTRUCTION (not by a tunable cap), which is the shape
+    * that survives 100 TB: the pair stream is ≤ C(k,2)·|docs| rows
+    * folding through one combinable count aggregate, and the per-term
+    * basket-frequency table it joins is vocabulary-sized.
+    *
+    * Lift = P(a,b)/(P(a)P(b)) is computed as the ratio of two EXACT
+    * integer products, `(n_ab·N) / (n_a·n_b)`, in one IEEE double
+    * division (correctly rounded in every engine — the file-header
+    * no-`ln()` rule; log-lift would rank identically anyway, log being
+    * monotone). N is the corpus document count, folded in as a 1-row
+    * broadcast (the [[Bm25]] crossJoin pattern — no driver collect).
+    *
+    * Output: (term_a, term_b, n_ab, lift), term_a < term_b,
+    * n_ab ≥ `minSupport`. */
+  def topicCooccurrence(df: DataFrame, idCol: String, text: Column,
+                        k: Int, minSupport: Long): DataFrame = {
+    // three consumers (self-join sides + basket frequencies) — persist
+    // the basket relation so the tf window runs once (the shared-
+    // subplan idiom; Spark's cache manager plan-matches the copies)
+    val basket = tfidfTopK(df, idCol, text, k)
+      .select(col(idCol).as("id"), col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = basket.groupBy("term").agg(count(lit(1)).as("n"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val pairs = basket.select(col("id"), col("term").as("term_a"))
+      .join(basket.select(col("id"), col("term").as("term_b")), "id")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(bf.select(col("term").as("term_a"), col("n").as("__na")),
+        "term_a")
+      .join(bf.select(col("term").as("term_b"), col("n").as("__nb")),
+        "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        ((col("n_ab") * col("n_docs")).cast("double") /
+          (col("__na") * col("__nb")).cast("double")).as("lift"))
+  }
+
   /** Per-document corpus-frequency profile — the rare-token quality
     * signal (a doc whose tokens are all corpus-rare is likely noise;
     * all corpus-common, likely boilerplate): token-weighted mean and

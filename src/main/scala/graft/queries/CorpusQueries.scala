@@ -39,6 +39,14 @@ object CorpusQueries extends QueryGroup {
   def tokenRarity(spark: SparkSession, dir: String): DataFrame =
     TermIndex.rarity(Tables.documents(spark, dir), "doc_id", col("text"))
 
+  /** Distinctive-term co-occurrence pairs with lift
+    * ([[TermIndex.topicCooccurrence]]) — the market-basket shape whose
+    * per-document fanout is bounded at C(k,2) by construction. Basket =
+    * each doc's top-3 tf/df terms (the tfidf_topk relation). */
+  def topicCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    TermIndex.topicCooccurrence(Tables.documents(spark, dir), "doc_id",
+      col("text"), k = 3, minSupport = 5L)
+
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     TermIndex.invertedIndex(Tables.documents(spark, dir), "doc_id",
       col("text"), n = 3, maxPostings = 5)
@@ -167,6 +175,7 @@ object CorpusQueries extends QueryGroup {
     "ngram_lm_score" -> (ngramLmScore _),
     "dsir_weights" -> (dsirWeights _),
     "tfidf_topk" -> (tfidfTopK _),
+    "topic_cooccurrence" -> (topicCooccurrence _),
     "sparse_cosine_pairs" -> (sparseCosinePairs _),
     "token_rarity" -> (tokenRarity _),
     "inverted_index" -> (invertedIndex _),
@@ -341,6 +350,34 @@ object CorpusQueries extends QueryGroup {
          |      AS rank
          |  FROM tf JOIN df USING (term))
          |WHERE rank <= 3""".stripMargin,
+    // same top-3 basket as tfidf_topk; lift is one double division of
+    // two exact integer products
+    "topic_cooccurrence" ->
+      s"""WITH $tfCte,
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |basket AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, term,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+         |          term) AS rank
+         |    FROM tf JOIN df USING (term))
+         |  WHERE rank <= 3),
+         |bf AS (SELECT term, COUNT(*) AS n FROM basket GROUP BY 1),
+         |p AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+         |  FROM basket a JOIN basket b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  CAST(n_ab * n_docs AS DOUBLE) /
+         |    CAST(na.n * nb.n AS DOUBLE) AS lift
+         |FROM p
+         |JOIN bf na ON p.term_a = na.term
+         |JOIN bf nb ON p.term_b = nb.term
+         |CROSS JOIN n
+         |WHERE n_ab >= 5""".stripMargin,
     "token_rarity" ->
       s"""WITH $tfCte,
          |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf

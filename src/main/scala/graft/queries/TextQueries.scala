@@ -80,6 +80,28 @@ object TextQueries extends QueryGroup {
     Split.assign(Tables.documents(spark, dir).select("doc_id"),
       col("doc_id"), splitWeights)
 
+  /** Near-dup-cluster-aware split ([[Split.assignByRepresentative]]):
+    * the assignment hashes each document's J ≥ 0.5 duplicate-cluster
+    * representative (its own id outside any cluster), so a near-copy
+    * of a training doc can never land in val/test — the leakage a
+    * plain per-id split allows. Shares the persisted candidate-pair
+    * cache with the dedup battery. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Split.assignByRepresentative(
+      Tables.documents(spark, dir).select("doc_id")
+        .join(dedupComponents(spark, dir), Seq("doc_id"), "left"),
+      col("doc_id"), col("component"), splitWeights)
+      .select("doc_id", "rep", "split")
+
+  /** Soft-dedup sampling weights ([[Components.memberWeights]]):
+    * 1/|cluster| per member, 1.0 for singletons — the keep-everything
+    * alternative to corpus_clean's drop-the-copies, with each distinct
+    * work contributing equally to the sampled mix. */
+  def clusterSizeWeights(spark: SparkSession, dir: String): DataFrame =
+    Components.memberWeights(Tables.documents(spark, dir), "doc_id",
+      candidatePairs(spark, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_size"), col("weight"))
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
 
@@ -341,6 +363,8 @@ object TextQueries extends QueryGroup {
     "dedup_components_dist" -> (dedupComponentsDist _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_best_keeper" -> (dedupBestKeeper _),
+    "leakage_safe_split" -> (leakageSafeSplit _),
+    "cluster_size_weights" -> (clusterSizeWeights _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
@@ -662,6 +686,24 @@ object TextQueries extends QueryGroup {
       s"""WITH comp AS ($componentsOracle)
          |SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS keeper
          |FROM comp GROUP BY 1""".stripMargin,
+    // same split thresholds as train_val_split, keyed on the cluster
+    // representative (own id outside any cluster)
+    "leakage_safe_split" ->
+      s"""WITH comp AS ($componentsOracle)
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
+         |  ${Split.sqlCase("COALESCE(c.component, d.doc_id)",
+                            splitWeights)} AS split
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // 1/|cluster| — one double division of an exact integer
+    "cluster_size_weights" ->
+      s"""WITH comp AS ($componentsOracle),
+         |sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1),
+         |m AS (SELECT doc_id, n FROM comp JOIN sz USING (component))
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1.0 AS DOUBLE) / CAST(COALESCE(m.n, 1) AS DOUBLE)
+         |    AS weight
+         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
     "dedup_best_keeper" ->
       s"""WITH comp AS ($componentsOracle),
          |tk AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens

@@ -172,5 +172,7 @@ object DefaultRegistry {
     EmbeddingSemdedupPlugin, EmbeddingOutliersPlugin, EmbeddingAnnPlugin,
     GraphPagerankPlugin, TargetedDeletePlugin,
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
-    SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin))
+    SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin,
+    TextLeakageSplitPlugin, TextClusterWeightsPlugin,
+    TextTopicPairsPlugin))
 }

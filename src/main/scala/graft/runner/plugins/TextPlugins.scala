@@ -3,7 +3,8 @@ package graft.runner.plugins
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Components, Decontaminate, Dedup, Fingerprint,
-  LangId, Resample, Scrub, SequencePack, SpanDedup, TermIndex, TextStats}
+  LangId, Resample, Scrub, SequencePack, SpanDedup, Split, TermIndex,
+  TextStats}
 import graft.runner._
 
 /** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
@@ -380,6 +381,116 @@ object TextCosinePairsPlugin extends StepPlugin {
       .explodedShingles(docs, idCol, col(textCol), n = n)
       .select(col(idCol).as("id"), col("sh").as("term"))
     TermIndex.cosinePairs(occurrences, minCosine = minCos, maxDf = maxDf)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_pairs" -> res.count()))
+  }
+}
+
+/** `text_leakage_split` — near-dup-cluster-aware train/val/test
+  * assignment ([[graft.operators.Split.assignByRepresentative]]): the
+  * split hash keys on each document's duplicate-cluster representative
+  * (n-gram Jaccard pairs → connected components, its own id outside
+  * any cluster), so a near-copy of a training document can never land
+  * in a held-out set — the contamination a plain per-id split silently
+  * allows. Same determinism contract as any md5-threshold split:
+  * reproducible across runs, partitionings and corpus growth.
+  *
+  * Args: `input` (documents parquet), `output_path` (doc rows +
+  * `rep` + `split`). Optional `id_col` (doc_id), `text_col` (text),
+  * `ngram` (default 3), `min_jaccard` (clustering threshold, default
+  * 0.5), `weights` ("name=w,name=w,…" in priority order; default
+  * "train=0.8,val=0.1,test=0.1").
+  */
+object TextLeakageSplitPlugin extends StepPlugin {
+  val name = "text_leakage_split"
+
+  private[plugins] def parseWeights(s: String): Seq[(String, Double)] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim -> v.trim.toDouble
+    }
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val minJ = ctx.argOpt("min_jaccard").map(_.toString.toDouble)
+      .getOrElse(0.5)
+    val weights = parseWeights(ctx.argOpt("weights").map(_.toString)
+      .getOrElse("train=0.8,val=0.1,test=0.1"))
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, col(textCol),
+      n = n, minJaccard = minJ)
+    val comp = Components.connected(pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("component"))
+    Split.assignByRepresentative(
+        docs.join(comp, Seq(idCol), "left"),
+        col(idCol), col("component"), weights)
+      .drop("component")
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    val perSplit = res.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    StepResult(Map("output_path" -> out, "n_docs" -> res.count()) ++
+      perSplit.map { case (k, v) => s"n_$k" -> (v: Any) })
+  }
+}
+
+/** `text_cluster_weights` — soft-dedup sampling weights
+  * ([[graft.operators.Components.memberWeights]]): `1/|cluster|` per
+  * near-dup cluster member, 1.0 for singletons — the keep-everything
+  * alternative to `text_dedup`'s drop-the-copies, with each distinct
+  * work contributing equally to a weight-sampled training mix.
+  *
+  * Args: `input`, `output_path` ((id, cluster_size, weight)).
+  * Optional `id_col` (doc_id), `text_col` (text), `ngram` (default
+  * 3), `min_jaccard` (default 0.5).
+  */
+object TextClusterWeightsPlugin extends StepPlugin {
+  val name = "text_cluster_weights"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val minJ = ctx.argOpt("min_jaccard").map(_.toString.toDouble)
+      .getOrElse(0.5)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, col(textCol),
+      n = n, minJaccard = minJ)
+    Components.memberWeights(docs, idCol, pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", idCol)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_docs" -> res.count(),
+      "n_clustered" -> res.filter(col("cluster_size") > 1).count()))
+  }
+}
+
+/** `text_topic_pairs` — distinctive-term co-occurrence mining
+  * ([[graft.operators.TermIndex.topicCooccurrence]]): market-basket
+  * pairs over each document's top-`k` tf/df terms with support count
+  * and lift; per-document fanout bounded at C(k,2) by construction.
+  *
+  * Args: `input`, `output_path` ((term_a, term_b, n_ab, lift)).
+  * Optional `id_col` (doc_id), `text_col` (text), `top_k` (default 3),
+  * `min_support` (default 5).
+  */
+object TextTopicPairsPlugin extends StepPlugin {
+  val name = "text_topic_pairs"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val k = ctx.argOpt("top_k").map(_.toString.toInt).getOrElse(3)
+    val minSupport = ctx.argOpt("min_support").map(_.toString.toLong)
+      .getOrElse(5L)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    TermIndex.topicCooccurrence(docs, idCol, col(textCol), k, minSupport)
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_pairs" -> res.count()))

@@ -35,6 +35,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(d2 == Seq("cherry", "banana"))
   }
 
+  test("TermIndex.topicCooccurrence: top-k basket pairs with exact lift") {
+    // baskets (k=2): doc1 {apple,banana}, doc2 {banana,cherry},
+    // doc3 {apple,date}; basket freq: apple=2 banana=2 cherry=1 date=1
+    val got = TermIndex.topicCooccurrence(docs, "doc_id", col("text"),
+        k = 2, minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("apple", "banana") -> (1L, 1.0 * 3 / 4),
+      ("banana", "cherry") -> (1L, 1.0 * 3 / 2),
+      ("apple", "date") -> (1L, 1.0 * 3 / 2)))
+    // support floor drops everything on this fixture
+    assert(TermIndex.topicCooccurrence(docs, "doc_id", col("text"),
+      k = 2, minSupport = 2L).count() == 0)
+  }
+
   test("TermIndex.rarity: corpus-frequency profile") {
     // cf: apple=3, banana=2, cherry=1, date=3
     val r = TermIndex.rarity(docs, "doc_id", col("text"))

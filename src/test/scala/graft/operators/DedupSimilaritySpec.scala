@@ -98,6 +98,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Map(1L -> (3L, 2L, 30L), 5L -> (2L, 5L, 7L)))
   }
 
+  test("Components.memberWeights: 1/|cluster| per member, 1.0 singletons, " +
+    "cluster weights sum to one distinct work each") {
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val docs = (1L to 8L).toDF("doc_id") // 4,7,8 outside any cluster
+    val got = Components.memberWeights(docs, "doc_id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) == (3L, 1.0 / 3) && got(2L) == (3L, 1.0 / 3) &&
+      got(3L) == (3L, 1.0 / 3))
+    assert(got(5L) == (2L, 0.5) && got(6L) == (2L, 0.5))
+    assert(Seq(4L, 7L, 8L).forall(got(_) == (1L, 1.0)))
+    // the defining invariant: summed over any cluster the weight is
+    // exactly 1 — each distinct work counts once in the sampled mix
+    assert(math.abs(got.values.map(_._2).sum - 5.0) < 1e-12) // 2 clusters + 3 singletons
+  }
+
+  test("Split.assignByRepresentative: a cluster never straddles splits; " +
+    "singletons match the plain per-id split") {
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = (1L to 2000L).toDF("doc_id")
+    val comp = Components.connected(edges, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val got = Split.assignByRepresentative(
+      docs.join(comp, Seq("doc_id"), "left"),
+      col("doc_id"), col("component"), splits)
+    // every member of {1,2,3} and of {5,6} lands in ONE split
+    val perCluster = got.filter(col("component").isNotNull)
+      .groupBy("component").agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.nonEmpty && perCluster.forall(_ == 1L))
+    // outside any cluster the assignment IS the plain per-id split
+    val plain = Split.assign(docs, col("doc_id"), splits)
+      .withColumnRenamed("split", "plain_split")
+    val diverging = got.filter(col("component").isNull)
+      .join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split")).count()
+    assert(diverging == 0)
+  }
+
   test("Components: reliable checkpoint path matches; non-convergence throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
       .toString

@@ -192,9 +192,9 @@ class ExamplesSpec extends SparkSpecBase {
     assert(lines.size > 10)
   }
 
-  test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles, ann") {
+  test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles, ann, leakage split, cluster weights, topic pairs") {
     val (_, res) = run("curation_suite.yml")
-    assert(res.results.size == 14)
+    assert(res.results.size == 17)
     val byStep = res.results.map(_.fields)
     // lm: 10% train slice → 90% scored, some with OOV bigrams
     assert(byStep(0)("n_scored") == 450L)
@@ -230,6 +230,15 @@ class ExamplesSpec extends SparkSpecBase {
     assert(byStep(13)("n_indexed") == kept)
     assert(byStep(13)("n_clusters") == 8L)
     assert(byStep(13)("n_answers") == kept * 3L)
+    // leakage split: every doc assigned, both splits populated
+    assert(byStep(14)("n_docs") == 500L)
+    assert(byStep(14)("n_train").asInstanceOf[Long] > 0L &&
+      byStep(14)("n_val").asInstanceOf[Long] > 0L)
+    // cluster weights: the near-dup fixture guarantees clustered docs
+    assert(byStep(15)("n_docs") == 500L)
+    assert(byStep(15)("n_clustered").asInstanceOf[Long] > 0L)
+    // topic pairs: the small vocabulary co-occurs heavily
+    assert(byStep(16)("n_pairs").asInstanceOf[Long] > 0L)
   }
 
   test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min, quantiles") {
