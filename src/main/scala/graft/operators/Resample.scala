@@ -81,6 +81,37 @@ object Resample {
 
   /** The same program as DuckDB SQL over a table with the given id /
     * stratum columns, for oracles. Emits all source columns + copy_idx. */
+  private val wsalt = ":wsamp"
+
+  /** Deterministic per-row Bernoulli thinning by an IN-ROW probability
+    * column — the consumer of soft-dedup cluster weights
+    * ([[Components.memberWeights]]): sampling with p = 1/|cluster|
+    * yields one expected survivor per duplicate cluster (hard dedup's
+    * outcome in expectation) while staying unbiased within the
+    * cluster, and composes with any other per-row probability (mixture
+    * shares, quality scores). Same determinism contract as
+    * [[toMixture]]'s fractional top-up: the keep decision is a pure
+    * function of (id, weight) via the md5-hex threshold compare, so it
+    * is reproducible across runs, engines and partitionings. `w ≥ 1`
+    * keeps unconditionally — the 8-hex-digit threshold only covers
+    * [0,1) (1.0 would scale to a 9-digit hex and lpad would TRUNCATE
+    * it into garbage). A stateless projection + filter: no shuffle, no
+    * aggregate, trivially 100 TB-safe. */
+  def byWeight(df: DataFrame, id: Column, weight: Column): DataFrame = {
+    val key8 = substring(md5(concat(id.cast("string"), lit(wsalt))), 1, 8)
+    val thr8 = lpad(lower(hex(
+      floor(weight * lit(4294967296.0)).cast("long"))), 8, "0")
+    df.filter(weight >= 1.0 || key8 < thr8)
+  }
+
+  /** [[byWeight]]'s keep predicate as SQL, for oracles: `weightExpr`
+    * must be the SAME arithmetic the engine-side column computes. */
+  def byWeightPredicateSql(idExpr: String, weightExpr: String): String =
+    s"""($weightExpr >= 1.0 OR
+       |  substr(md5(CAST($idExpr AS VARCHAR) || '$wsalt'), 1, 8) <
+       |  lpad(lower(hex(CAST(FLOOR(($weightExpr) * 4294967296.0)
+       |    AS BIGINT))), 8, '0'))""".stripMargin
+
   def oracleSql(table: String, idExpr: String, stratumExpr: String,
                 weights: Map[String, Double], budget: Long,
                 defaultWeight: Double = 0.0): String = {

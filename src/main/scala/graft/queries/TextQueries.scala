@@ -102,6 +102,14 @@ object TextQueries extends QueryGroup {
       candidatePairs(spark, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster_size"), col("weight"))
 
+  /** Weighted Bernoulli thinning by the soft-dedup weights
+    * ([[Resample.byWeight]] ∘ [[Components.memberWeights]]): one
+    * expected survivor per duplicate cluster, singletons always kept —
+    * hard dedup's yield, without biasing WHICH member survives. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Resample.byWeight(clusterSizeWeights(spark, dir), col("doc_id"),
+      col("weight"))
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
 
@@ -365,6 +373,7 @@ object TextQueries extends QueryGroup {
     "dedup_best_keeper" -> (dedupBestKeeper _),
     "leakage_safe_split" -> (leakageSafeSplit _),
     "cluster_size_weights" -> (clusterSizeWeights _),
+    "weighted_sample" -> (weightedSample _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
@@ -460,6 +469,18 @@ object TextQueries extends QueryGroup {
        |         ELSE 'keep' END AS verdict
        |  FROM l)""".stripMargin
   }
+
+  /** The cluster_size_weights oracle body, shared with
+    * weighted_sample. */
+  private def clusterWeightsOracle: String =
+    s"""WITH comp AS ($componentsOracle),
+       |sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1),
+       |m AS (SELECT doc_id, n FROM comp JOIN sz USING (component))
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
+       |  CAST(1.0 AS DOUBLE) / CAST(COALESCE(m.n, 1) AS DOUBLE)
+       |    AS weight
+       |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
 
   /** Min-reachable-id ground truth for connected components (recursive
     * CTE) — shared by both dedup_components variants. */
@@ -695,15 +716,14 @@ object TextQueries extends QueryGroup {
                             splitWeights)} AS split
          |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
     // 1/|cluster| — one double division of an exact integer
-    "cluster_size_weights" ->
-      s"""WITH comp AS ($componentsOracle),
-         |sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1),
-         |m AS (SELECT doc_id, n FROM comp JOIN sz USING (component))
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
-         |  CAST(1.0 AS DOUBLE) / CAST(COALESCE(m.n, 1) AS DOUBLE)
-         |    AS weight
-         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
+    "cluster_size_weights" -> clusterWeightsOracle,
+    // Bernoulli(weight) keep via the shared md5-hex threshold — the
+    // predicate arithmetic is byWeight's, verbatim
+    "weighted_sample" ->
+      s"""WITH w AS ($clusterWeightsOracle)
+         |SELECT doc_id, cluster_size, weight FROM w
+         |WHERE ${Resample.byWeightPredicateSql("doc_id", "weight")}"""
+        .stripMargin,
     "dedup_best_keeper" ->
       s"""WITH comp AS ($componentsOracle),
          |tk AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens

@@ -17,6 +17,36 @@ class PlanShapeSpec extends SparkSpecBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("topic_cooccurrence: basket joins are equi; the only cross join " +
+    "is the broadcast 1-row corpus count") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = queries.CorpusQueries.topicCooccurrence(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val crosses = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    // every condition-free join must have a grand-aggregate side (the
+    // 1-row N) — never basket × basket
+    crosses.foreach { j =>
+      val bounded = Seq(j.left, j.right).exists(side =>
+        side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined)
+      assert(bounded, s"unbounded cross join in plan:\n$j")
+    }
+  }
+
+  test("weighted_sample: the byWeight thinning adds NO exchange on top " +
+    "of the weights plan (stateless projection + filter)") {
+    val weights = queries.TextQueries.clusterSizeWeights(spark, sf)
+    val sampled = queries.TextQueries.weightedSample(spark, sf)
+    def nExchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(plan(df)).size
+    assert(nExchanges(sampled) == nExchanges(weights),
+      "byWeight must not introduce a shuffle")
+  }
+
   test("mixture_resample broadcasts the per-stratum factors (no fact shuffle)") {
     val p = plan(queries.CorpusQueries.mixtureResample(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

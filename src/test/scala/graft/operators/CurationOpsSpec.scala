@@ -34,6 +34,26 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("Resample.byWeight: w>=1 always kept, w=0 never, fractional " +
+    "deterministic and partitioning-stable") {
+    val weighted = (1L to 400L).toDF("id")
+      .withColumn("weight",
+        when(col("id") <= 100L, 1.0)
+          .when(col("id") <= 200L, 0.0)
+          .otherwise(0.5))
+    val kept = Resample.byWeight(weighted, col("id"), col("weight"))
+    val byBand = kept.groupBy(col("weight")).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byBand(1.0) == 100L)                  // certainty keeps all
+    assert(!byBand.contains(0.0))                // zero keeps none
+    val half = byBand(0.5)
+    assert(half > 60L && half < 140L, s"Bern(0.5) kept $half of 200")
+    // pure function of (id, weight): invariant to physical layout
+    val again = Resample.byWeight(weighted.repartition(13), col("id"),
+      col("weight")).orderBy("id").collect().toSeq
+    assert(again == kept.orderBy("id").collect().toSeq)
+  }
+
   test("Resample: default weight 0 drops unlisted strata; downsampling thins") {
     val out = Resample.toMixture(docs, col("id"), col("st"),
       Map("b" -> 1.0), budget = 2L) // a dropped; b: r=2/3 -> copies in {0,1}
