@@ -41,6 +41,42 @@ object Sample {
       when(id.isNull, lit(false)).otherwise(key < thr))
   }
 
+  private val ksalt = ":ksamp"
+
+  /** Deterministic uniform k-without-replacement sample PER GROUP —
+    * the bounded-output companion to [[stratified]]'s rate sampling:
+    * eval-subset construction, per-domain inspection samples, any
+    * "exactly k rows from each stratum" cut. The k survivors are the
+    * rows with the smallest `md5(id || ":ksamp")` in their group — a
+    * uniform order statistic, reproducible across runs, engines and
+    * partitionings, independent of [[Split]]/[[stratified]] membership
+    * (different salt), and STABLE UNDER CORPUS GROWTH in the sense
+    * that a row only leaves the sample when a new row hash-sorts below
+    * it (expected k·(new/n) churn, vs total reshuffle for rand()).
+    *
+    * Scale shape: [[TopK.perGroup]] — one shuffle on the group key,
+    * per-group WindowExec sort. NULL ids are never sampled (the
+    * [[stratified]] rule), enforced before the window so a null-id row
+    * cannot consume a rank slot. Output keeps `sample_rank` (1..k) —
+    * a free uniform sub-sample handle: rank ≤ j is itself the
+    * deterministic j-sample for any j ≤ k. */
+  def fixedPerGroup(df: DataFrame, id: Column, group: Column,
+                    k: Int): DataFrame =
+    TopK.perGroup(
+      df.filter(id.isNotNull)
+        .withColumn("__kgrp", group)
+        .withColumn("__kkey", md5(concat(id.cast("string"), lit(ksalt)))),
+      Seq("__kgrp"), Seq(col("__kkey"), id), k, rankCol = "sample_rank")
+      .drop("__kkey", "__kgrp")
+
+  /** The [[fixedPerGroup]] rank as a SQL window expression fragment,
+    * for oracles: `ROW_NUMBER() OVER (PARTITION BY <group> ORDER BY
+    * md5(id||salt), id)`. */
+  def fixedPerGroupRankSql(idExpr: String, groupExpr: String): String =
+    s"""ROW_NUMBER() OVER (PARTITION BY $groupExpr
+       |    ORDER BY md5(CAST($idExpr AS VARCHAR) || '$ksalt'), $idExpr)"""
+      .stripMargin
+
   /** The same predicate as SQL, for oracles. */
   def sqlPredicate(idExpr: String, stratumExpr: String,
                    rates: Map[String, Double],

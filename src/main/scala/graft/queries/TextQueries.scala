@@ -110,6 +110,14 @@ object TextQueries extends QueryGroup {
     Resample.byWeight(clusterSizeWeights(spark, dir), col("doc_id"),
       col("weight"))
 
+  /** Deterministic k-without-replacement sample per source
+    * ([[Sample.fixedPerGroup]]): the bounded-output eval-subset /
+    * inspection-sample cut, reproducible across engines. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame =
+    Sample.fixedPerGroup(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      col("doc_id"), col("source"), k = 20)
+
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), col("doc_id"), col("text"))
 
@@ -374,6 +382,7 @@ object TextQueries extends QueryGroup {
     "leakage_safe_split" -> (leakageSafeSplit _),
     "cluster_size_weights" -> (clusterSizeWeights _),
     "weighted_sample" -> (weightedSample _),
+    "group_sample" -> (groupSample _),
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
@@ -724,6 +733,13 @@ object TextQueries extends QueryGroup {
          |SELECT doc_id, cluster_size, weight FROM w
          |WHERE ${Resample.byWeightPredicateSql("doc_id", "weight")}"""
         .stripMargin,
+    // same salted-hash order statistic on both sides
+    "group_sample" ->
+      s"""SELECT * FROM (
+         |  SELECT doc_id, source,
+         |    ${Sample.fixedPerGroupRankSql("doc_id", "source")}
+         |      AS sample_rank
+         |  FROM documents) t WHERE sample_rank <= 20""".stripMargin,
     "dedup_best_keeper" ->
       s"""WITH comp AS ($componentsOracle),
          |tk AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens

@@ -3,8 +3,8 @@ package graft.runner.plugins
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Components, Decontaminate, Dedup, Fingerprint,
-  LangId, Resample, Scrub, SequencePack, SpanDedup, Split, TermIndex,
-  TextStats}
+  LangId, Resample, Sample, Scrub, SequencePack, SpanDedup, Split,
+  TermIndex, TextStats}
 import graft.runner._
 
 /** The LLM-data-pipeline extensions as ordinary runner plugins (SURVEY
@@ -494,5 +494,31 @@ object TextTopicPairsPlugin extends StepPlugin {
       .write.mode("overwrite").parquet(out)
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_pairs" -> res.count()))
+  }
+}
+
+/** `text_group_sample` — deterministic k-without-replacement sample
+  * per group ([[graft.operators.Sample.fixedPerGroup]]): the bounded
+  * eval-subset / inspection-sample cut (exactly k rows per stratum,
+  * salted-hash order statistic — reproducible across engines and
+  * stable under corpus growth).
+  *
+  * Args: `input`, `output_path`. Optional `id_col` (doc_id),
+  * `group_col` (source), `k` (default 20).
+  */
+object TextGroupSamplePlugin extends StepPlugin {
+  val name = "text_group_sample"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val grpCol = ctx.argOpt("group_col").map(_.toString).getOrElse("source")
+    val k = ctx.argOpt("k").map(_.toString.toInt).getOrElse(20)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    Sample.fixedPerGroup(docs, col(idCol), col(grpCol), k)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_sampled" -> res.count(),
+      "n_groups" -> res.select(grpCol).distinct().count()))
   }
 }

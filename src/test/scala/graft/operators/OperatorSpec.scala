@@ -166,6 +166,35 @@ class OperatorSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("Sample.fixedPerGroup: exactly k per group, rank-nested, " +
+    "growth-stable, null ids excluded") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sample.fixedPerGroup(df, col("id"), col("grp"), k = 10)
+    val perGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGrp == Map("a" -> 10L, "b" -> 10L), perGrp.toString)
+    // rank <= j IS the j-sample: nested subsets, no resampling
+    val five = Sample.fixedPerGroup(df, col("id"), col("grp"), k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val tenTop5 = out.filter(col("sample_rank") <= 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(five == tenTop5)
+    // growth stability: doubling the corpus preserves most of the
+    // sample (expected churn ~ k * new/total, not a reshuffle)
+    val grown = spark.range(0, 2000).toDF("id")
+      .withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val after = Sample.fixedPerGroup(grown, col("id"), col("grp"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val before = out.select("id").collect().map(_.getLong(0)).toSet
+    assert((before & after).size >= 10, s"kept ${(before & after).size}")
+    // null ids can never consume a rank slot
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("id")
+      .withColumn("grp", lit("a"))
+    assert(Sample.fixedPerGroup(withNull, col("id"), col("grp"), 3)
+      .count() == 2L)
+  }
+
   test("Sample.stratified: per-stratum rates, null ids never sampled, " +
     "membership independent of split assignment") {
     val df = spark.range(0, 4000).toDF("id")

@@ -194,7 +194,7 @@ class ExamplesSpec extends SparkSpecBase {
 
   test("examples/curation_suite.yml runs: LM score, DSIR, curriculum, semdedup, outliers, pagerank, budget, floor, triangles, ann, leakage split, cluster weights, topic pairs") {
     val (_, res) = run("curation_suite.yml")
-    assert(res.results.size == 17)
+    assert(res.results.size == 18)
     val byStep = res.results.map(_.fields)
     // lm: 10% train slice → 90% scored, some with OOV bigrams
     assert(byStep(0)("n_scored") == 450L)
@@ -239,6 +239,9 @@ class ExamplesSpec extends SparkSpecBase {
     assert(byStep(15)("n_clustered").asInstanceOf[Long] > 0L)
     // topic pairs: the small vocabulary co-occurs heavily
     assert(byStep(16)("n_pairs").asInstanceOf[Long] > 0L)
+    // group sample: exactly k=5 per source stratum
+    assert(byStep(17)("n_groups") == 20L)
+    assert(byStep(17)("n_sampled") == 100L)
   }
 
   test("examples/event_analytics.yml runs: funnel, retention, scd2, count-min, quantiles") {
