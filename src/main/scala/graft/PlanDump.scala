@@ -67,7 +67,15 @@ object PlanDump {
       "aggregate; no all-pairs, no broadcast of a corpus-sized side."),
     "hist_quantile_merge" -> ("Mergeable quantiles: partials fold to " +
       "O(bins) rows before the only non-equi join (bins × 4 probes — " +
-      "constant by construction)."))
+      "constant by construction)."),
+    "leakage_safe_split" -> ("Leakage-safe split: the component " +
+      "relation (cluster-sized) joins back on the id key; the split " +
+      "assignment itself is a stateless md5-threshold projection — no " +
+      "exchange beyond the dedup pipeline it composes."),
+    "topic_cooccurrence" -> ("Distinctive-term co-occurrence: basket " +
+      "self-join keyed by doc id (fanout C(k,2) by construction), " +
+      "vocabulary-sized basket-frequency joins, 1-row corpus count " +
+      "broadcast — the only condition-free join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

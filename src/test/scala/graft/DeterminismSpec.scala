@@ -40,7 +40,11 @@ class DeterminismSpec extends SparkSpecBase {
     "bpe_learn" -> "per-round argmax with total-order tie-break",
     "k_core" -> "checkpointed peel loop, integer degrees",
     "hist_quantile_merge" -> "integer ranks + fixed IEEE interpolation",
-    "sparse_cosine_pairs" -> "decimal-exact sparse dot products")
+    "sparse_cosine_pairs" -> "decimal-exact sparse dot products",
+    "leakage_safe_split" -> "md5 split keyed on cluster representative",
+    "weighted_sample" -> "in-row Bernoulli md5 threshold",
+    "topic_cooccurrence" -> "exact-integer lift division",
+    "group_sample" -> "salted-hash order statistic rank")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted
