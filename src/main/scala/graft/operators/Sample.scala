@@ -43,6 +43,13 @@ object Sample {
 
   private val ksalt = ":ksamp"
 
+  /** The [[fixedPerGroup]] salted hash as a Column — shared with the
+    * streaming bounded-sample state op
+    * ([[graft.streaming.StreamOps.boundedGroupSample]]) so batch and
+    * stream rank by the identical key. */
+  def kSampleKey(id: Column): Column =
+    md5(concat(id.cast("string"), lit(ksalt)))
+
   /** Deterministic uniform k-without-replacement sample PER GROUP —
     * the bounded-output companion to [[stratified]]'s rate sampling:
     * eval-subset construction, per-domain inspection samples, any
@@ -65,7 +72,7 @@ object Sample {
     TopK.perGroup(
       df.filter(id.isNotNull)
         .withColumn("__kgrp", group)
-        .withColumn("__kkey", md5(concat(id.cast("string"), lit(ksalt)))),
+        .withColumn("__kkey", kSampleKey(id)),
       Seq("__kgrp"), Seq(col("__kkey"), id), k, rankCol = "sample_rank")
       .drop("__kkey", "__kgrp")
 

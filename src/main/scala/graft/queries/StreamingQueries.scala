@@ -277,6 +277,37 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Bounded-state k-per-group sampling run INCREMENTALLY
+    * ([[StreamOps.boundedGroupSample]]): documents arrive as a file
+    * stream and each source's k-smallest-salted-hash sample is
+    * maintained in k-row state — the always-current inspection sample a
+    * 100 TB/day ingest keeps without rescanning. min-k of the salted
+    * hash is order-insensitive, so the drained final state equals the
+    * batch [[TextQueries.groupSample]] cut bit-for-bit and the oracle
+    * is group_sample's SQL verbatim. Update-mode drain; read-back
+    * recovers each group's final sample via max_by(ids, n_seen), then
+    * ranks by array position (the ids are emitted in rank order). */
+  def streamGroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_gsample")
+    val stage = root.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val ss = streamSession(spark)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val docs = StreamOps.fileStream(ss, stage.toString, schema)
+    val agg = StreamOps.boundedGroupSample(ss, docs, "source", "doc_id",
+      k = 20)
+    StreamOps.toParquetSinkUpdates(agg, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+      .groupBy("source")
+      .agg(max_by(col("ids"), col("n_seen")).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), col("source"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+  }
+
   /** Stream-STATIC enrichment join — the remaining join mode of the
     * streaming surface (stream-stream is `stream_interval_join`): each
     * arriving event joins the static customer dimension statelessly (no
@@ -405,6 +436,7 @@ object StreamingQueries extends QueryGroup {
     "stream_quality_filter" -> (streamQualityFilter _),
     "stream_enrich_join" -> (streamEnrichJoin _),
     "stream_running_totals" -> (streamRunningTotals _),
+    "stream_group_sample" -> (streamGroupSample _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
 
@@ -539,6 +571,9 @@ object StreamingQueries extends QueryGroup {
           |  e."value"
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
           .stripMargin,
+      // drained k-row sample state = the batch order-statistic cut,
+      // verbatim (min-k of the salted hash is order-insensitive)
+      "stream_group_sample" -> TextQueries.oracles("group_sample"),
       // final custom state per key = plain batch GROUP BY (exact
       // decimal sums on both sides, double cast at the end)
       "stream_running_totals" ->

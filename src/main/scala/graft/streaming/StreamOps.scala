@@ -99,6 +99,53 @@ object StreamOps {
       }.toDF(key, "n_events", "total_value")
   }
 
+  /** Bounded-state uniform k-sample per group, maintained incrementally
+    * via mapGroupsWithState — the streaming form of
+    * [[graft.operators.Sample.fixedPerGroup]]: state holds each group's
+    * k smallest `(md5(id||salt), id)` pairs seen so far, using the SAME
+    * salted key (`Sample.kSampleKey`), so min-k is order-insensitive
+    * and an AvailableNow drain equals the batch cut bit-for-bit no
+    * matter how the input was micro-batched.
+    *
+    * This is the 100 TB/day sampling shape: the per-group state is k
+    * rows BY CONSTRUCTION — the reservoir never grows with the stream
+    * (contrast a streaming distinct, whose state is unbounded), and an
+    * always-on inspection sample stays current without ever rescanning
+    * the ingested corpus. Emissions are Update-mode
+    * `(group, n_seen, ids)` with the ids already in rank order;
+    * `n_seen` is strictly monotone per group, so read-back recovers the
+    * final sample via `max_by(ids, n_seen)` — the library's
+    * Update-drain recovery idiom ([[toParquetSinkUpdates]]). Null ids
+    * are filtered before the state op (the batch rule: a row that
+    * cannot be re-identified cannot hold a reproducible sample slot).
+    */
+  def boundedGroupSample(spark: SparkSession, rows: DataFrame,
+                         group: String, id: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val typed = rows.filter(col(id).isNotNull)
+      .select(col(group).cast("string"), col(id).cast("long"),
+        graft.operators.Sample.kSampleKey(col(id)))
+      .as[(String, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, List[(String, Long)]),
+        (String, Long, Seq[Long])](GroupStateTimeout.NoTimeout) {
+        case (g, batch, state: GroupState[(Long, List[(String, Long)])]) =>
+          val (n0, samp0) = state.getOption.getOrElse((0L, Nil))
+          var n = n0
+          var samp = samp0
+          batch.foreach { case (_, rid, key) =>
+            n += 1
+            // insert only when the candidate beats the current kth —
+            // O(1) rejection on the hot path, O(k log k) on accept
+            if (samp.sizeIs < k || implicitly[Ordering[(String, Long)]]
+                .lt((key, rid), samp.last))
+              samp = ((key, rid) :: samp).sorted.take(k)
+          }
+          state.update((n, samp))
+          (g, n, samp.map(_._2))
+      }.toDF(group, "n_seen", "ids")
+  }
+
   /** Watermarked stream-stream interval join — the attribution shape:
     * pair each right-stream event with same-key left-stream events it
     * follows within `maxDelay` (e.g. purchase ≤ 1 h after click). Both

@@ -61,6 +61,37 @@ class StreamOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("boundedGroupSample: multi-batch state merge equals the batch " +
+    "order-statistic cut; state stays k rows per group") {
+    import spark.implicits._
+    // two staged files -> maxFilesPerTrigger=1 forces TWO micro-batches,
+    // so the k-sample state genuinely merges across batches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val dir = java.nio.file.Files.createTempDirectory("gsample_stream")
+    docs.repartition(2).write.parquet(s"$dir/in")
+    val schema = docs.schema
+    val stream = StreamOps.fileStream(spark, s"$dir/in", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val drained = StreamOps.runToMemory(
+      StreamOps.boundedGroupSample(spark, stream, "source", "doc_id", 7),
+      "gsample_out", org.apache.spark.sql.streaming.OutputMode.Update)
+    val got = drained.groupBy("source")
+      .agg(max_by(col("ids"), col("n_seen")).as("ids"),
+        max(col("n_seen")).as("n_seen"))
+    // every group saw its full population and kept exactly k
+    val sizes = got.select(size(col("ids"))).collect().map(_.getInt(0))
+    assert(sizes.nonEmpty && sizes.forall(_ == 7), sizes.toSeq.toString)
+    val streamed = got
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.Sample
+      .fixedPerGroup(docs, col("doc_id"), col("source"), 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(streamed == batch,
+      s"stream/batch sample diverge: ${streamed.diff(batch)}")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     val dup = eventsBatch.limit(100)
