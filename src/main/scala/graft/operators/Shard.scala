@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffle + resharding — the final step of a
+  * training-data pipeline: the curated corpus is written as S shards,
+  * each internally ordered by a salted hash of the row id, so reading
+  * shards 0..S-1 in order replays a fixed pseudo-random permutation of
+  * the corpus (the "global shuffle" every trainer wants) without ANY
+  * global sort.
+  *
+  * Reproducibility contract (the [[Split]]/[[Sample]] family rule):
+  * shard and in-shard order are pure functions of the row id —
+  * identical across runs, engines, partitionings and cluster sizes,
+  * and the RELATIVE order of surviving rows is stable under corpus
+  * growth/filtering (new rows interleave; existing rows never swap).
+  * The salt (`":shard"`) differs from the split/sample salts, so shard
+  * assignment is uncorrelated with train/val membership and sampling.
+  *
+  * Scale shape: one stateless hash projection + ONE hash-partition
+  * exchange on `shard` + an in-partition sort (the `shard_pos` window
+  * is partitioned — never a single global window). That is exactly the
+  * plan `write.partitionBy("shard")` + `sortWithinPartitions` needs, so
+  * at 100 TB the shuffle IS the shard write — no extra pass, no driver
+  * state, no TeraSort-style global range partition to balance.
+  */
+object Shard {
+
+  private val salt = ":shard"
+
+  /** The salted permutation key as a Column (shared with the oracle
+    * SQL via md5's cross-engine bit-identity). */
+  def shardKey(id: Column): Column =
+    md5(concat(id.cast("string"), lit(salt)))
+
+  /** Shard of an id: the first 4 hex digits of the salted md5 parsed
+    * as an int (uniform over [0, 65536)) mod `numShards`. Exactly
+    * uniform when `numShards` divides 65536; otherwise skewed by at
+    * most numShards/65536 relative — negligible for practical S. */
+  def shardOf(id: Column, numShards: Int): Column =
+    (conv(substring(shardKey(id), 1, 4), 16, 10).cast("long")
+      % numShards).cast("int")
+
+  /** rows + `(shard INT, shard_pos BIGINT)`; `shard_pos` is the row's
+    * 1-based position in its shard's hash order (ties on the 128-bit
+    * key are impossible in practice but broken by id for determinism).
+    *
+    * NULL ids are EXCLUDED (the [[Sample]] rule: a row that cannot be
+    * re-identified cannot hold a reproducible position); callers that
+    * must keep them should assign surrogate ids first.
+    */
+  def assign(df: DataFrame, id: Column, numShards: Int): DataFrame = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards must be in [1, 65536], got $numShards")
+    df.filter(id.isNotNull)
+      .withColumn("__shkey", shardKey(id))
+      .withColumn("shard", shardOf(id, numShards))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("__shkey"), id))
+          .cast("long"))
+      .drop("__shkey")
+  }
+
+  /** Write the assigned corpus as physical shards: one directory per
+    * `shard`, rows inside each file in `shard_pos` order. Reuses the
+    * single exchange [[assign]] already planned — `repartition(shard)`
+    * co-locates each shard, `sortWithinPartitions` realizes the replay
+    * order on disk. */
+  def writeSharded(assigned: DataFrame, path: String,
+                   numShards: Int): Unit =
+    assigned
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** The shard expression as DuckDB SQL over `idExpr`, for oracles —
+    * strpos-arithmetic hex parse (DuckDB has no `conv`), value-equal
+    * to [[shardOf]]. */
+  def sqlShard(idExpr: String, numShards: Int): String = {
+    val hx = s"md5(CAST($idExpr AS VARCHAR) || '$salt')"
+    val terms = (1 to 4).map { i =>
+      val w = 1 << (4 * (4 - i))
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"CAST(($terms) % $numShards AS INT)"
+  }
+}

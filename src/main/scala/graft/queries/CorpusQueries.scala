@@ -168,7 +168,19 @@ object CorpusQueries extends QueryGroup {
         .as("zval"))
   }
 
+  /** Deterministic global shuffle under the oracle
+    * ([[graft.operators.Shard]]): every doc gets a shard (salted-hash
+    * bucket) and a 1-based replay position inside its shard — the
+    * training-data resharding cut, produced by ONE hash-partition
+    * exchange + in-partition sort (no global window; plan pinned in
+    * ShardSpec). */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Shard.assign(
+      Tables.documents(spark, dir).select("doc_id"),
+      col("doc_id"), numShards = 8)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> (corpusShuffle _),
     "zorder_key" -> (zorderKey _),
     "bm25_topk" -> (bm25TopK _),
     "curriculum_order" -> (curriculumOrder _),
@@ -244,6 +256,18 @@ object CorpusQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // the permutation key is the salted md5 itself (bit-identical
+    // cross-engine); shard = first-4-hex-digits % 8 via Shard.sqlShard
+    "corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || ':shard') AS hx,
+         |    ${graft.operators.Shard.sqlShard("doc_id", 8)} AS shard
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT doc_id, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY hx, doc_id) AS shard_pos
+         |FROM h""".stripMargin,
     "zorder_key" ->
       s"""SELECT doc_id, doc_id % 65536 AS x, n_chars % 65536 AS y,
          |  ${graft.operators.ZOrder.zValue2Sql("doc_id % 65536",

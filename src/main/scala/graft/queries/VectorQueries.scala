@@ -73,6 +73,30 @@ object VectorQueries extends QueryGroup {
       centroids, k = 5, nprobe = 2)
   }
 
+  /** ANN index-quality evaluation — recall@5 of the IVF index at
+    * nprobe=1 against the exact brute-force answer, per query: the
+    * acceptance measurement every ANN deployment runs before trusting
+    * an index (and re-runs after each re-train). nprobe=1 is the
+    * interesting setting — single-probe recall is where IVF actually
+    * loses neighbours, so the recall column is non-trivially < 1.
+    * Shape at scale: both sides are existing battery plans (bounded
+    * probe join + windowed top-k); the evaluation itself is an
+    * equi-join on (qid, id) + one count aggregate — linear in k·|Q|,
+    * independent of corpus size. */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = queriesDf(spark, dir)
+    val centroids = Ivf.train(c, k = 8, iters = 1)
+    val approx = Ivf.searchTopK(q, Ivf.assign(c, centroids), centroids,
+      k = 5, nprobe = 1).select(col("qid"), col("id"))
+    val exact = Similarity.bruteForceTopK(q, c, 5).select("qid", "id")
+    exact.join(approx.withColumn("__hit", lit(1)), Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count("__hit").as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(5.0)).as("recall_at_5"))
+  }
+
   /** SemDeDup under the oracle: the same k=8 / 1-refinement k-means
     * chain the ivf_ann oracle pins, then the within-cluster min-id kill
     * at the near-dup threshold the cosine battery uses
@@ -290,6 +314,7 @@ object VectorQueries extends QueryGroup {
     "near_dup_cosine_exact" -> (nearDupCosineExact _),
     "lsh_ann" -> (lshAnn _),
     "ivf_ann" -> (ivfAnn _),
+    "ann_recall_eval" -> (annRecallEval _),
     "semantic_dedup" -> (semanticDedup _),
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
@@ -511,6 +536,37 @@ object VectorQueries extends QueryGroup {
          |    ORDER BY cosine DESC, id) AS rank FROM scored) t
          |WHERE rank <= 5""".stripMargin
     },
+    // the ivf_ann chain at nprobe=1 and the sim_topk exact chain,
+    // joined on (qid, id); n_hit/5 is exactly representable so the
+    // recall double is bit-identical cross-engine
+    "ann_recall_eval" ->
+      s"""WITH $kmeansCte,
+         |probes AS (
+         |  SELECT qid, qv, cluster_id FROM (
+         |    SELECT q.id AS qid, q.v AS qv, ct.cluster_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY ${d2("q.v", "ct.c")}, ct.cluster_id) AS rn
+         |    FROM e q, cent ct WHERE q.id < 8) t WHERE rn <= 1),
+         |scored AS (
+         |  SELECT p.qid, a.id,
+         |    list_dot_product(p.qv, a.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+         |  FROM probes p JOIN a1 a ON p.cluster_id = a.cluster_id
+         |  WHERE p.qid != a.id),
+         |approx AS (SELECT qid, id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, id) AS r FROM scored) t WHERE r <= 5),
+         |ex AS (SELECT qid, id FROM (
+         |  SELECT q.id AS qid, c.id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |      list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |      c.id) AS r
+         |  FROM e q JOIN e c ON q.id < 8 AND q.id != c.id) t WHERE r <= 5)
+         |SELECT ex.qid, COUNT(a.qid) AS n_hit,
+         |  CAST(COUNT(a.qid) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall_at_5
+         |FROM ex LEFT JOIN approx a ON ex.qid = a.qid AND ex.id = a.id
+         |GROUP BY 1""".stripMargin,
     "lsh_ann" -> {
       // the exact integer mix behind Similarity.planeComponent, then the
       // same left-to-right dot products — bit-reproducible in DuckDB

@@ -3,8 +3,8 @@ package graft.runner.plugins
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bpe, Budget, Curriculum, Dsir, Ivf, KCore,
-  NgramLm, Outliers, PageRank, SemanticDedup, Similarity, TextStats,
-  Triangles}
+  NgramLm, Outliers, PageRank, SemanticDedup, Shard, Similarity,
+  TextStats, Triangles}
 import graft.runner._
 
 /** The round-6 curation/analytics operators as runner plugins (SURVEY
@@ -428,5 +428,35 @@ object EmbeddingAnnPlugin extends StepPlugin {
     StepResult(Map("index_path" -> indexPath,
       "n_indexed" -> index.count(),
       "n_clusters" -> index.select("cluster_id").distinct().count()) ++ extra)
+  }
+}
+
+/** `corpus_shard` — deterministic corpus shuffle/reshard
+  * ([[Shard]]): assign every row a shard (salted-hash bucket) and a
+  * replay position, then write one directory per shard with rows in
+  * replay order — the final training-data cut, one exchange total.
+  *
+  * Args: `input`, `output_path`; optional `num_shards` (default 16),
+  * `id_col` (doc_id), `assign_only` (true = write the flat assignment
+  * table instead of the sharded directory layout).
+  */
+object CorpusShardPlugin extends StepPlugin {
+  val name = "corpus_shard"
+
+  def run(ctx: StepContext): StepResult = {
+    val in = ctx.argStr("input")
+    val out = ctx.argStr("output_path")
+    val numShards = ctx.argOpt("num_shards").map(_.toString.toInt)
+      .getOrElse(16)
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val assigned =
+      Shard.assign(ctx.spark.read.parquet(in), col(idCol), numShards)
+    if (ctx.argBool("assign_only", default = false))
+      assigned.write.mode("overwrite").parquet(out)
+    else
+      Shard.writeSharded(assigned, out, numShards)
+    val res = ctx.spark.read.parquet(out)
+    StepResult(Map("output_path" -> out, "n_rows" -> res.count(),
+      "n_shards" -> res.select("shard").distinct().count()))
   }
 }

@@ -174,5 +174,5 @@ object DefaultRegistry {
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
     SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin,
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
-    TextTopicPairsPlugin, TextGroupSamplePlugin))
+    TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin))
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Shard (deterministic corpus shuffle): permutation integrity,
+  * partitioning-invariance, growth-stable relative order, balance, the
+  * single-exchange plan shape, and the sharded writer round-trip. */
+class ShardSpec extends SparkSpecBase {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+
+  test("assign: bijection — every id exactly once, per-shard positions " +
+    "contiguous from 1") {
+    val a = Shard.assign(docs, col("doc_id"), 8).cache()
+    val n = docs.count()
+    assert(a.count() == n)
+    assert(a.select("doc_id").distinct().count() == n)
+    // positions are exactly 1..count(shard) within each shard
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("lo"),
+        max("shard_pos").as("hi"),
+        countDistinct("shard_pos").as("nd"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+        col("nd") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    a.unpersist()
+  }
+
+  test("assign: identical output under different input partitionings " +
+    "and re-runs") {
+    val one = Shard.assign(docs.coalesce(1), col("doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val many = Shard.assign(docs.repartition(7), col("doc_id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(one == many)
+  }
+
+  test("assign: relative replay order is stable under corpus filtering") {
+    val full = Shard.assign(docs, col("doc_id"), 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos").as("full_pos"))
+    val sub = Shard.assign(docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), 8)
+      .select(col("doc_id"), col("shard_pos").as("sub_pos"))
+    // within each shard, the subset's order must be the full order
+    // restricted to surviving ids: sub_pos ascending <=> full_pos
+    // ascending (rank of full_pos among survivors == sub_pos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("full_pos")
+    val diverged = full.join(sub, "doc_id")
+      .withColumn("expect", row_number().over(w).cast("long"))
+      .filter(col("expect") =!= col("sub_pos"))
+    assert(diverged.isEmpty, diverged.collect().take(5).mkString(", "))
+  }
+
+  test("assign: shards are balanced on a uniform id range") {
+    val ids = spark.range(20000).toDF("doc_id")
+    val sizes = Shard.assign(ids, col("doc_id"), 8)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8)
+    assert(sizes.max <= sizes.min * 1.1,
+      s"skewed shards: ${sizes.toSeq.sorted}")
+  }
+
+  test("assign: null ids are excluded; plan is one hash exchange, " +
+    "never a global window") {
+    val withNull = docs.unionByName(
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id"))
+    val a = Shard.assign(withNull, col("doc_id"), 8)
+    assert(a.count() == docs.count())
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("writeSharded: one directory per shard, read-back equals the " +
+    "assignment, in-file rows in replay order") {
+    val a = Shard.assign(docs, col("doc_id"), 4)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Shard.writeSharded(a, dir, 4)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 4).map(i => s"shard=$i"))
+    val back = spark.read.parquet(dir)
+    assert(back.select(col("doc_id"), col("shard").cast("int"),
+        col("shard_pos")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      a.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    // physical order inside each shard's files is the replay order
+    val mono = back.select(col("shard"),
+        col("shard_pos"),
+        monotonically_increasing_id().as("file_order"))
+      .groupBy("shard")
+      .agg(max(col("file_order") - col("shard_pos")).as("hi"),
+        min(col("file_order") - col("shard_pos")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+    assert(mono.isEmpty,
+      "rows not in shard_pos order: " + mono.collect().mkString(", "))
+  }
+}

@@ -84,7 +84,7 @@ class ExamplesSpec extends SparkSpecBase {
   test("examples/training_cut.yml runs: scrub → dedup → decontaminate → " +
     "mixture → pack (the full assembly)") {
     val (work, res) = run("training_cut.yml")
-    assert(res.results.size == 6)
+    assert(res.results.size == 7)
     val scrub = res.results(0).fields
     // the corpus is digit-free, so real redaction counts are zero —
     // the step still rewrites the text column end to end
@@ -109,6 +109,10 @@ class ExamplesSpec extends SparkSpecBase {
     val pack = res.results(5).fields
     assert(pack("n_docs") == mix("n_out"), s"got $pack vs $mix")
     assert(pack("n_packs").asInstanceOf[Long] >= 1L)
+    // sharding covers the packed cut exactly, one directory per shard
+    val shards = res.results(6).fields
+    assert(shards("n_rows") == pack("n_docs"), s"got $shards vs $pack")
+    assert(shards("n_shards") == 4L, s"got $shards")
     import scala.jdk.CollectionConverters._
     val stream = Files.walk(work)
     try {
