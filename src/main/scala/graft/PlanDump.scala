@@ -75,7 +75,11 @@ object PlanDump {
     "topic_cooccurrence" -> ("Distinctive-term co-occurrence: basket " +
       "self-join keyed by doc id (fanout C(k,2) by construction), " +
       "vocabulary-sized basket-frequency joins, 1-row corpus count " +
-      "broadcast — the only condition-free join."))
+      "broadcast — the only condition-free join."),
+    "corpus_shuffle" -> ("Deterministic global shuffle: stateless " +
+      "salted-hash projection + ONE hash exchange on shard + " +
+      "in-partition sort for the replay position — never a global " +
+      "sort or single-partition window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * plan `write.partitionBy("shard")` + `sortWithinPartitions` needs, so
   * at 100 TB the shuffle IS the shard write — no extra pass, no driver
   * state, no TeraSort-style global range partition to balance.
+  *
+  * Sizing rule at scale: `numShards` must track DATA, not cores — each
+  * shard is sorted by one task, so choose S ≈ corpus_bytes /
+  * target_shard_bytes (1–4 GB per shard; 100 TB → S in the tens of
+  * thousands, within the 65536 cap). S is part of the permutation's
+  * identity (positions change with S), so version it with the cut.
   */
 object Shard {
 
