@@ -308,6 +308,32 @@ object StreamingQueries extends QueryGroup {
         (col("pos") + 1).cast("int").as("sample_rank"))
   }
 
+  /** Continuous-ingest dedup against a historical corpus
+    * ([[StreamOps.dedupAgainstCorpus]]): documents arrive as a file
+    * stream and pass only if their exact-text md5 is absent from the
+    * static fingerprint index (docs with doc_id % 7 = 0 play the
+    * already-ingested corpus). Stateless LEFT ANTI stream-static join —
+    * append mode, no state store — so the drained sink equals the batch
+    * anti-join verbatim; the corpus's real exact-dup texts make the
+    * filter bite beyond the carved slice itself. */
+  def streamCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_corpus_dedup")
+    val stage = root.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val ss = streamSession(spark)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val docs = StreamOps.fileStream(ss, stage.toString, schema)
+    val hist = ss.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+    val fresh = StreamOps.dedupAgainstCorpus(docs, hist)
+      .select("doc_id", "source")
+    StreamOps.toParquetSink(fresh, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Stream-STATIC enrichment join — the remaining join mode of the
     * streaming surface (stream-stream is `stream_interval_join`): each
     * arriving event joins the static customer dimension statelessly (no
@@ -437,6 +463,7 @@ object StreamingQueries extends QueryGroup {
     "stream_enrich_join" -> (streamEnrichJoin _),
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_group_sample" -> (streamGroupSample _),
+    "stream_corpus_dedup" -> (streamCorpusDedup _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
 
@@ -574,6 +601,13 @@ object StreamingQueries extends QueryGroup {
       // drained k-row sample state = the batch order-statistic cut,
       // verbatim (min-k of the salted hash is order-insensitive)
       "stream_group_sample" -> TextQueries.oracles("group_sample"),
+      // stateless anti-join: admission is a pure function of the text,
+      // so the drain equals the batch anti-join however it was batched
+      "stream_corpus_dedup" ->
+        """SELECT d.doc_id, d.source FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM documents h
+          |  WHERE h.doc_id % 7 = 0 AND md5(h.text) = md5(d.text))"""
+          .stripMargin,
       // final custom state per key = plain batch GROUP BY (exact
       // decimal sums on both sides, double cast at the end)
       "stream_running_totals" ->

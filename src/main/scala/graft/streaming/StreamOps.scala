@@ -146,6 +146,24 @@ object StreamOps {
       }.toDF(group, "n_seen", "ids")
   }
 
+  /** Stream-STATIC LEFT ANTI join — continuous-ingest dedup against a
+    * historical corpus: an arriving document is admitted only if its
+    * exact-text fingerprint (md5) is absent from the static fingerprint
+    * index. STATELESS append (no watermark, no state store — the
+    * remaining stream-static join mode next to the inner enrich join):
+    * the historical side folds to one row per distinct fingerprint
+    * before the join, so at ingest scale the per-micro-batch cost is a
+    * broadcast/shuffled equi-join against a table that is
+    * distinct-content-sized, not raw-corpus-sized. Admission is a pure
+    * function of the document text, so the drained output equals the
+    * batch anti-join bit-for-bit regardless of micro-batching. */
+  def dedupAgainstCorpus(stream: DataFrame, historical: DataFrame,
+                         textCol: String = "text"): DataFrame =
+    stream.withColumn("__fp", md5(col(textCol)))
+      .join(historical.select(md5(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Watermarked stream-stream interval join — the attribution shape:
     * pair each right-stream event with same-key left-stream events it
     * follows within `maxDelay` (e.g. purchase ≤ 1 h after click). Both

@@ -92,6 +92,40 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch sample diverge: ${streamed.diff(batch)}")
   }
 
+  test("dedupAgainstCorpus: multi-batch drain equals the batch " +
+    "anti-join; the plan is stateless (no state store)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hist = docs.filter(col("doc_id") % 7 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("cdedup_stream")
+    docs.repartition(2).write.parquet(s"$dir/in")
+    val stream = StreamOps.fileStream(spark, s"$dir/in", docs.schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val admitted = StreamOps.dedupAgainstCorpus(stream, hist)
+      .select("doc_id")
+    val q = admitted.writeStream.format("memory")
+      .queryName("cdedup_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    // stateless claim: no state-store operators reported
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps == null || stateOps.isEmpty,
+      s"expected stateless plan, got ${stateOps.mkString(",")}")
+    q.stop()
+    val streamed = spark.table("cdedup_out")
+      .collect().map(_.getLong(0)).toSet
+    val batch = docs.join(
+        hist.select(md5(col("text")).as("__fp")).distinct()
+          .withColumnRenamed("__fp", "fp"),
+        md5(docs("text")) === col("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"diverge: ${(streamed -- batch).take(5)} / ${(batch -- streamed).take(5)}")
+    // the filter bites, and not everything is dropped
+    assert(streamed.nonEmpty && streamed.size < docs.count())
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     val dup = eventsBatch.limit(100)
