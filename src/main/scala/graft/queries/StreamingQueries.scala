@@ -334,6 +334,39 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Stateless streaming IVF-index ingest
+    * ([[StreamOps.ivfIngest]]): embeddings arrive as a file stream and
+    * each is assigned to its nearest centroid of an index TRAINED ON
+    * THE HISTORICAL SLICE (even vec_ids) — the centroid set rides the
+    * plan as literals, so the query is a pure projection (no state, no
+    * stream-side shuffle). Assignment is a pure function of the
+    * vector, so the drain equals the batch assignment however the
+    * input was micro-batched; the oracle re-derives the train-slice
+    * k-means in SQL and assigns every vector against it. */
+  def streamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_ivf")
+    val stage = root.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      stage.resolve("embeddings.parquet"))
+    val ss = streamSession(spark)
+    val hist = ss.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
+    val cents = graft.operators.Ivf.train(hist, k = 8, iters = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val schema = Tables.load(spark, dir, "embeddings").schema
+    val vecs = StreamOps.fileStream(ss, stage.toString, schema)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
+    val assigned = StreamOps.ivfIngest(vecs, cents)
+    StreamOps.toParquetSink(assigned, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Stream-STATIC enrichment join — the remaining join mode of the
     * streaming surface (stream-stream is `stream_interval_join`): each
     * arriving event joins the static customer dimension statelessly (no
@@ -464,6 +497,7 @@ object StreamingQueries extends QueryGroup {
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_group_sample" -> (streamGroupSample _),
     "stream_corpus_dedup" -> (streamCorpusDedup _),
+    "stream_ivf_ingest" -> (streamIvfIngest _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
 
@@ -601,6 +635,40 @@ object StreamingQueries extends QueryGroup {
       // drained k-row sample state = the batch order-statistic cut,
       // verbatim (min-k of the salted hash is order-insensitive)
       "stream_group_sample" -> TextQueries.oracles("group_sample"),
+      // literal-centroid assignment = the batch train-slice k-means
+      // chain (the VectorQueries kmeans oracle form, trained on even
+      // vec_ids, assignment over ALL vectors)
+      "stream_ivf_ingest" -> {
+        def d2(a: String, b: String) =
+          s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
+            s" + list_dot_product($b, $b)"
+        val dsumV =
+          "CAST(CAST(SUM(CAST(CAST(v[i] AS VARCHAR) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |tr AS (SELECT * FROM e WHERE id % 2 = 0),
+           |init AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT)
+           |    AS cluster_id, v AS c
+           |  FROM (SELECT * FROM tr ORDER BY id LIMIT 8)),
+           |a0 AS (
+           |  SELECT id, v, cluster_id FROM (
+           |    SELECT tr.id, tr.v, i.cluster_id,
+           |      ROW_NUMBER() OVER (PARTITION BY tr.id
+           |        ORDER BY ${d2("tr.v", "i.c")}, i.cluster_id) AS rn
+           |    FROM tr, init i) t WHERE rn = 1),
+           |upd AS (
+           |  SELECT cluster_id, i AS pos, $dsumV / COUNT(*) AS m
+           |  FROM a0 CROSS JOIN unnest(range(1, len(v) + 1)) AS t(i)
+           |  GROUP BY 1, 2),
+           |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS c
+           |  FROM upd GROUP BY 1)
+           |SELECT id, cluster_id FROM (
+           |  SELECT e.id, ct.cluster_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.id
+           |      ORDER BY ${d2("e.v", "ct.c")}, ct.cluster_id) AS rn
+           |  FROM e, cent ct) t WHERE rn = 1""".stripMargin
+      },
       // stateless anti-join: admission is a pure function of the text,
       // so the drain equals the batch anti-join however it was batched
       "stream_corpus_dedup" ->

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
+import graft.functions.VectorFunctions
+
 /** Structured Streaming surface (SURVEY §2.9).
   *
   * The reference is batch-only with incremental re-run idioms
@@ -144,6 +146,38 @@ object StreamOps {
           state.update((n, samp))
           (g, n, samp.map(_._2))
       }.toDF(group, "n_seen", "ids")
+  }
+
+  /** Stateless streaming IVF-index ingest — assign each arriving
+    * vector to its nearest trained centroid, with the k-row centroid
+    * set folded into the plan as LITERALS (collected once at stream
+    * build): the assignment is a pure codegen projection — no state
+    * store, no stream-side shuffle, no per-batch join — the
+    * broadcast-as-constant degenerate case, and the only shape a
+    * per-event index maintainer can take at ingest scale (at 100
+    * TB/day the assigned stream lands `partitionBy(cluster_id)`, the
+    * same layout [[graft.operators.Ivf.writeIndex]] scan-prunes).
+    *
+    * Ranking is `least` over `(dist², cluster_id)` structs — Spark
+    * orders structs lexicographically, so ties break to the lowest
+    * cluster_id exactly like [[Ivf.assign]]'s window and the oracle's
+    * `ROW_NUMBER ... ORDER BY d2, cluster_id`. The literal `dot(c,c)`
+    * term is evaluated by the same codegen expression as the data-side
+    * dots, keeping cross-engine bit-parity machinery uniform. */
+  def ivfIngest(stream: DataFrame,
+                centroids: Array[(Int, Array[Double])],
+                id: String = "id", vec: String = "vec"): DataFrame = {
+    require(centroids.nonEmpty, "ivfIngest needs a trained centroid set")
+    val v = col(vec)
+    val scored = centroids.sortBy(_._1).map { case (cid, c) =>
+      val cl = typedLit(c.toSeq)
+      val d2 = VectorFunctions.dot(v, v) -
+        lit(2.0) * VectorFunctions.dot(v, cl) +
+        VectorFunctions.dot(cl, cl)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    stream.select(col(id),
+      least(scored: _*).getField("cid").as("cluster_id"))
   }
 
   /** Stream-STATIC LEFT ANTI join — continuous-ingest dedup against a

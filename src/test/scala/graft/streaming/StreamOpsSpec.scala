@@ -92,6 +92,41 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch sample diverge: ${streamed.diff(batch)}")
   }
 
+  test("ivfIngest: multi-batch drain equals batch Ivf.assign; " +
+    "stateless literal-centroid projection") {
+    import graft.operators.{Ivf, Similarity}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+    val centroids = Ivf.train(emb.filter(col("id") % 2 === 0), 8, 1)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream")
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    raw.repartition(2).write.parquet(s"$dir/in")
+    val stream = StreamOps.fileStream(spark, s"$dir/in", raw.schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+    val q = StreamOps.ivfIngest(stream, cents)
+      .writeStream.format("memory").queryName("ivf_ingest_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps == null || stateOps.isEmpty,
+      s"expected stateless plan, got ${stateOps.mkString(",")}")
+    q.stop()
+    val streamed = spark.table("ivf_ingest_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val batch = Ivf.assign(emb, centroids)
+      .select("id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamed == batch,
+      s"diverge on ${streamed.keySet.filter(k => streamed(k) != batch.get(k)).take(5)}")
+    assert(streamed.values.toSet.size > 1, "degenerate single cluster")
+  }
+
   test("dedupAgainstCorpus: multi-batch drain equals the batch " +
     "anti-join; the plan is stateless (no state store)") {
     import spark.implicits._
