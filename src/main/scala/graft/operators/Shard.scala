@@ -36,33 +36,47 @@ object Shard {
 
   private val salt = ":shard"
 
+  /** Epoch 0 keeps the bare salt (the oracle-pinned form); epoch e > 0
+    * appends `:e`, giving every training epoch its own independent
+    * permutation from the same id set. */
+  private def epochSalt(epoch: Int): String =
+    if (epoch == 0) salt else s"$salt:$epoch"
+
   /** The salted permutation key as a Column (shared with the oracle
     * SQL via md5's cross-engine bit-identity). */
-  def shardKey(id: Column): Column =
-    md5(concat(id.cast("string"), lit(salt)))
+  def shardKey(id: Column, epoch: Int = 0): Column =
+    md5(concat(id.cast("string"), lit(epochSalt(epoch))))
 
   /** Shard of an id: the first 4 hex digits of the salted md5 parsed
     * as an int (uniform over [0, 65536)) mod `numShards`. Exactly
     * uniform when `numShards` divides 65536; otherwise skewed by at
     * most numShards/65536 relative — negligible for practical S. */
-  def shardOf(id: Column, numShards: Int): Column =
-    (conv(substring(shardKey(id), 1, 4), 16, 10).cast("long")
+  def shardOf(id: Column, numShards: Int, epoch: Int = 0): Column =
+    (conv(substring(shardKey(id, epoch), 1, 4), 16, 10).cast("long")
       % numShards).cast("int")
 
   /** rows + `(shard INT, shard_pos BIGINT)`; `shard_pos` is the row's
     * 1-based position in its shard's hash order (ties on the 128-bit
     * key are impossible in practice but broken by id for determinism).
     *
+    * `epoch` re-keys the whole permutation: multi-epoch training wants
+    * a DIFFERENT deterministic order each pass, and salting the hash
+    * with the epoch gives exactly that — same rows, same shard balance
+    * law, independent order — while epoch 0 remains the pinned
+    * default.
+    *
     * NULL ids are EXCLUDED (the [[Sample]] rule: a row that cannot be
     * re-identified cannot hold a reproducible position); callers that
     * must keep them should assign surrogate ids first.
     */
-  def assign(df: DataFrame, id: Column, numShards: Int): DataFrame = {
+  def assign(df: DataFrame, id: Column, numShards: Int,
+             epoch: Int = 0): DataFrame = {
     require(numShards > 0 && numShards <= 65536,
       s"numShards must be in [1, 65536], got $numShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     df.filter(id.isNotNull)
-      .withColumn("__shkey", shardKey(id))
-      .withColumn("shard", shardOf(id, numShards))
+      .withColumn("__shkey", shardKey(id, epoch))
+      .withColumn("shard", shardOf(id, numShards, epoch))
       .withColumn("shard_pos",
         row_number().over(
           Window.partitionBy("shard").orderBy(col("__shkey"), id))

@@ -437,7 +437,8 @@ object EmbeddingAnnPlugin extends StepPlugin {
   * replay order — the final training-data cut, one exchange total.
   *
   * Args: `input`, `output_path`; optional `num_shards` (default 16),
-  * `id_col` (doc_id), `assign_only` (true = write the flat assignment
+  * `id_col` (doc_id), `epoch` (default 0 — re-keys the permutation per
+  * training epoch), `assign_only` (true = write the flat assignment
   * table instead of the sharded directory layout).
   */
 object CorpusShardPlugin extends StepPlugin {
@@ -449,8 +450,10 @@ object CorpusShardPlugin extends StepPlugin {
     val numShards = ctx.argOpt("num_shards").map(_.toString.toInt)
       .getOrElse(16)
     val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val epoch = ctx.argOpt("epoch").map(_.toString.toInt).getOrElse(0)
     val assigned =
-      Shard.assign(ctx.spark.read.parquet(in), col(idCol), numShards)
+      Shard.assign(ctx.spark.read.parquet(in), col(idCol), numShards,
+        epoch)
     if (ctx.argBool("assign_only", default = false))
       assigned.write.mode("overwrite").parquet(out)
     else

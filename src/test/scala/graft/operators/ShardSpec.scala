@@ -74,6 +74,26 @@ class ShardSpec extends SparkSpecBase {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("assign: epochs are independent permutations over the same row " +
+    "set (epoch 0 = the pinned default)") {
+    val e0 = Shard.assign(docs, col("doc_id"), 8)
+    val e0b = Shard.assign(docs, col("doc_id"), 8, epoch = 0)
+    val e1 = Shard.assign(docs, col("doc_id"), 8, epoch = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(e0) == rows(e0b))
+    val r0 = rows(e0); val r1 = rows(e1)
+    // same ids, same per-shard position law...
+    assert(r0.map(_._1) == r1.map(_._1))
+    assert(r0.groupBy(_._2).view.mapValues(_.size).toMap.values.sum ==
+      r1.groupBy(_._2).view.mapValues(_.size).toMap.values.sum)
+    // ...but a genuinely different permutation
+    assert(r0 != r1, "epoch 1 must re-key the permutation")
+    val p1 = r1.map(t => t._1 -> ((t._2, t._3))).toMap
+    val moved = r0.count(t => p1(t._1) != ((t._2, t._3)))
+    assert(moved > docs.count() / 2, s"only $moved rows moved across epochs")
+  }
+
   test("writeSharded: one directory per shard, read-back equals the " +
     "assignment, in-file rows in replay order") {
     val a = Shard.assign(docs, col("doc_id"), 4)
