@@ -44,7 +44,9 @@ class DeterminismSpec extends SparkSpecBase {
     "leakage_safe_split" -> "md5 split keyed on cluster representative",
     "weighted_sample" -> "in-row Bernoulli md5 threshold",
     "topic_cooccurrence" -> "exact-integer lift division",
-    "group_sample" -> "salted-hash order statistic rank")
+    "group_sample" -> "salted-hash order statistic rank",
+    "corpus_shuffle" -> "salted-hash permutation + partitioned rank",
+    "ann_recall_eval" -> "IVF vs exact top-k set intersection")
 
   private def rows(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted
