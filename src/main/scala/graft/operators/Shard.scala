@@ -96,6 +96,17 @@ object Shard {
       .sortWithinPartitions("shard", "shard_pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Per-shard trainer manifest over an [[assign]]-ed corpus: doc,
+    * token and char totals per shard — the sidecar every training job
+    * reads to size epochs/steps before touching data. One map-side-
+    * combinable aggregate keyed by the (bounded) shard id. */
+  def manifest(assigned: DataFrame, tokens: Column,
+               chars: Column): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"),
+        sum(chars.cast("long")).as("n_chars"))
+
   /** The shard expression as DuckDB SQL over `idExpr`, for oracles —
     * strpos-arithmetic hex parse (DuckDB has no `conv`), value-equal
     * to [[shardOf]]. */

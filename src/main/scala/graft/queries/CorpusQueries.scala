@@ -179,7 +179,35 @@ object CorpusQueries extends QueryGroup {
       Tables.documents(spark, dir).select("doc_id"),
       col("doc_id"), numShards = 8)
 
+  /** Corpus snapshot diff under the oracle ([[graft.operators
+    * .CorpusDiff]]): "old" is the table minus ids ≡1 (mod 5) with a
+    * draft suffix on ids ≡0 (mod 7); "new" is the table minus ids ≡4
+    * (mod 5) — so added / removed / changed / unchanged all occur and
+    * every status is a pure function of doc_id. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val old = d.filter(col("doc_id") % 5 =!= 1)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [draft]")))
+          .otherwise(col("text")))
+    val neu = d.filter(col("doc_id") % 5 =!= 4)
+    graft.operators.CorpusDiff.diff(old, neu, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Per-shard trainer manifest ([[graft.operators.Shard.manifest]])
+    * over the corpus_shuffle assignment: docs / whitespace tokens /
+    * chars per shard — one bounded-key map-side-combinable aggregate. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Shard.manifest(
+      graft.operators.Shard.assign(d, col("doc_id"), numShards = 8),
+      size(split(trim(lower(col("text"))), "\\s+")), col("n_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diff" -> (corpusDiff _),
+    "shard_manifest" -> (shardManifest _),
     "corpus_shuffle" -> (corpusShuffle _),
     "zorder_key" -> (zorderKey _),
     "bm25_topk" -> (bm25TopK _),
@@ -256,6 +284,31 @@ object CorpusQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // fingerprints compared, never texts; status is id-derivable
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' [draft]' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 != 1),
+        |n AS (SELECT doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 5 != 4)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp != n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "shard_manifest" ->
+      s"""WITH s AS (
+         |  SELECT ${graft.operators.Shard.sqlShard("doc_id", 8)} AS shard,
+         |    len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS n_tok,
+         |    n_chars
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM s GROUP BY 1""".stripMargin,
     // the permutation key is the salted md5 itself (bit-identical
     // cross-engine); shard = first-4-hex-digits % 8 via Shard.sqlShard
     "corpus_shuffle" ->
