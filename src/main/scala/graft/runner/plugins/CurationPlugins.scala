@@ -463,3 +463,32 @@ object CorpusShardPlugin extends StepPlugin {
       "n_shards" -> res.select("shard").distinct().count()))
   }
 }
+
+/** `corpus_diff` — snapshot diff between two document tables
+  * ([[graft.operators.CorpusDiff.diff]]): one row per id with status
+  * added / removed / changed / unchanged — the audit that turns a full
+  * corpus refresh into an incremental one.
+  *
+  * Args: `old_input`, `new_input`, `output_path`; optional `id_col`
+  * (doc_id), `text_col` (text).
+  */
+object CorpusDiffPlugin extends StepPlugin {
+  val name = "corpus_diff"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    graft.operators.CorpusDiff.diff(
+        ctx.spark.read.parquet(ctx.argStr("old_input")),
+        ctx.spark.read.parquet(ctx.argStr("new_input")),
+        col(idCol), col(textCol))
+      .withColumnRenamed("id", idCol)
+      .write.mode("overwrite").parquet(out)
+    val res = ctx.spark.read.parquet(out)
+    def n(s: String) = res.filter(col("status") === s).count()
+    StepResult(Map("output_path" -> out, "n_total" -> res.count(),
+      "n_added" -> n("added"), "n_removed" -> n("removed"),
+      "n_changed" -> n("changed"), "n_unchanged" -> n("unchanged")))
+  }
+}

@@ -174,5 +174,6 @@ object DefaultRegistry {
     EventFunnelPlugin, EventRetentionPlugin, EventScd2Plugin,
     SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin,
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
-    TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin))
+    TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
+    CorpusDiffPlugin))
 }

@@ -56,6 +56,27 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("examples/corpus_refresh.yml runs: diff -> delta -> shards " +
+    "(the incremental-refresh flow)") {
+    val (_, res) = run("corpus_refresh.yml")
+    assert(res.results.size == 5)
+    val diff = res.results(2).fields
+    // ids ≡1 (mod 5): added; ≡4 (mod 5): removed; ≡0 (mod 7) surviving
+    // both carves: changed — all four statuses must occur
+    assert(diff("n_added").asInstanceOf[Long] > 0L, s"got $diff")
+    assert(diff("n_removed").asInstanceOf[Long] > 0L, s"got $diff")
+    assert(diff("n_changed").asInstanceOf[Long] > 0L, s"got $diff")
+    assert(diff("n_unchanged").asInstanceOf[Long] > 0L, s"got $diff")
+    assert(diff("n_total") == diff("n_added").asInstanceOf[Long] +
+      diff("n_removed").asInstanceOf[Long] +
+      diff("n_changed").asInstanceOf[Long] +
+      diff("n_unchanged").asInstanceOf[Long])
+    // the delta re-shards only added+changed
+    val shards = res.results(4).fields
+    assert(shards("n_rows") == diff("n_added").asInstanceOf[Long] +
+      diff("n_changed").asInstanceOf[Long], s"got $shards vs $diff")
+  }
+
   test("examples/corpus_audit.yml runs: span audit, term index, publish") {
     val (work, res) = run("corpus_audit.yml")
     assert(res.results.size == 4)
