@@ -79,7 +79,13 @@ object PlanDump {
     "corpus_shuffle" -> ("Deterministic global shuffle: stateless " +
       "salted-hash projection + ONE hash exchange on shard + " +
       "in-partition sort for the replay position — never a global " +
-      "sort or single-partition window."))
+      "sort or single-partition window."),
+    "corpus_diff" -> ("Snapshot diff: both sides fold to (id, md5) " +
+      "BEFORE the full-outer join — fingerprints shuffle, texts never " +
+      "leave their scan."),
+    "shard_manifest" -> ("Trainer manifest: bounded-key hash aggregate " +
+      "with map-side partials — the shard exchange carries " +
+      "numShards rows per task, not the corpus."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
