@@ -334,6 +334,42 @@ object StreamingQueries extends QueryGroup {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Incremental shard manifest ([[graft.operators.Shard]] columns
+    * under a streaming aggregate): as documents arrive, the per-shard
+    * doc/token/char totals stay current in numShards rows of state —
+    * the trainer sidecar maintained DURING ingest instead of recomputed
+    * after. Sums/counts are order-insensitive and the shard key is
+    * stateless, so the drained final state equals the batch
+    * [[CorpusQueries.shardManifest]] bit-for-bit (same oracle verbatim);
+    * Update-mode drain recovered via the monotone-n_docs struct max. */
+  def streamShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_manifest")
+    val stage = root.resolve("in")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val ss = streamSession(spark)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val docs = StreamOps.fileStream(ss, stage.toString, schema)
+    val agg = docs.filter(col("doc_id").isNotNull)
+      .select(
+        graft.operators.Shard.shardOf(col("doc_id"), 8).as("shard"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tok"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    StreamOps.toParquetSinkUpdates(agg, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+      .groupBy("shard")
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("n_chars")))
+        .as("m"))
+      .select(col("shard"), col("m.n_docs").as("n_docs"),
+        col("m.n_tokens").as("n_tokens"), col("m.n_chars").as("n_chars"))
+  }
+
   /** Stateless streaming IVF-index ingest
     * ([[StreamOps.ivfIngest]]): embeddings arrive as a file stream and
     * each is assigned to its nearest centroid of an index TRAINED ON
@@ -498,6 +534,7 @@ object StreamingQueries extends QueryGroup {
     "stream_group_sample" -> (streamGroupSample _),
     "stream_corpus_dedup" -> (streamCorpusDedup _),
     "stream_ivf_ingest" -> (streamIvfIngest _),
+    "stream_shard_manifest" -> (streamShardManifest _),
     "stream_threshold_alerts" -> (streamThresholdAlerts _),
     "stream_cdc_merge" -> (streamCdcMerge _))
 
@@ -635,6 +672,9 @@ object StreamingQueries extends QueryGroup {
       // drained k-row sample state = the batch order-statistic cut,
       // verbatim (min-k of the salted hash is order-insensitive)
       "stream_group_sample" -> TextQueries.oracles("group_sample"),
+      // order-insensitive sums in bounded (numShards-row) state:
+      // drained final state = the batch manifest, same oracle verbatim
+      "stream_shard_manifest" -> CorpusQueries.oracles("shard_manifest"),
       // literal-centroid assignment = the batch train-slice k-means
       // chain (the VectorQueries kmeans oracle form, trained on even
       // vec_ids, assignment over ALL vectors)

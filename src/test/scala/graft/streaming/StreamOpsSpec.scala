@@ -92,6 +92,38 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch sample diverge: ${streamed.diff(batch)}")
   }
 
+  test("streaming shard manifest: multi-batch state merge equals the " +
+    "batch manifest (bounded numShards-row state)") {
+    import graft.operators.Shard
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("manifest_stream")
+    docs.repartition(2).write.parquet(s"$dir/in")
+    val stream = StreamOps.fileStream(spark, s"$dir/in", docs.schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    def manifestOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_id").isNotNull)
+      .select(Shard.shardOf(col("doc_id"), 8).as("shard"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tok"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val drained = StreamOps.runToMemory(manifestOf(stream),
+      "manifest_out", org.apache.spark.sql.streaming.OutputMode.Update)
+    val streamed = drained.groupBy("shard")
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("n_chars")))
+        .as("m"))
+      .select(col("shard"), col("m.n_docs"), col("m.n_tokens"),
+        col("m.n_chars"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = manifestOf(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"diverge: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+  }
+
   test("ivfIngest: multi-batch drain equals batch Ivf.assign; " +
     "stateless literal-centroid projection") {
     import graft.operators.{Ivf, Similarity}
