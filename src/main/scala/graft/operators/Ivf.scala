@@ -31,11 +31,22 @@ object Ivf {
       VectorFunctions.dot(b, b)
   }
 
+  /** Hard ceiling on k: [[localize]] collects the centroid table to the
+    * driver once per training iteration, and the downstream `assign` /
+    * `searchTopK` broadcast it — both are safe ONLY while the table is
+    * driver-sized. 65536 centroids × a 4096-dim double vector is ~2 GB,
+    * the practical broadcast limit; real IVF indexes sit at k ≈ √N
+    * (1 B vectors → ~32k clusters), comfortably inside. Anything larger
+    * is a different index design (hierarchical/sharded centroids), not
+    * a bigger collect. */
+  val MaxK = 65536
+
   /** Materialize a k-row centroid plan as a LocalRelation: one job, then
     * every downstream broadcast/reuse is instant — no persist+count
     * chains, no recompute when the centroids feed several joins. The
-    * collect is CONSTANT-size (k rows, k ≪ corpus), the same driver-side
-    * footprint any broadcast of them would have. */
+    * collect is CONSTANT-size (k rows, k ≤ [[MaxK]] ≪ corpus — enforced
+    * in [[train]]), the same driver-side footprint any broadcast of
+    * them would have. */
   private def localize(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
@@ -44,6 +55,10 @@ object Ivf {
   /** @param corpus (id LONG, vec ARRAY<DOUBLE>); returns
     * (cluster_id INT, centroid ARRAY<DOUBLE>). */
   def train(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1 && k <= MaxK,
+      s"k must be in [1, $MaxK] (the centroid table is collected to " +
+        s"the driver once per iteration and broadcast by consumers — " +
+        s"it must stay driver-sized), got $k")
     // seed: first k vectors by id — left as a SUBPLAN, not collected:
     // the first refinement's assignment broadcasts it inside its own
     // job, so train pays ONE driver barrier per iteration (the updated

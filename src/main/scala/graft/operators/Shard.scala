@@ -55,6 +55,32 @@ object Shard {
     (conv(substring(shardKey(id, epoch), 1, 4), 16, 10).cast("long")
       % numShards).cast("int")
 
+  /** Shared single-exchange assignment plan, `__shkey` still attached.
+    *
+    * The `repartition(numShards, shard)` sits BEFORE the window on
+    * purpose: it is the plan's ONLY exchange. The window's required
+    * distribution (clustered by `shard`) is satisfied by
+    * `hashpartitioning(shard, numShards)`, so EnsureRequirements adds
+    * no second shuffle, and the writer inherits shard co-location for
+    * free. Partition→shard packing is `murmur3(shard) % numShards`, so
+    * a task may hold 2+ shards while another holds none — balls-in-bins
+    * skew, max load O(log S / log log S) shards per task, NOT data
+    * skew at the 1–4 GB/shard sizing rule. */
+  private def assignKeyed(df: DataFrame, id: Column, numShards: Int,
+                          epoch: Int): DataFrame = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards must be in [1, 65536], got $numShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    df.filter(id.isNotNull)
+      .withColumn("__shkey", shardKey(id, epoch))
+      .withColumn("shard", shardOf(id, numShards, epoch))
+      .repartition(numShards, col("shard"))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy(col("__shkey"), id))
+          .cast("long"))
+  }
+
   /** rows + `(shard INT, shard_pos BIGINT)`; `shard_pos` is the row's
     * 1-based position in its shard's hash order (ties on the 128-bit
     * key are impossible in practice but broken by id for determinism).
@@ -70,30 +96,34 @@ object Shard {
     * must keep them should assign surrogate ids first.
     */
   def assign(df: DataFrame, id: Column, numShards: Int,
-             epoch: Int = 0): DataFrame = {
-    require(numShards > 0 && numShards <= 65536,
-      s"numShards must be in [1, 65536], got $numShards")
-    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
-    df.filter(id.isNotNull)
-      .withColumn("__shkey", shardKey(id, epoch))
-      .withColumn("shard", shardOf(id, numShards, epoch))
-      .withColumn("shard_pos",
-        row_number().over(
-          Window.partitionBy("shard").orderBy(col("__shkey"), id))
-          .cast("long"))
-      .drop("__shkey")
-  }
+             epoch: Int = 0): DataFrame =
+    assignKeyed(df, id, numShards, epoch).drop("__shkey")
 
-  /** Write the assigned corpus as physical shards: one directory per
-    * `shard`, rows inside each file in `shard_pos` order. Reuses the
-    * single exchange [[assign]] already planned — `repartition(shard)`
-    * co-locates each shard, `sortWithinPartitions` realizes the replay
-    * order on disk. */
-  def writeSharded(assigned: DataFrame, path: String,
-                   numShards: Int): Unit =
-    assigned
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions("shard", "shard_pos")
+  /** The pre-write plan [[writeSharded]] executes — exposed (package-
+    * private) so PlanShapeSpec can pin its shape: exactly ONE exchange,
+    * no global sort. The trailing `sortWithinPartitions` re-states the
+    * window's output order in the columns the writer needs; it is
+    * removed as redundant (physical RemoveRedundantSorts: the window's
+    * `(shard, __shkey, id)` ordering prefixes it) and exists so the
+    * on-disk replay order is CONTRACT, not an accident of WindowExec's
+    * order preservation. */
+  private[graft] def shardedForWrite(df: DataFrame, id: Column,
+                                     numShards: Int,
+                                     epoch: Int): DataFrame =
+    assignKeyed(df, id, numShards, epoch)
+      .sortWithinPartitions("shard", "__shkey")
+      .drop("__shkey")
+
+  /** Write `df` as physical shards: one directory per `shard`, rows
+    * inside each file in `shard_pos` (replay) order. Plans assignment
+    * and write as ONE query with ONE exchange — the shuffle IS the
+    * shard write (pinned in PlanShapeSpec): [[assignKeyed]] already
+    * hash-partitions by `shard` into `numShards` tasks, so the
+    * partitioned writer opens each shard's files over already-sorted,
+    * co-located rows. */
+  def writeSharded(df: DataFrame, id: Column, numShards: Int,
+                   path: String, epoch: Int = 0): Unit =
+    shardedForWrite(df, id, numShards, epoch)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Per-shard trainer manifest over an [[assign]]-ed corpus: doc,
@@ -109,9 +139,11 @@ object Shard {
 
   /** The shard expression as DuckDB SQL over `idExpr`, for oracles —
     * strpos-arithmetic hex parse (DuckDB has no `conv`), value-equal
-    * to [[shardOf]]. */
-  def sqlShard(idExpr: String, numShards: Int): String = {
-    val hx = s"md5(CAST($idExpr AS VARCHAR) || '$salt')"
+    * to [[shardOf]]. `epoch` mirrors [[epochSalt]] (default 0, the
+    * bare salt) so an oracle over an epoch>0 cut states its epoch at
+    * the call site instead of silently checking epoch 0. */
+  def sqlShard(idExpr: String, numShards: Int, epoch: Int = 0): String = {
+    val hx = s"md5(CAST($idExpr AS VARCHAR) || '${epochSalt(epoch)}')"
     val terms = (1 to 4).map { i =>
       val w = 1 << (4 * (4 - i))
       s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $w"

@@ -295,7 +295,7 @@ object CorpusQueries extends QueryGroup {
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.fp != n.fp THEN 'changed'
+        |       WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "shard_manifest" ->

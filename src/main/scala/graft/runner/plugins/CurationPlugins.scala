@@ -451,13 +451,12 @@ object CorpusShardPlugin extends StepPlugin {
       .getOrElse(16)
     val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
     val epoch = ctx.argOpt("epoch").map(_.toString.toInt).getOrElse(0)
-    val assigned =
-      Shard.assign(ctx.spark.read.parquet(in), col(idCol), numShards,
-        epoch)
+    val source = ctx.spark.read.parquet(in)
     if (ctx.argBool("assign_only", default = false))
-      assigned.write.mode("overwrite").parquet(out)
+      Shard.assign(source, col(idCol), numShards, epoch)
+        .write.mode("overwrite").parquet(out)
     else
-      Shard.writeSharded(assigned, out, numShards)
+      Shard.writeSharded(source, col(idCol), numShards, out, epoch)
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_rows" -> res.count(),
       "n_shards" -> res.select("shard").distinct().count()))

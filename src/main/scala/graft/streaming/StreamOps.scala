@@ -176,8 +176,11 @@ object StreamOps {
         VectorFunctions.dot(cl, cl)
       struct(d2.as("d2"), lit(cid).as("cid"))
     }
-    stream.select(col(id),
-      least(scored: _*).getField("cid").as("cluster_id"))
+    // least() requires >= 2 args; a 1-centroid index is legal (every
+    // row lands in that cluster), so route around the AnalysisException
+    val nearest =
+      if (scored.length == 1) scored.head else least(scored: _*)
+    stream.select(col(id), nearest.getField("cid").as("cluster_id"))
   }
 
   /** Stream-STATIC LEFT ANTI join — continuous-ingest dedup against a

@@ -928,4 +928,45 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(keys.nonEmpty && keys.forall(k =>
       k.contains("user_id") || k.contains("cohort_day")), keys.mkString("\n"))
   }
+
+  test("shard write: assignment + replay sort + write plan exactly ONE " +
+    "exchange and no global sort — the shuffle IS the shard write") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val pre = operators.Shard.shardedForWrite(docs, col("doc_id"),
+      numShards = 8, epoch = 0)
+    val p = plan(pre)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"shard write must be a single shuffle, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one exchange must key on shard:\n${p.take(3000)}")
+    // a global sort would surface as rangepartitioning (TeraSort shape)
+    // or a single-partition collapse — both are the plans this operator
+    // exists to avoid at 100 TB
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"),
+      s"global sort leaked into the shard path:\n${p.take(3000)}")
+    // exactly the window's local sort survives: the explicit
+    // sortWithinPartitions restating the replay order is removed as
+    // redundant (its (shard, __shkey) prefix is the window's ordering)
+    val sorts = "(?m)^\\s*[+:]?- Sort ".r.findAllIn(p).size
+    assert(sorts == 1,
+      s"replay-order sort must fold into the window's, got $sorts:\n${p.take(3000)}")
+  }
+
+  test("corpus_diff: both snapshot sides fold to (id, fingerprint, " +
+    "presence) BEFORE the full-outer join — no text column is shuffled") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = queries.CorpusQueries.corpusDiff(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "diff must be a join")
+    val allowed = Set("id", "__fp_old", "__fp_new", "__in_old", "__in_new")
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val out = side.output.map(_.name)
+        assert(out.forall(allowed), s"join side ships more than the " +
+          s"32-byte fingerprint tuple: $out\n$j")
+      }
+    }
+  }
 }

@@ -23,6 +23,27 @@ class CorpusDiffSpec extends SparkSpecBase {
       3L -> "removed", 4L -> "added"), got.toString)
   }
 
+  test("diff: NULL text is content, not absence — presence comes from " +
+    "the row, change from a null-safe fingerprint compare") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Option("was text")), // text -> NULL        = changed
+      (2L, None: Option[String]), // NULL -> text      = changed
+      (3L, None: Option[String]), // NULL -> NULL      = unchanged
+      (4L, None: Option[String]) // NULL-text removed  = removed
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, None: Option[String]),
+      (2L, Option("now text")),
+      (3L, None: Option[String]),
+      (5L, None: Option[String]) // NULL-text added    = added
+    ).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(old, neu, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"), got.toString)
+  }
+
   test("diff: equal text in different physical order is unchanged") {
     import spark.implicits._
     val old = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")

@@ -24,6 +24,19 @@ class IvfSpec extends SparkSpecBase {
       .getLong(0) > 1) // not degenerate
   }
 
+  test("train enforces the driver-size k ceiling (centroids are " +
+    "collected per iteration and broadcast downstream)") {
+    val e = intercept[IllegalArgumentException] {
+      Ivf.train(corpus, k = Ivf.MaxK + 1)
+    }
+    assert(e.getMessage.contains("driver-sized"), e.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      Ivf.train(corpus, k = 0)
+    }.getMessage.contains("must be in [1,"))
+    // the floor of the legal range is genuinely usable
+    assert(Ivf.train(corpus.limit(16), k = 1, iters = 1).count() == 1)
+  }
+
   test("IVF search recall vs brute force is substantial and exact@nprobe=k") {
     val centroids = Ivf.train(corpus, k = 8, iters = 2)
     val assigned = Ivf.assign(corpus, centroids)

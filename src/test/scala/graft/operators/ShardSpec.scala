@@ -94,11 +94,35 @@ class ShardSpec extends SparkSpecBase {
     assert(moved > docs.count() / 2, s"only $moved rows moved across epochs")
   }
 
+  test("sqlShard: DuckDB evaluation matches shardOf for epoch 0 AND " +
+    "epoch > 0 (an epoch-2 oracle checks the epoch-2 cut, not epoch 0)") {
+    import spark.implicits._
+    for (epoch <- Seq(0, 2)) {
+      val mine = Shard.assign(spark.range(0, 1000).toDF("doc_id"),
+          col("doc_id"), 8, epoch)
+        .select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+      try {
+        val rs = con.createStatement().executeQuery(
+          s"SELECT i, ${Shard.sqlShard("i", 8, epoch)} FROM range(0, 1000) t(i)")
+        val duck = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => r.getLong(1) -> r.getInt(2)).toMap
+        assert(duck == mine, s"epoch $epoch: engines disagree on " +
+          s"${mine.keys.filter(k => mine(k) != duck(k)).take(5)}")
+      } finally con.close()
+    }
+    // and the two epochs are genuinely different assignments
+    val s0 = Shard.sqlShard("i", 8)
+    val s2 = Shard.sqlShard("i", 8, epoch = 2)
+    assert(s0 != s2 && s2.contains(":shard:2"), s2)
+  }
+
   test("writeSharded: one directory per shard, read-back equals the " +
     "assignment, in-file rows in replay order") {
     val a = Shard.assign(docs, col("doc_id"), 4)
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
-    Shard.writeSharded(a, dir, 4)
+    Shard.writeSharded(docs, col("doc_id"), 4, dir)
     val dirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
     assert(dirs.toSeq == (0 until 4).map(i => s"shard=$i"))

@@ -159,6 +159,27 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed.values.toSet.size > 1, "degenerate single cluster")
   }
 
+  test("ivfIngest: a 1-centroid index is legal — every row routes to " +
+    "that cluster (no least() arity trap)") {
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet").limit(32)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_one")
+    raw.write.parquet(s"$dir/in")
+    val stream = StreamOps.fileStream(spark, s"$dir/in", raw.schema)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
+    val one = Array(7 -> Array.fill(64)(0.0))
+    val q = StreamOps.ivfIngest(stream, one)
+      .writeStream.format("memory").queryName("ivf_one_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ivf_one_out")
+    assert(out.count() == 32)
+    assert(out.select("cluster_id").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("dedupAgainstCorpus: multi-batch drain equals the batch " +
     "anti-join; the plan is stateless (no state store)") {
     import spark.implicits._

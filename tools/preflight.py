@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's correctness gate.
 
-Usage: python3 tools/preflight.py <sfDir> <verifyOutDir>
+Usage: python3 tools/preflight.py <sfDir> <verifyOutDir> [q1,q2,...]
 
 Reads each <verifyOutDir>/<name>/ parquet result produced by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB (tables = views over
@@ -9,9 +9,15 @@ runs the matching SQL from oracle_sql.json in DuckDB (tables = views over
 values (rows sorted, columns sorted by name). Reports exact equality and,
 for float columns, the max abs diff so near-misses are visible.
 
+A missing result dir is a FAILURE (a query that crashed before writing, or
+an oracle/result name mismatch, must not pass the gate silently). It only
+counts as "not run" when a subset is explicitly signaled — the optional
+third argument or the SPARK_GRAFT_ONLY env var names the queries that were
+actually run, and only queries OUTSIDE that set may be absent.
+
 This is builder-side tooling only — the engine library has no Python.
 """
-import json, math, sys
+import json, math, os, sys
 from pathlib import Path
 
 import duckdb
@@ -33,20 +39,29 @@ def sort_key(row):
     return tuple((v is None, str(type(v)), repr(v)) for v in row)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    only = only or os.environ.get("SPARK_GRAFT_ONLY")
+    ran = ({q.strip() for q in only.split(",") if q.strip()}
+           if only else None)
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
-            # subset runs (SPARK_GRAFT_ONLY) legitimately omit queries;
-            # a missing dir is "not run", not "failed"
-            n_skip += 1
+            if ran is not None and name not in ran:
+                # explicitly-signaled subset run: queries outside the
+                # subset were legitimately not run
+                n_skip += 1
+                continue
+            # FULL-battery run (or a named query missing its dir): a
+            # query that crashed before writing must fail the gate
+            print(f"FAIL {name}: no result dir {res_dir}")
+            n_fail += 1
             continue
         try:
             mine = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
@@ -95,4 +110,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
