@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * the complete plan including every output column, with zero sink cost.
   * A warmup pass (flagship query) absorbs one-time JIT/codegen/session
   * costs so per-query numbers reflect steady-state execution.
+  *
+  * The artifact is SELF-CALIBRATING: after the Spark passes it times the
+  * identical oracle SQL battery through the vendored jdbc:duckdb driver
+  * in the same process/window and emits `duck_sequential_total_sec` plus
+  * the spark/duck ratios — window contention inflates both engines
+  * together, so the ratio stays comparable across rounds even when the
+  * box is loaded. Set SPARK_GRAFT_SKIP_DUCK=1 to omit the pairing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -114,7 +121,56 @@ object Bench {
     val seqT0 = System.nanoTime()
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
-    val fullJson = s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)},"sf":"$sfDir"}"""
+    // ---- in-window DuckDB pairing (the self-calibrating baseline) ----
+    // Cross-window wall-clock ratios on a shared box are ±40% noise
+    // (BASELINE.md measurement rules), so the only DuckDB number
+    // comparable to the Spark passes above is one taken HERE, in the
+    // same process, immediately after. The vendored jdbc:duckdb driver
+    // runs the IDENTICAL oracle SQL (SparkEntry.oracleSql — the same
+    // battery the driver's correctness gate executes) over views on the
+    // same parquet files, sequentially, rows fully fetched (DuckDB's
+    // analog of the noop sink). duck_seq beside sequential_total_sec
+    // makes every bench artifact self-normalizing: contention inflates
+    // both engines together and the ratio survives.
+    val duck: Option[(Double, Map[String, Double], Int)] =
+      if (sys.env.get("SPARK_GRAFT_SKIP_DUCK").exists(_ == "1")) None
+      else try {
+        val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+        try {
+          val st = con.createStatement()
+          graft.Tables.names.foreach { t =>
+            val p = new java.io.File(s"$sfDir/$t.parquet")
+            if (p.exists()) st.execute(
+              s"CREATE VIEW $t AS SELECT * FROM read_parquet('${p.getAbsolutePath}')")
+          }
+          val oracleTasks = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+            .filter { case (name, _) => only.forall(_.contains(name)) }
+          var errs = 0
+          val t0 = System.nanoTime()
+          val times = oracleTasks.map { case (name, sql) =>
+            val q0 = System.nanoTime()
+            val ok = try {
+              val rs = st.executeQuery(sql)
+              while (rs.next()) {} // drain: materialize every row
+              rs.close(); true
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] duckdb $name failed: ${e.getMessage}")
+              errs += 1; false
+            }
+            name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+          }.toMap
+          Some(((System.nanoTime() - t0) / 1e9, times, errs))
+        } finally con.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duckdb pairing unavailable: ${e.getMessage}")
+        None
+      }
+    val duckJson = duck.map { case (total, times, errs) =>
+      val ratioSeq = if (total > 0) seqWall / total else -1.0
+      val ratioWall = if (total > 0) wall / total else -1.0
+      s""","duck_sequential_total_sec":$total,"duck_errors":$errs,"spark_seq_vs_duck":$ratioSeq,"spark_wall_vs_duck":$ratioWall,"queries_duck":${fmt(times)}"""
+    }.getOrElse("")
+    val fullJson = s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson,"sf":"$sfDir"}"""
     // the full distribution goes to a FILE the repo keeps: the driver
     // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
     // long line (and with it every per-query value alphabetically early)
@@ -127,8 +183,14 @@ object Bench {
     }
     println(fullJson)
     // truncation-proof summary: repeat the headline numbers in a short
-    // LAST line that any tail keeps
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall,"full_distribution":"$outFile","sf":"$sfDir"}""")
+    // LAST line that any tail keeps — including the in-window DuckDB
+    // pairing, so the artifact is interpretable without archaeology
+    val duckTail = duck.map { case (total, _, errs) =>
+      val rs = if (total > 0) seqWall / total else -1.0
+      val rw = if (total > 0) wall / total else -1.0
+      s""","duck_seq":$total,"duck_errors":$errs,"spark_seq_vs_duck":$rs,"spark_wall_vs_duck":$rw"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"concurrent-x$workers-best-of-2","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall$duckTail,"full_distribution":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
