@@ -164,6 +164,47 @@ object AggregateQueries extends QueryGroup {
     spark.read.jdbc(url, "orders_keyed", props)
   }
 
+  /** The same seed→upsert→read-back contract through the reference
+    * ecosystem's LITERAL store: a single-file `.duckdb` database via
+    * `jdbc:duckdb:` (reference pipelines/sample_step.yml:10
+    * `duckdb_path`). What this row pins beyond [[jdbcRoundtrip]] is the
+    * DuckDB dialect path under the hash-checked battery — existence-
+    * probe classification on a fresh file ([[graft.sources
+    * .DuckDbDialect]]), BIGINT/DOUBLE type fidelity across
+    * write→store→read, and last-write-wins upsert through the same
+    * plugin core. Writes are coalesced to one partition: an embedded
+    * single-file store is a sink-correctness pin, not a scan-throughput
+    * claim (same note as the Derby row), and DuckDB's optimistic
+    * concurrency would otherwise abort racing same-table appends. */
+  def duckdbRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.plugins.JdbcWritePlugin
+    val safe = spark.sparkContext.applicationId + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_duckdb_$safe")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val url = s"jdbc:duckdb:${root.resolve("store.duckdb")}"
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    JdbcWritePlugin.writeDf(
+      orders.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+      url, "orders_keyed", "overwrite")
+    JdbcWritePlugin.writeDf(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .coalesce(1),
+      url, "orders_keyed", "upsert", keys = Seq("o_orderkey"))
+    graft.sources.DuckDbDialect.ensureRegistered()
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.duckdb.DuckDBDriver")
+    spark.read.jdbc(url, "orders_keyed", props)
+  }
+
   /** Targeted deletion under the oracle (the GDPR pass): copy events
     * day-partitioned, [[Sink.deleteKeys]] every user ≡ 0 mod 37 (only
     * partitions holding their rows rewrite — byte-identity of untouched
@@ -259,6 +300,7 @@ object AggregateQueries extends QueryGroup {
     "targeted_delete" -> (targetedDelete _),
     "schema_evolution" -> (schemaEvolution _),
     "jdbc_roundtrip" -> (jdbcRoundtrip _),
+    "duckdb_roundtrip" -> (duckdbRoundtrip _),
     "a1_zonal_stats" -> (a1ZonalStats _),
     "a2_weighted" -> (a2Weighted _),
     "a3_regrid" -> (a3Regrid _),
@@ -414,6 +456,14 @@ object AggregateQueries extends QueryGroup {
       // last-write-wins over seed ∪ changelog (same contract as
       // stream_cdc_merge, exercised through the relational store)
       "jdbc_roundtrip" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 3 = 0
+          |    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+          |    ELSE o_totalprice END AS o_totalprice
+          |FROM orders
+          |WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0""".stripMargin,
+      // identical merge law through the .duckdb single-file store
+      "duckdb_roundtrip" ->
         """SELECT o_orderkey, o_custkey,
           |  CASE WHEN o_orderkey % 3 = 0
           |    THEN o_totalprice + CAST(1000.0 AS DOUBLE)

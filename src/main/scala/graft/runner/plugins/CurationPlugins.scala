@@ -437,9 +437,12 @@ object EmbeddingAnnPlugin extends StepPlugin {
   * replay order — the final training-data cut, one exchange total.
   *
   * Args: `input`, `output_path`; optional `num_shards` (default 16),
-  * `id_col` (doc_id), `epoch` (default 0 — re-keys the permutation per
-  * training epoch), `assign_only` (true = write the flat assignment
-  * table instead of the sharded directory layout).
+  * `id_col` (doc_id) or `id_expr` (a SQL expression when no single
+  * column is unique — e.g. a resampled mixture repeats doc_id per
+  * copy; duplicate ids would make replay positions among the
+  * duplicates nondeterministic), `epoch` (default 0 — re-keys the
+  * permutation per training epoch), `assign_only` (true = write the
+  * flat assignment table instead of the sharded directory layout).
   */
 object CorpusShardPlugin extends StepPlugin {
   val name = "corpus_shard"
@@ -449,14 +452,16 @@ object CorpusShardPlugin extends StepPlugin {
     val out = ctx.argStr("output_path")
     val numShards = ctx.argOpt("num_shards").map(_.toString.toInt)
       .getOrElse(16)
-    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val id = ctx.argOpt("id_expr").map(e => expr(e.toString))
+      .getOrElse(col(ctx.argOpt("id_col").map(_.toString)
+        .getOrElse("doc_id")))
     val epoch = ctx.argOpt("epoch").map(_.toString.toInt).getOrElse(0)
     val source = ctx.spark.read.parquet(in)
     if (ctx.argBool("assign_only", default = false))
-      Shard.assign(source, col(idCol), numShards, epoch)
+      Shard.assign(source, id, numShards, epoch)
         .write.mode("overwrite").parquet(out)
     else
-      Shard.writeSharded(source, col(idCol), numShards, out, epoch)
+      Shard.writeSharded(source, id, numShards, out, epoch)
     val res = ctx.spark.read.parquet(out)
     StepResult(Map("output_path" -> out, "n_rows" -> res.count(),
       "n_shards" -> res.select("shard").distinct().count()))

@@ -105,7 +105,7 @@ class ExamplesSpec extends SparkSpecBase {
   test("examples/training_cut.yml runs: scrub → dedup → decontaminate → " +
     "mixture → pack (the full assembly)") {
     val (work, res) = run("training_cut.yml")
-    assert(res.results.size == 7)
+    assert(res.results.size == 8)
     val scrub = res.results(0).fields
     // the corpus is digit-free, so real redaction counts are zero —
     // the step still rewrites the text column end to end
@@ -134,6 +134,22 @@ class ExamplesSpec extends SparkSpecBase {
     val shards = res.results(6).fields
     assert(shards("n_rows") == pack("n_docs"), s"got $shards vs $pack")
     assert(shards("n_shards") == 4L, s"got $shards")
+    // the epoch-1 cut holds the SAME rows under an INDEPENDENT
+    // deterministic permutation (different shard/position for most)
+    val e1 = res.results(7).fields
+    assert(e1("n_rows") == shards("n_rows"), s"got $e1 vs $shards")
+    import org.apache.spark.sql.functions.col
+    def cut(d: String) = spark.read.parquet(s"$work/training_cut/*/$d")
+      .select(col("source"), col("pack_id"), col("pack_offset"),
+        col("shard").cast("int"), col("shard_pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getInt(3), r.getLong(4))))
+    val (c0, c1) = (cut("shards").toMap, cut("shards_epoch1").toMap)
+    assert(c0.keySet == c1.keySet, "epochs must cover the same rows")
+    val moved = c0.count { case (k, v) => c1(k) != v }
+    assert(moved > c0.size / 2,
+      s"epoch 1 must re-key the permutation, only $moved/${c0.size} moved")
     import scala.jdk.CollectionConverters._
     val stream = Files.walk(work)
     try {
