@@ -85,7 +85,59 @@ object PlanDump {
       "leave their scan."),
     "shard_manifest" -> ("Trainer manifest: bounded-key hash aggregate " +
       "with map-side partials — the shard exchange carries " +
-      "numShards rows per task, not the corpus."))
+      "numShards rows per task, not the corpus."),
+    "k_core" -> ("k-core peel (one round's shape): degree aggregate + " +
+      "survivor SEMI-join back on the edge key — equi-joins only, " +
+      "re-planned per checkpointed round, round count tracks the " +
+      "peel depth, never the data."),
+    "dedup_components_dist" -> ("Distributed connected components: " +
+      "per-round min-label exchange keyed by node id; rounds track " +
+      "component DIAMETER (tiny for dedup graphs), per-round cost " +
+      "is one data-linear shuffle."),
+    "simhash" -> ("SimHash: token explode + 64 per-bit conditional " +
+      "sums in ONE map-side-combinable aggregate — no per-bit " +
+      "passes, no join."),
+    "decontaminate" -> ("Benchmark decontamination: the corpus " +
+      "LEFT-ANTI joins the contaminated-id set; benchmark shingles " +
+      "are the bounded side of the overlap join."),
+    "mixture_resample" -> ("Mixture resampling: per-source rates are " +
+      "a bounded broadcast onto a stateless salted-hash keep/repeat " +
+      "projection — membership is a pure row-id function, no " +
+      "corpus-sized shuffle at all."),
+    "tfidf_topk" -> ("TF-IDF top-k: posting aggregate keyed by term, " +
+      "1-row corpus count broadcast, rank window PARTITIONED by doc " +
+      "— no global sort anywhere."),
+    "inverted_index" -> ("Inverted index: one (term)-keyed exchange " +
+      "building per-term posting lists with map-side partials; " +
+      "doc-frequency cap bounds the hot keys."),
+    "sessionize" -> ("Sessionization: lag + gap flag + running " +
+      "session id share ONE (user)-keyed exchange and sort — the " +
+      "three window functions pipeline in a single pass."),
+    "cohort_retention" -> ("Cohort retention: first-touch aggregate " +
+      "joins activity on the entity key (same partitioning), then a " +
+      "bounded (cohort, offset) aggregate."),
+    "a2_weighted" -> ("Weighted zonal mean: decimal-exact Σwv/Σw in " +
+      "one zone-keyed exchange with map-side partials."),
+    "a4_zscore" -> ("Climatology z-score: the per-(cell, day-of-year) " +
+      "climatology aggregate joins back on the SAME key — the second " +
+      "pass reuses the first's partitioning."),
+    "quantized_rerank_topk" -> ("Quantized ANN + rerank: int8 " +
+      "candidate scan prunes to k' rows, the float rerank joins only " +
+      "that bounded candidate set — full-precision vectors never " +
+      "shuffle corpus-wide."),
+    "lsh_ann" -> ("LSH ANN probe: per-band bucket equi-join between " +
+      "query and corpus signatures; buckets grow with the corpus so " +
+      "the join is shuffle-hash, never broadcast."),
+    "dup_spans" -> ("Span-level dup audit: 8-gram posting self-join " +
+      "with doc-frequency cap — hot shingles cannot explode the " +
+      "pair fanout."),
+    "edit_distance" -> ("Bounded Levenshtein: the quadratic-per-pair " +
+      "kernel runs ONLY on the persisted J≥0.5 candidate pairs — " +
+      "pair generation (the scale risk) is the shared LSH pipeline, " +
+      "not an all-pairs join."),
+    "zorder_key" -> ("Z-order clustering key: stateless bit-interleave " +
+      "projection (codegen, no exchange); the layout write sorts " +
+      "WITHIN partitions only."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
