@@ -83,9 +83,19 @@ object StreamingQueries extends QueryGroup {
                                 root: java.nio.file.Path): DataFrame = {
     val stage = root.resolve("in")
     java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
+    // the table may be a single parquet file (driver testdata) or a
+    // directory of part files (any real lake layout, incl. ScaleData's
+    // scaled corpora) — stage every data file either way
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = src.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.foreach(f => java.nio.file.Files.copy(
+        f.toPath, stage.resolve(f.getName)))
+    } else {
+      java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+    }
     val ss = streamSession(spark)
     // file-source streams cannot infer schemas: reuse the batch read's
     // — resolved on the OUTER session (Tables.load caches per session;
