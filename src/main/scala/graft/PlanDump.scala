@@ -56,9 +56,11 @@ object PlanDump {
       "join."),
     "rolling_actives" -> ("Rolling WAU: explode-to-report-day then one " +
       "two-level exact distinct; no per-day self-join of the log."),
-    "triangle_count" -> ("Triangle census: degree-oriented wedge " +
-      "self-join (hot key capped at O(sqrt m)) + closure equi-join " +
-      "against the canonical edge set — equi-joins throughout."),
+    "triangle_count" -> ("Triangle census: degree-oriented sorted " +
+      "out-adjacency arrays (length O(sqrt m)); closure per oriented " +
+      "edge is an in-task array_intersect — node-sized adjacency " +
+      "exchanges replace the wedge-sized shuffle; equi-joins " +
+      "throughout."),
     "token_budget_cap" -> ("Per-source token budget: the sequence_pack " +
       "two-pass prefix shape — (source, bucket) exchanges, broadcast " +
       "offsets, no per-source window."),

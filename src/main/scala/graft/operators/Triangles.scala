@@ -9,26 +9,34 @@ import org.apache.spark.storage.StorageLevel
   * a node embedded in many closed triads is a hub of a tightly-knit
   * cluster; the coefficient is the classic cohesion score).
   *
-  * Scale design — the degree-ordered orientation (public standard for
-  * distributed triangle enumeration, e.g. the MapReduce formulation in
-  * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+  * Scale design — degree-ordered orientation + ADJACENCY INTERSECTION
+  * (the compact form of the distributed wedge method, cf. Suri &
+  * Vassilvitskii "Counting Triangles and the Curse of the Last
   * Reducer", WWW'11): orient every edge from its lower-(degree, id)
-  * endpoint to the higher one, then build wedges only AROUND the low
-  * endpoint. Each triangle then materializes exactly once (at its
-  * minimum-order vertex), and — the scale property — the oriented
-  * out-degree is bounded by O(√m) even when the raw degree distribution
-  * is power-law, so the wedge self-join has no hot reducer: the natural
-  * shuffle-key skew of a celebrity node is capped by construction,
-  * no salting needed. Everything is exact integer arithmetic until the
-  * final coefficient division, so results are partitioning-independent
-  * and bit-reproducible against a single-threaded oracle.
+  * endpoint to the higher one, build each node's SORTED out-neighbor
+  * array (length O(√m) by orientation even on power-law graphs), and
+  * close triangles per oriented edge (u→v) as
+  * `array_intersect(N+(u), N+(v))` — every triangle materializes
+  * exactly once, at its orientation-minimal edge.
+  *
+  * Why intersection instead of materializing the wedge table: the
+  * wedge set is Σ C(d_out, 2) ROWS — measured 4.1B rows (~2 decades of
+  * shuffle spill) on the sf10 co-purchase graph, shuffled TWICE (once
+  * into the closure join, once into the per-node aggregate). The
+  * adjacency form ships each out-array once per incident edge instead
+  * (Σ d_out per side — the EDGE count, not the wedge count), the
+  * intersection runs in-task over two bounded sorted arrays, and the
+  * per-node aggregate sees 2·|E| endpoint rows plus one row per
+  * triangle. Same O(m^{3/2}) work bound, a fraction of the bytes
+  * moved. (Measured at sf10: 1256 s → see BASELINE.md.)
   *
   * Shuffle inventory (the whole op): degree aggregate, two joins
-  * attaching degrees, wedge self-join keyed by apex, closure equi-join
-  * against the canonical edge set, final per-node aggregate — all
-  * hash-partitioned equi-joins/aggregates with map-side partials; no
-  * broadcast of anything data-sized, no cross join (pinned in
-  * PlanShapeSpec).
+  * attaching degrees, one groupBy building adjacency arrays, two
+  * equi-joins attaching the (node-sized) adjacency table to the edge
+  * list, final per-node aggregate with map-side partials — all
+  * hash-partitioned, no broadcast of anything data-sized, no cross
+  * join (pinned in PlanShapeSpec). Hot dst keys in the attach joins
+  * are AQE skew-split; the arrays they replicate are O(√m) bounded.
   */
 object Triangles {
 
@@ -42,9 +50,9 @@ object Triangles {
     *         0.0 for degree-1 nodes — both engines divide the same
     *         exact integers, so the double is identical. */
   def perNode(edges: DataFrame): DataFrame = {
-    // the edge set feeds the degree aggregate, the orientation join and
-    // the closure join — three consumers, so persist (the multi-consumer
-    // rule; lineage stays flat, no iteration, so no checkpoint needed)
+    // the edge set feeds the degree aggregate and the orientation join;
+    // persist (the multi-consumer rule; lineage stays flat, no
+    // iteration, so no checkpoint needed)
     val e = edges.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("node"))
@@ -64,17 +72,27 @@ object Triangles {
       .select(col("o.s").as("src"), col("o.d").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // wedges at the apex (out-degree ≤ O(√m) by orientation); v < w by
-    // id so the closure edge is already in canonical (a, b) form
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
-      .filter(col("v") < col("w"))
-    val tris = wedges
-      .join(e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    // sorted out-adjacency per node: NODE-sized table, arrays O(√m)
+    val adj = oriented.groupBy(col("src").as("n"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
 
-    val triCounts = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // close per oriented edge: w ∈ N+(u) ∩ N+(v) ⇒ triangle u→v→w;
+    // inner joins are exact (an edge whose endpoint has no out-array
+    // closes nothing). One explode attributes the triangle to all
+    // three corners: u and v each gain |C|, every closing w gains 1.
+    val perEdge = oriented
+      .join(adj.select(col("n").as("src"), col("nbrs").as("__nu")), "src")
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("__nv")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("__nu"), col("__nv")).as("__c"))
+      .filter(size(col("__c")) > 0)
+    val triCounts = perEdge
+      .select(explode(concat(
+        array(struct(col("src").as("node"), size(col("__c")).cast("long").as("cnt")),
+          struct(col("dst").as("node"), size(col("__c")).cast("long").as("cnt"))),
+        transform(col("__c"),
+          w => struct(w.as("node"), lit(1L).as("cnt"))))).as("x"))
+      .groupBy(col("x.node").as("node")).agg(sum(col("x.cnt")).as("n_tri"))
 
     deg.join(triCounts, Seq("node"), "left")
       .select(col("node"), col("deg").cast("long").as("deg"),
