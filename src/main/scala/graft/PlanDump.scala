@@ -139,7 +139,10 @@ object PlanDump {
       "not an all-pairs join."),
     "zorder_key" -> ("Z-order clustering key: stateless bit-interleave " +
       "projection (codegen, no exchange); the layout write sorts " +
-      "WITHIN partitions only."))
+      "WITHIN partitions only."),
+    "bloom_membership" -> ("Bloom decontamination: the <=m-row filter " +
+      "BROADCASTS onto the probe side; only (id, position) pairs " +
+      "reach the per-id aggregate — the text column never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -205,7 +205,26 @@ object CorpusQueries extends QueryGroup {
       size(split(trim(lower(col("text"))), "\\s+")), col("n_chars"))
   }
 
+  /** Bloom-filter decontamination verdict
+    * ([[graft.operators.Bloom]]): docs with doc_id ≡ 0 (mod 19) play
+    * the held-out benchmark; their text fingerprints build a k=4,
+    * m=4096 filter (≤ 4096 rows — broadcastable at any corpus size)
+    * and every document probes it. No false negatives by
+    * construction; the handful of false positives are deterministic
+    * md5 arithmetic, so the DuckDB oracle reproduces them bit-for-bit
+    * (the verdict is hash-checked, not just the law). */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val filter = graft.operators.Bloom.build(
+      d.filter(col("doc_id") % 19 === 0), col("text"), k = 4, m = 4096)
+    graft.operators.Bloom.probe(d, col("doc_id"), col("text"),
+        filter, k = 4, m = 4096)
+      .select(col("id").as("doc_id"),
+        col("maybe_member").cast("int").as("maybe_member"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_membership" -> (bloomMembership _),
     "corpus_diff" -> (corpusDiff _),
     "shard_manifest" -> (shardManifest _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -284,6 +303,29 @@ object CorpusQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // the filter and every probe reproduce Bloom's md5 hex-lane
+    // arithmetic exactly (sqlPositionLanes), so even the false
+    // positives hash-match
+    "bloom_membership" -> {
+      val lanes = graft.operators.Bloom.sqlPositionLanes("text", 4, 4096)
+      def posUnion(from: String): String =
+        lanes.map(l => s"SELECT doc_id, $l AS p FROM $from")
+          .mkString(" UNION ALL ")
+      s"""WITH filt AS (
+         |  SELECT DISTINCT p FROM (
+         |    ${posUnion("documents WHERE doc_id % 19 = 0 AND text IS NOT NULL")})),
+         |docpos AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    ${posUnion("documents WHERE text IS NOT NULL")})),
+         |agg AS (
+         |  SELECT dp.doc_id, COUNT(*) AS np, COUNT(f.p) AS nh
+         |  FROM docpos dp LEFT JOIN filt f ON dp.p = f.p
+         |  GROUP BY dp.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.np > 0 AND a.nh = a.np, FALSE) AS INT)
+         |    AS maybe_member
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     // fingerprints compared, never texts; status is id-derivable
     "corpus_diff" ->
       """WITH o AS (

@@ -496,3 +496,65 @@ object CorpusDiffPlugin extends StepPlugin {
       "n_changed" -> n("changed"), "n_unchanged" -> n("unchanged")))
   }
 }
+
+/** `bloom_build` — build a Bloom membership filter over a column
+  * ([[graft.operators.Bloom.build]]): the bounded (≤ m rows),
+  * mergeable, broadcastable form of a blocklist/benchmark set that a
+  * 100 TB decontamination pass ships to every probe site.
+  *
+  * Args: `input`, `output_path`; optional `value_col` (text),
+  * `k` (4), `m` (4096).
+  */
+object BloomBuildPlugin extends StepPlugin {
+  val name = "bloom_build"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val valueCol = ctx.argOpt("value_col").map(_.toString).getOrElse("text")
+    val k = ctx.argOpt("k").map(_.toString.toInt).getOrElse(4)
+    val m = ctx.argOpt("m").map(_.toString.toInt).getOrElse(4096)
+    graft.operators.Bloom.build(
+        ctx.spark.read.parquet(ctx.argStr("input")), col(valueCol), k, m)
+      .write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out,
+      "n_bits" -> ctx.spark.read.parquet(out).count(),
+      "k" -> k.toLong, "m" -> m.toLong))
+  }
+}
+
+/** `bloom_probe` — probe a corpus against a [[BloomBuildPlugin]]
+  * filter ([[graft.operators.Bloom.probe]]); with `drop_members: true`
+  * writes the decontaminated corpus (maybe-members removed — the
+  * false-positive-only direction that can drop a clean doc but never
+  * leak a benchmark one), otherwise the per-id verdict table.
+  *
+  * Args: `input`, `filter_path`, `output_path`; optional `id_col`
+  * (doc_id), `value_col` (text), `k` (4), `m` (4096),
+  * `drop_members` (false).
+  */
+object BloomProbePlugin extends StepPlugin {
+  val name = "bloom_probe"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val valueCol = ctx.argOpt("value_col").map(_.toString).getOrElse("text")
+    val k = ctx.argOpt("k").map(_.toString.toInt).getOrElse(4)
+    val m = ctx.argOpt("m").map(_.toString.toInt).getOrElse(4096)
+    val corpus = ctx.spark.read.parquet(ctx.argStr("input"))
+    val filter = ctx.spark.read.parquet(ctx.argStr("filter_path"))
+    val verdict = graft.operators.Bloom.probe(
+      corpus, col(idCol), col(valueCol), filter, k, m)
+    val flagged = verdict.filter(col("maybe_member"))
+    if (ctx.argBool("drop_members", default = false))
+      corpus.join(flagged.select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(out)
+    else
+      verdict.withColumnRenamed("id", idCol)
+        .write.mode("overwrite").parquet(out)
+    StepResult(Map("output_path" -> out,
+      "n_rows" -> ctx.spark.read.parquet(out).count(),
+      "n_flagged" -> flagged.count()))
+  }
+}

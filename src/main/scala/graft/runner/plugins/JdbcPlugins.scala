@@ -175,5 +175,5 @@ object DefaultRegistry {
     SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin,
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
     TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
-    CorpusDiffPlugin))
+    CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin))
 }

@@ -734,6 +734,47 @@ class RunnerSpec extends SparkSpecBase {
     assert(merged == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
   }
 
+  test("bloom_build + bloom_probe decontaminate through the DSL") {
+    val root = tmpDir()
+    import spark.implicits._
+    val bench = root.resolve("bench").toString
+    Seq((100L, "the quick brown fox"), (101L, "lorem ipsum dolor"))
+      .toDF("doc_id", "text").write.parquet(bench)
+    val corpus = root.resolve("corpus").toString
+    Seq((1L, "the quick brown fox"), (2L, "completely novel text"),
+      (3L, "lorem ipsum dolor"), (4L, "another clean document"))
+      .toDF("doc_id", "text").write.parquet(corpus)
+    val p = write(root, "bloom.yml",
+      s"""steps:
+         |  - plugin: bloom_build
+         |    args:
+         |      input: "$bench"
+         |      output_path: "$root/filter"
+         |    output_var: filt
+         |  - plugin: bloom_probe
+         |    args:
+         |      input: "$corpus"
+         |      filter_path: "{filt.output_path}"
+         |      output_path: "$root/verdicts"
+         |  - plugin: bloom_probe
+         |    args:
+         |      input: "$corpus"
+         |      filter_path: "{filt.output_path}"
+         |      drop_members: true
+         |      output_path: "$root/clean"
+         |""".stripMargin)
+    val r = runner(root).runFile(p)
+    assert(r.results(0).fields("n_bits").asInstanceOf[Long] <= 8L)
+    // both benchmark texts flagged (no false negatives); the verdict
+    // table covers the whole corpus
+    assert(r.results(1).fields("n_rows") == 4L)
+    assert(r.results(1).fields("n_flagged").asInstanceOf[Long] >= 2L)
+    val clean = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!clean.contains(1L) && !clean.contains(3L))
+    assert(clean.subsetOf(Set(2L, 4L)))
+  }
+
   test("conditional_get honors ETag when the server sends no mtime (S1)") {
     // a server that varies ONLY ETag (no Last-Modified): without
     // If-None-Match replay every re-run would re-download
