@@ -97,6 +97,33 @@ object VectorQueries extends QueryGroup {
         (col("n_hit").cast("double") / lit(5.0)).as("recall_at_5"))
   }
 
+  /** Recall-vs-nprobe curve — [[annRecallEval]] swept over
+    * nprobe ∈ {1, 2, 4}: the sizing table every IVF deployment
+    * produces before picking its probe budget (recall climbs toward
+    * 1.0 as probes approach k; the wall cost per probe is the
+    * cluster-scan the plan prunes to). One train + one assign feed
+    * all three sweeps (persisted — the multi-consumer rule); the
+    * exact ground truth is computed once. Per-(nprobe, qid) rows so
+    * the whole curve is hash-checked, not just its mean. */
+  def annProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = queriesDf(spark, dir)
+    val centroids = Ivf.train(c, k = 8, iters = 1)
+    val assigned = Ivf.assign(c, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Similarity.bruteForceTopK(q, c, 5).select("qid", "id")
+    Seq(1, 2, 4).map { np =>
+      val approx = Ivf.searchTopK(q, assigned, centroids, k = 5,
+        nprobe = np).select(col("qid"), col("id"))
+      exact.join(approx.withColumn("__hit", lit(1)),
+          Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(count("__hit").as("n_hit"))
+        .select(lit(np).as("nprobe"), col("qid"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall_at_5"))
+    }.reduce(_ unionAll _)
+  }
+
   /** SemDeDup under the oracle: the same k=8 / 1-refinement k-means
     * chain the ivf_ann oracle pins, then the within-cluster min-id kill
     * at the near-dup threshold the cosine battery uses
@@ -315,6 +342,7 @@ object VectorQueries extends QueryGroup {
     "lsh_ann" -> (lshAnn _),
     "ivf_ann" -> (ivfAnn _),
     "ann_recall_eval" -> (annRecallEval _),
+    "ann_probe_sweep" -> (annProbeSweep _),
     "semantic_dedup" -> (semanticDedup _),
     "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
@@ -535,6 +563,43 @@ object VectorQueries extends QueryGroup {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, id) AS rank FROM scored) t
          |WHERE rank <= 5""".stripMargin
+    },
+    // the ann_recall_eval chain swept over nprobe in {1, 2, 4}: one
+    // shared kmeans chain + one shared exact ground truth, one
+    // (probes, scored, approx) CTE triple per probe budget
+    "ann_probe_sweep" -> {
+      def sweep(np: Int) =
+        s"""probes$np AS (
+           |  SELECT qid, qv, cluster_id FROM (
+           |    SELECT q.id AS qid, q.v AS qv, ct.cluster_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.id
+           |        ORDER BY ${d2("q.v", "ct.c")}, ct.cluster_id) AS rn
+           |    FROM e q, cent ct WHERE q.id < 8) t WHERE rn <= $np),
+           |approx$np AS (SELECT qid, id FROM (
+           |  SELECT p.qid, a.id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+           |      list_dot_product(p.qv, a.v) /
+           |        (sqrt(list_dot_product(p.qv, p.qv)) *
+           |         sqrt(list_dot_product(a.v, a.v))) DESC, a.id) AS r
+           |  FROM probes$np p JOIN a1 a ON p.cluster_id = a.cluster_id
+           |  WHERE p.qid != a.id) t WHERE r <= 5)""".stripMargin
+      def leg(np: Int) =
+        s"""SELECT $np AS nprobe, ex.qid, COUNT(a.qid) AS n_hit,
+           |  CAST(COUNT(a.qid) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+           |    AS recall_at_5
+           |FROM ex LEFT JOIN approx$np a
+           |  ON ex.qid = a.qid AND ex.id = a.id
+           |GROUP BY 1, 2""".stripMargin
+      s"""WITH $kmeansCte,
+         |${Seq(1, 2, 4).map(sweep).mkString(",\n")},
+         |ex AS (SELECT qid, id FROM (
+         |  SELECT q.id AS qid, c.id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |      list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |      c.id) AS r
+         |  FROM e q JOIN e c ON q.id < 8 AND q.id != c.id) t WHERE r <= 5)
+         |${Seq(1, 2, 4).map(leg).mkString("\nUNION ALL\n")}""".stripMargin
     },
     // the ivf_ann chain at nprobe=1 and the sim_topk exact chain,
     // joined on (qid, id); n_hit/5 is exactly representable so the

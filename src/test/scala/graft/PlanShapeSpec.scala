@@ -969,4 +969,28 @@ class PlanShapeSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("bloom_membership: the <=m-row filter broadcasts; no text " +
+    "column reaches the probe join or the per-id aggregate") {
+    val df = queries.CorpusQueries.bloomMembership(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the probe join and everything above it carry (id, position)
+    // pairs only — the document text must be consumed by the scan-side
+    // projection, never shuffled or joined
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = df.queryExecution.optimizedPlan
+    opt.collect { case j: Join => j }.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val out = side.output.map(_.name)
+        assert(!out.contains("text"),
+          s"probe join ships the text column: $out\n$j")
+      }
+    }
+    opt.collect { case a: Aggregate => a }.foreach { a =>
+      val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
+      assert(!keys.contains("text"),
+        s"aggregate keys on the text column: $keys")
+    }
+  }
 }
