@@ -89,6 +89,22 @@ object Bloom {
         .as("maybe_member"))
   }
 
+  /** Stateless membership verdict as a pure Column over a DRIVER-SIDE
+    * position set — the literal-broadcast form for STREAMING probes,
+    * where [[probe]]'s join+aggregate would create state per
+    * micro-batch. `bits` is a materialized [[build]] result (bounded:
+    * ≤ m ≤ 65536 ints — the same driver-sized-constant contract as
+    * [[Ivf.MaxK]] centroids). Same truth table as [[probe]]: NULL
+    * values read false, membership iff every position is set. */
+  def memberExpr(value: Column, bits: Seq[Int], k: Int, m: Int): Column = {
+    require_(k, m)
+    require(bits.size <= m, s"filter has ${bits.size} positions > m=$m")
+    val set = typedLit(bits.sorted)
+    when(value.isNull, lit(false))
+      .otherwise(forall(positions(value, k, m),
+        p => array_contains(set, p)))
+  }
+
   /** The k position expressions of `expr` as DuckDB SQL fragments
     * (lane i of md5's hex), value-equal to [[positions]] by
     * construction — strpos hex parse because DuckDB lacks `conv`

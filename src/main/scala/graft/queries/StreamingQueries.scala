@@ -73,20 +73,18 @@ object StreamingQueries extends QueryGroup {
     p
   }
 
-  /** Stage events into a scratch input dir (the file-stream source
-    * watches a DIRECTORY — exactly the reference's staged-download-dir
-    * shape: a file "arrives", the drain picks it up) and return the
-    * normalized streaming DataFrame: ns-timestamp → TimestampType (same
-    * as Tables.events) and `value` pre-cast to decimal(30,10) so the
-    * streamed sums are order-independent ([[Exact]]). */
-  private def stagedEventStream(spark: SparkSession, dir: String,
-                                root: java.nio.file.Path): DataFrame = {
+  /** Stage a table's data files into `root/in` for a file-stream
+    * source (the source watches a DIRECTORY — exactly the reference's
+    * staged-download-dir shape: a file "arrives", the drain picks it
+    * up). The table may be a single parquet file (driver testdata) or
+    * a directory of part files (any real lake layout, incl.
+    * ScaleData's scaled corpora) — every data file is staged either
+    * way. */
+  private def stageTable(dir: String, table: String,
+                         root: java.nio.file.Path): java.nio.file.Path = {
     val stage = root.resolve("in")
     java.nio.file.Files.createDirectories(stage)
-    // the table may be a single parquet file (driver testdata) or a
-    // directory of part files (any real lake layout, incl. ScaleData's
-    // scaled corpora) — stage every data file either way
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
       val parts = src.toFile.listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -94,8 +92,17 @@ object StreamingQueries extends QueryGroup {
       parts.foreach(f => java.nio.file.Files.copy(
         f.toPath, stage.resolve(f.getName)))
     } else {
-      java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+      java.nio.file.Files.copy(src, stage.resolve(s"$table.parquet"))
     }
+    stage
+  }
+
+  /** The staged event stream, normalized: ns-timestamp → TimestampType
+    * (same as Tables.events) and `value` pre-cast to decimal(30,10) so
+    * the streamed sums are order-independent ([[Exact]]). */
+  private def stagedEventStream(spark: SparkSession, dir: String,
+                                root: java.nio.file.Path): DataFrame = {
+    val stage = stageTable(dir, "events", root)
     val ss = streamSession(spark)
     // file-source streams cannot infer schemas: reuse the batch read's
     // — resolved on the OUTER session (Tables.load caches per session;
@@ -274,16 +281,41 @@ object StreamingQueries extends QueryGroup {
     * ingest actually runs: clean-on-arrival, not clean-after-landing. */
   def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch(spark, dir, "stream_quality")
-    val stage = root.resolve("in")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      stage.resolve("documents.parquet"))
+    val stage = stageTable(dir, "documents", root)
     val ss = streamSession(spark)
     val schema = Tables.load(spark, dir, "documents").schema
     val docs = StreamOps.fileStream(ss, stage.toString, schema)
     val scored = TextQueries.qualityVerdict(docs)
     StreamOps.toParquetSink(scored, s"$root/out", s"$root/ckpt")
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** Bloom decontamination ON ARRIVAL: the filter built batch-side
+    * over the benchmark slice collapses to a literal position set
+    * (≤ m = 4096 ints — [[graft.operators.Bloom.memberExpr]]'s
+    * driver-sized-constant contract, the broadcast analog for
+    * streams) and every arriving document gets its verdict in a PURE
+    * PROJECTION — no join, no state store, codegen end to end.
+    * Stateless append emits rows immediately, so the drain equals the
+    * batch [[CorpusQueries.bloomMembership]] bit-for-bit and the
+    * oracle is bloom_membership's SQL verbatim. This is the shape a
+    * 100 TB/day ingest runs: the benchmark filter ships to the edge,
+    * contaminated docs are flagged before they ever land. */
+  def streamBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch(spark, dir, "stream_bloom")
+    val stage = stageTable(dir, "documents", root)
+    val ss = streamSession(spark)
+    val schema = Tables.load(spark, dir, "documents").schema
+    // bounded collect: a build() result is ≤ m = 4096 position ints
+    val bits = graft.operators.Bloom.build(
+        ss.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 19 === 0), col("text"), k = 4, m = 4096)
+      .collect().map(_.getInt(0)).toSeq
+    val docs = StreamOps.fileStream(ss, stage.toString, schema)
+    val out = docs.select(col("doc_id"),
+      graft.operators.Bloom.memberExpr(col("text"), bits, k = 4, m = 4096)
+        .cast("int").as("maybe_member"))
+    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
     spark.read.parquet(s"$root/out")
   }
 
@@ -299,11 +331,7 @@ object StreamingQueries extends QueryGroup {
     * ranks by array position (the ids are emitted in rank order). */
   def streamGroupSample(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch(spark, dir, "stream_gsample")
-    val stage = root.resolve("in")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      stage.resolve("documents.parquet"))
+    val stage = stageTable(dir, "documents", root)
     val ss = streamSession(spark)
     val schema = Tables.load(spark, dir, "documents").schema
     val docs = StreamOps.fileStream(ss, stage.toString, schema)
@@ -328,11 +356,7 @@ object StreamingQueries extends QueryGroup {
     * filter bite beyond the carved slice itself. */
   def streamCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch(spark, dir, "stream_corpus_dedup")
-    val stage = root.resolve("in")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      stage.resolve("documents.parquet"))
+    val stage = stageTable(dir, "documents", root)
     val ss = streamSession(spark)
     val schema = Tables.load(spark, dir, "documents").schema
     val docs = StreamOps.fileStream(ss, stage.toString, schema)
@@ -354,11 +378,7 @@ object StreamingQueries extends QueryGroup {
     * Update-mode drain recovered via the monotone-n_docs struct max. */
   def streamShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch(spark, dir, "stream_manifest")
-    val stage = root.resolve("in")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      stage.resolve("documents.parquet"))
+    val stage = stageTable(dir, "documents", root)
     val ss = streamSession(spark)
     val schema = Tables.load(spark, dir, "documents").schema
     val docs = StreamOps.fileStream(ss, stage.toString, schema)
@@ -391,11 +411,7 @@ object StreamingQueries extends QueryGroup {
     * k-means in SQL and assigns every vector against it. */
   def streamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch(spark, dir, "stream_ivf")
-    val stage = root.resolve("in")
-    java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-      stage.resolve("embeddings.parquet"))
+    val stage = stageTable(dir, "embeddings", root)
     val ss = streamSession(spark)
     val hist = ss.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") % 2 === 0)
@@ -539,6 +555,7 @@ object StreamingQueries extends QueryGroup {
     "stream_full_outer_join" -> (streamFullOuterJoin _),
     "stream_dedup_keys" -> (streamDedupKeys _),
     "stream_quality_filter" -> (streamQualityFilter _),
+    "stream_bloom_probe" -> (streamBloomProbe _),
     "stream_enrich_join" -> (streamEnrichJoin _),
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_group_sample" -> (streamGroupSample _),
@@ -673,6 +690,8 @@ object StreamingQueries extends QueryGroup {
       // stateless append drains the full battery — the stream equals
       // the batch query, so it shares quality_filter's oracle verbatim
       "stream_quality_filter" -> TextQueries.oracles("quality_filter"),
+      // stateless projection drain == the batch bloom verdict exactly
+      "stream_bloom_probe" -> CorpusQueries.oracles("bloom_membership"),
       // stateless stream-static inner join = the batch join, verbatim
       "stream_enrich_join" ->
         """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,

@@ -54,6 +54,20 @@ class BloomSpec extends SparkSpecBase {
     assert(perVal.filter(col("n") < 1 || col("n") > k).isEmpty)
   }
 
+  test("memberExpr (literal streaming form) agrees with probe (join " +
+    "form) on every value, members and non-members alike") {
+    val in = strs("in", 300)
+    val f = Bloom.build(in, col("v"), k, m)
+    val bits = f.collect().map(_.getInt(0)).toSeq
+    val mixed = strs("in", 600).unionAll(strs("out", 600))
+      .withColumn("id", col("v"))
+    val joinForm = Bloom.probe(mixed, col("id"), col("v"), f, k, m)
+    val litForm = mixed.select(col("id"),
+      Bloom.memberExpr(col("v"), bits, k, m).as("maybe_member"))
+    assert(joinForm.exceptAll(litForm).isEmpty &&
+      litForm.exceptAll(joinForm).isEmpty)
+  }
+
   test("NULL value probes false and never enters the filter") {
     val in = Seq(Some("a"), Some("b"), None).toDF("v")
     val f = Bloom.build(in, col("v"), k, m)
