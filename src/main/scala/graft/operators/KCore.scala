@@ -12,9 +12,17 @@ import org.apache.spark.storage.StorageLevel
   * cascade as deletions lower neighbors' degrees).
   *
   * Fixed `rounds` of peeling, every step a DataFrame op: one degree
-  * aggregate + two LEFT SEMI equi-joins (endpoint-in-survivors) per
-  * round — all hash-partitioned with map-side partials, no driver data
-  * movement. A fixed round count (not convergence-polling) keeps the
+  * aggregate + two equi-joins per round against WHICHEVER SIDE OF THE
+  * PEEL FRONTIER IS SMALLER — LEFT SEMI on the survivors (`deg ≥ k`)
+  * or LEFT ANTI on the peeled (`deg < k`); semantically identical
+  * (every edge endpoint carries a degree, so endpoint ∈ keep ⟺
+  * endpoint ∉ bad), and the choice is made per round from one
+  * node-sized count: early rounds of an aggressive k peel most nodes
+  * (semi on the small survivor set wins), late rounds peel almost
+  * none (anti on the near-empty bad set wins, AQE broadcasts it and
+  * the edge set stops shuffling at all). All joins hash-partitioned
+  * with map-side partials, no driver data movement beyond the 2-long
+  * frontier count. A fixed round count keeps the
   * plan deterministic and the oracle unrollable. Each round CHECKPOINTS
   * (not merely persists): a round's plan references the previous
   * edge set THREE times (degree aggregate + both semi-join probes), so
@@ -57,11 +65,22 @@ object KCore {
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val keep = degrees(cur).filter(col("deg") >= k).select("node")
+        val degs = degrees(cur).persist(StorageLevel.MEMORY_AND_DISK)
+        val cnt = degs.agg(
+          coalesce(sum(when(col("deg") < k, 1L).otherwise(0L)), lit(0L))
+            .as("nbad"),
+          count(lit(1)).as("nall")).head()
+        val nBad = cnt.getLong(0)
+        val antiOnBad = nBad <= cnt.getLong(1) - nBad
+        val (frontier, joinType) =
+          if (antiOnBad) (degs.filter(col("deg") < k), "left_anti")
+          else (degs.filter(col("deg") >= k), "left_semi")
+        val side = frontier.select("node")
         val next = pin(cur
-          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .join(side.withColumnRenamed("node", "a"), Seq("a"), joinType)
+          .join(side.withColumnRenamed("node", "b"), Seq("b"), joinType)
           .select("a", "b"))
+        degs.unpersist()
         val nextCount = next.count()
         cur.unpersist()
         cur = next

@@ -77,6 +77,26 @@ class ExamplesSpec extends SparkSpecBase {
       diff("n_changed").asInstanceOf[Long], s"got $shards vs $diff")
   }
 
+  test("examples/decontamination.yml runs: filter -> verdicts -> " +
+    "clean cut -> shards (the Bloom decontamination flow)") {
+    val (_, res) = run("decontamination.yml")
+    assert(res.results.size == 5)
+    val nBench = spark.read
+      .parquet(res.results(0).fields("output_path").toString).count()
+    assert(nBench > 0L)
+    assert(res.results(1).fields("n_bits").asInstanceOf[Long] > 0L)
+    val verdicts = res.results(2).fields
+    val flagged = verdicts("n_flagged").asInstanceOf[Long]
+    // no false negatives: at least every benchmark doc is flagged
+    assert(flagged >= nBench, s"got $verdicts vs $nBench benchmark docs")
+    val total = verdicts("n_rows").asInstanceOf[Long]
+    // the clean cut is exactly corpus minus the flagged set, and the
+    // shards partition it completely
+    val clean = res.results(3).fields("n_rows").asInstanceOf[Long]
+    assert(clean == total - flagged)
+    assert(res.results(4).fields("n_rows") == clean)
+  }
+
   test("examples/corpus_audit.yml runs: span audit, term index, publish") {
     val (work, res) = run("corpus_audit.yml")
     assert(res.results.size == 4)
