@@ -54,6 +54,40 @@ object SpanDedup {
         col("dup_spans").cast("double") / col("total_spans").cast("double"))
   }
 
+  /** GRADED benchmark-contamination score per document — the
+    * continuous complement to the binary verdicts ([[Bloom]]
+    * membership, decontaminate's anti-join): the fraction of a
+    * document's DISTINCT word n-grams that also occur anywhere in the
+    * benchmark corpus. Thresholding this is the standard
+    * n-gram-overlap decontamination rule (the 8-gram/13-gram overlap
+    * tests of public LLM eval hygiene), and the raw score feeds audit
+    * dashboards where a hard drop is too blunt.
+    *
+    * Shapes at 100 TB: both sides fold to DISTINCT (doc, shingle) /
+    * (shingle) rows first; the overlap join is a shuffle equi-join on
+    * the shingle key against the benchmark-sized (≪ corpus) distinct
+    * n-gram set, multiplicity ≤ 1 per (doc, shingle) by construction
+    * — no posting-list blowup, no df cap needed. Documents shorter
+    * than `n` tokens emit no row (they have no n-grams to test).
+    * Output: (id, n_grams, n_matched, contamination) with the ratio
+    * one IEEE division of exact integer counts. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, text: Column,
+                         n: Int): DataFrame = {
+    val grams = Fingerprint
+      .explodedShingleHashOccurrences(corpus, idCol, text, n)
+      .select(col(idCol), col("sh")).distinct()
+    val benchSet = Fingerprint
+      .explodedShingleHashOccurrences(benchmark, idCol, text, n)
+      .select(col("sh")).distinct()
+    grams.join(benchSet.withColumn("__hit", lit(1))
+        .hint("shuffle_hash"), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Per-document repeated-text COVERAGE over word `n`-grams — the
     * Lee et al. metric proper: the fraction of a document's tokens that
     * lie inside at least one n-gram repeated in ≥2 distinct docs.

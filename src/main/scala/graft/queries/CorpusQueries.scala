@@ -223,7 +223,18 @@ object CorpusQueries extends QueryGroup {
         col("maybe_member").cast("int").as("maybe_member"))
   }
 
+  /** Graded n-gram contamination vs the same benchmark slice the
+    * bloom battery uses ([[SpanDedup.contaminationScore]], 8-gram
+    * overlap): benchmark docs themselves score 1.0, clean docs 0.0,
+    * partial-copy docs in between. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    SpanDedup.contaminationScore(d,
+      d.filter(col("doc_id") % 19 === 0), "doc_id", col("text"), n = 8)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_score" -> (contaminationScore _),
     "bloom_membership" -> (bloomMembership _),
     "corpus_diff" -> (corpusDiff _),
     "shard_manifest" -> (shardManifest _),
@@ -303,6 +314,21 @@ object CorpusQueries extends QueryGroup {
   }
 
   def oracles: Map[String, String] = Map(
+    // distinct 8-gram STRINGS on both sides (the dedup battery's
+    // counts-equivalence to the engine's chained-xxhash64 shingles)
+    "contamination_score" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+         |  FROM tok CROSS JOIN unnest(range(1, len(t) - 6)) AS u(i)),
+         |pd AS (SELECT DISTINCT doc_id, s FROM occ),
+         |bs AS (SELECT DISTINCT s FROM occ WHERE doc_id % 19 = 0)
+         |SELECT pd.doc_id, COUNT(*) AS n_grams,
+         |  COUNT(b.s) AS n_matched,
+         |  CAST(COUNT(b.s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS contamination
+         |FROM pd LEFT JOIN bs b ON pd.s = b.s
+         |GROUP BY 1""".stripMargin,
     // the filter and every probe reproduce Bloom's md5 hex-lane
     // arithmetic exactly (sqlPositionLanes), so even the false
     // positives hash-match

@@ -175,5 +175,6 @@ object DefaultRegistry {
     SketchCountMinPlugin, SketchQuantilesPlugin, TextCosinePairsPlugin,
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
     TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
-    CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin))
+    CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin,
+    TextContaminationScorePlugin))
 }

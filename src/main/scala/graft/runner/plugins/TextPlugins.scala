@@ -319,6 +319,43 @@ object TextDecontaminatePlugin extends StepPlugin {
   }
 }
 
+/** `text_contamination_score` — graded per-doc benchmark overlap
+  * ([[SpanDedup.contaminationScore]]): the continuous complement to
+  * `text_decontaminate`'s hard drop — fraction of each doc's distinct
+  * word n-grams present anywhere in the benchmark, for thresholding
+  * and audit. Args: `input`, `benchmark_input`, `output_path`;
+  * optional `id_col` (doc_id), `text_col` (text), `ngram` (8),
+  * `max_contamination` (when set, also writes the docs at or below
+  * the threshold to `clean_path`).
+  */
+object TextContaminationScorePlugin extends StepPlugin {
+  val name = "text_contamination_score"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(8)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val bench = ctx.spark.read.parquet(ctx.argStr("benchmark_input"))
+    SpanDedup.contaminationScore(docs, bench, idCol, col(textCol), n)
+      .write.mode("overwrite").parquet(out)
+    val scores = ctx.spark.read.parquet(out)
+    val extra = ctx.argOpt("max_contamination").map { t =>
+      val thr = t.toString.toDouble
+      val cleanPath = ctx.argStr("clean_path")
+      docs.join(scores.filter(col("contamination") <= thr)
+          .select(col(idCol)), Seq(idCol))
+        .write.mode("overwrite").parquet(cleanPath)
+      Map[String, Any]("clean_path" -> cleanPath,
+        "n_clean" -> ctx.spark.read.parquet(cleanPath).count())
+    }.getOrElse(Map.empty[String, Any])
+    StepResult(Map("output_path" -> out, "n_scored" -> scores.count(),
+      "n_flagged" -> scores.filter(col("contamination") > 0).count())
+      ++ extra)
+  }
+}
+
 /** `text_pack` — sequence packing ([[SequencePack.pack]]): assign every
   * doc its (pack_id, pack_offset) training-sequence coordinates via the
   * distributed two-pass prefix sum.

@@ -119,6 +119,25 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out(6L) == (1L, 0L)) // sub-n doc still emits a row
   }
 
+  test("SpanDedup.contaminationScore: benchmark docs 1.0, clean docs " +
+    "0.0, partial copies graded; short docs emit nothing") {
+    val corpus = Seq(
+      (1L, "a b c d e"),           // the benchmark doc itself
+      (2L, "a b c d x"),           // shares bigrams a-b b-c c-d of 4
+      (3L, "p q r s t"),           // disjoint
+      (4L, "z"))                   // shorter than n — no grams
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 1L)
+    val out = SpanDedup.contaminationScore(corpus, bench, "doc_id",
+      col("text"), n = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 3L, 0.75)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
   test("SpanDedup.sourceOverlap: unordered pairs, distinct shingles, cap") {
     val d = Seq(
       (1L, "a b c", "s1"), (2L, "a b z", "s2"), (3L, "b c y", "s2"),

@@ -775,6 +775,41 @@ class RunnerSpec extends SparkSpecBase {
     assert(clean.subsetOf(Set(2L, 4L)))
   }
 
+  test("text_contamination_score grades overlap and cuts at the threshold") {
+    val root = tmpDir()
+    import spark.implicits._
+    val bench = root.resolve("bench").toString
+    Seq((100L, "one two three four five"))
+      .toDF("doc_id", "text").write.parquet(bench)
+    val corpus = root.resolve("corpus").toString
+    Seq((1L, "one two three four five"),      // full copy -> 1.0
+      (2L, "one two three nine ten"),         // partial
+      (3L, "alpha beta gamma delta eps"))     // clean -> 0.0
+      .toDF("doc_id", "text").write.parquet(corpus)
+    val p = write(root, "score.yml",
+      s"""steps:
+         |  - plugin: text_contamination_score
+         |    args:
+         |      input: "$corpus"
+         |      benchmark_input: "$bench"
+         |      ngram: 2
+         |      max_contamination: 0.5
+         |      output_path: "$root/scores"
+         |      clean_path: "$root/clean"
+         |""".stripMargin)
+    val r = runner(root).runFile(p)
+    val f = r.results.head.fields
+    assert(f("n_scored") == 3L && f("n_flagged") == 2L)
+    val scores = spark.read.parquet(s"$root/scores")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(scores(1L) == 1.0 && scores(3L) == 0.0)
+    assert(scores(2L) > 0.0 && scores(2L) < 1.0)
+    // threshold 0.5 keeps the partial (2/4 grams = 0.5) and the clean doc
+    val clean = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L), s"got $clean with scores $scores")
+  }
+
   test("conditional_get honors ETag when the server sends no mtime (S1)") {
     // a server that varies ONLY ETag (no Last-Modified): without
     // If-None-Match replay every re-run would re-download
