@@ -142,7 +142,11 @@ object PlanDump {
       "WITHIN partitions only."),
     "bloom_membership" -> ("Bloom decontamination: the <=m-row filter " +
       "BROADCASTS onto the probe side; only (id, position) pairs " +
-      "reach the per-id aggregate — the text column never shuffles."))
+      "reach the per-id aggregate — the text column never shuffles."),
+    "contamination_score" -> ("Graded contamination: both sides fold " +
+      "to DISTINCT (doc, shingle) rows before the shuffle-hash " +
+      "overlap join (multiplicity <=1 by construction — no posting " +
+      "blowup, no df cap needed)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
