@@ -180,12 +180,23 @@ object Bench {
         System.err.println(s"[bench] duckdb pairing unavailable: ${e.getMessage}")
         None
       }
+    // In sequential-only mode there IS no concurrent wall: omit the
+    // concurrent fields and wall-derived ratios entirely (a -1.0
+    // sentinel reads as a real number to any tooling that compares
+    // headline walls across rounds and misses the mode field); the
+    // headline value becomes the sequential wall.
     val duckJson = duck.map { case (total, times, errs) =>
       val ratioSeq = if (total > 0) seqWall / total else -1.0
-      val ratioWall = if (total > 0) wall / total else -1.0
-      s""","duck_sequential_total_sec":$total,"duck_errors":$errs,"spark_seq_vs_duck":$ratioSeq,"spark_wall_vs_duck":$ratioWall,"queries_duck":${fmt(times)}"""
+      val ratioWall =
+        if (seqOnly || total <= 0) ""
+        else s""","spark_wall_vs_duck":${wall / total}"""
+      s""","duck_sequential_total_sec":$total,"duck_errors":$errs,"spark_seq_vs_duck":$ratioSeq$ratioWall,"queries_duck":${fmt(times)}"""
     }.getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$wall,"unit":"sec","mode":"$mode","sum_query_sec":$sum,"queries":${fmt(best)},"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson,"sf":"$sfDir"}"""
+    val headline = if (seqOnly) seqWall else wall
+    val concJson =
+      if (seqOnly) ""
+      else s""""sum_query_sec":$sum,"queries":${fmt(best)},"""
+    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson,"sf":"$sfDir"}"""
     // the full distribution goes to a FILE the repo keeps: the driver
     // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
     // long line (and with it every per-query value alphabetically early)
@@ -202,10 +213,13 @@ object Bench {
     // pairing, so the artifact is interpretable without archaeology
     val duckTail = duck.map { case (total, _, errs) =>
       val rs = if (total > 0) seqWall / total else -1.0
-      val rw = if (total > 0) wall / total else -1.0
-      s""","duck_seq":$total,"duck_errors":$errs,"spark_seq_vs_duck":$rs,"spark_wall_vs_duck":$rw"""
+      val rw =
+        if (seqOnly || total <= 0) ""
+        else s""","spark_wall_vs_duck":${wall / total}"""
+      s""","duck_seq":$total,"duck_errors":$errs,"spark_seq_vs_duck":$rs$rw"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","mode":"$mode","n_queries":${tasks.size},"sum_query_sec":$sum,"sequential_total_sec":$seqWall$duckTail,"full_distribution":"$outFile","sf":"$sfDir"}""")
+    val concTail = if (seqOnly) "" else s""""sum_query_sec":$sum,"""
+    println(s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":$seqWall$duckTail,"full_distribution":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,9 +79,16 @@ object Bloom {
         .otherwise(array().cast("array<int>")).as("__ps"))
     // LEFT join so items with zero hits survive; count matched
     // positions and compare to the item's own distinct-position count
+    // DISTINCT the filter's positions defensively: callers may supply a
+    // filter relation read from arbitrary parquet, and duplicate `p`
+    // rows would multiply join matches (__nh > __np), turning the
+    // membership test FALSE for true members — a false negative,
+    // violating the operator's central guarantee. The dedup is free
+    // (the relation is ≤ m ≤ 65536 rows by contract).
     withPos.select(col("id"), size(col("__ps")).as("__np"),
         explode_outer(col("__ps")).as("p"))
-      .join(broadcast(filter.select(col("p"), lit(1).as("__hit"))),
+      .join(broadcast(filter.select(col("p")).distinct()
+          .withColumn("__hit", lit(1))),
         Seq("p"), "left")
       .groupBy("id")
       .agg(max(col("__np")).as("__np"), count(col("__hit")).as("__nh"))

@@ -62,33 +62,68 @@ object KCore {
     // remaining rounds are skipped with an identical result (rounds
     // stays the semantic upper bound the caller/oracle declares)
     var curCount = cur.count()
+    // Degrees are MAINTAINED INCREMENTALLY across rounds, not
+    // re-aggregated from the full surviving edge set each round (which
+    // at scale was the dominant residual — one edge-set-sized shuffle
+    // per round even when the peel removes almost nothing): when the
+    // peeled side is the smaller one, the new degree table is the old
+    // one minus the endpoint contributions of the REMOVED edges — an
+    // aggregate over a set that shrinks to near-empty as the fixpoint
+    // approaches, joined against the node-sized degree table. Early
+    // aggressive rounds (most nodes peeled) still recompute from the
+    // small survivor set, whichever is cheaper — the same
+    // smaller-side rule the join frontier already uses. Invariant at
+    // the top of every round: degs == degrees(cur).
+    var degs = pin(degrees(cur))
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val degs = degrees(cur).persist(StorageLevel.MEMORY_AND_DISK)
         val cnt = degs.agg(
           coalesce(sum(when(col("deg") < k, 1L).otherwise(0L)), lit(0L))
             .as("nbad"),
           count(lit(1)).as("nall")).head()
         val nBad = cnt.getLong(0)
-        val antiOnBad = nBad <= cnt.getLong(1) - nBad
-        val (frontier, joinType) =
-          if (antiOnBad) (degs.filter(col("deg") < k), "left_anti")
-          else (degs.filter(col("deg") >= k), "left_semi")
-        val side = frontier.select("node")
-        val next = pin(cur
-          .join(side.withColumnRenamed("node", "a"), Seq("a"), joinType)
-          .join(side.withColumnRenamed("node", "b"), Seq("b"), joinType)
-          .select("a", "b"))
-        degs.unpersist()
-        val nextCount = next.count()
-        cur.unpersist()
-        cur = next
-        converged = nextCount == curCount
-        curCount = nextCount
+        if (nBad == 0L) converged = true
+        else {
+          val antiOnBad = nBad <= cnt.getLong(1) - nBad
+          val bad = degs.filter(col("deg") < k).select("node")
+          val keep = degs.filter(col("deg") >= k).select("node")
+          val (side, joinType) =
+            if (antiOnBad) (bad, "left_anti") else (keep, "left_semi")
+          val next = pin(cur
+            .join(side.withColumnRenamed("node", "a"), Seq("a"), joinType)
+            .join(side.withColumnRenamed("node", "b"), Seq("b"), joinType)
+            .select("a", "b"))
+          val nextCount = next.count()
+          val newDegs = pin(
+            if (antiOnBad) {
+              // removed = cur \ next = edges with an endpoint in `bad`
+              // (deduped: an edge with BOTH endpoints bad must count
+              // once, contributing 1 to each endpoint's decrement)
+              val badA = bad.withColumnRenamed("node", "a")
+              val badB = bad.withColumnRenamed("node", "b")
+              val removed =
+                cur.join(badA, Seq("a"), "left_semi").unionAll(
+                  cur.join(badB, Seq("b"), "left_semi")
+                    .join(badA, Seq("a"), "left_anti"))
+              val removedDeg = degrees(removed)
+                .withColumnRenamed("deg", "__rm")
+              degs.filter(col("deg") >= k)
+                .join(removedDeg, Seq("node"), "left")
+                .select(col("node"),
+                  (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
+                .filter(col("deg") > 0)
+            } else degrees(next))
+          degs.unpersist()
+          cur.unpersist()
+          cur = next
+          degs = newDegs
+          converged = nextCount == curCount
+          curCount = nextCount
+        }
       }
     }
-    degrees(cur)
+    degs
       .select(col("node"), col("deg").cast("long").as("deg"),
         (col("deg") >= k).as("in_core"))
   }

@@ -212,7 +212,11 @@ object TextQueries extends QueryGroup {
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("__ta"), col("__tb")).as("edit_dist"))
+        // banded iterative-deepening Levenshtein: bit-identical to the
+        // builtin full DP (LevenshteinSpec pins equality), O(d·n)
+        // instead of O(n·m) per pair — d is tiny on J ≥ 0.5 candidates
+        graft.functions.LevenshteinFunctions
+          .bandedLevenshtein(col("__ta"), col("__tb")).as("edit_dist"))
   }
 
   /** Repetition detection (the Gopher-family quality rule, public

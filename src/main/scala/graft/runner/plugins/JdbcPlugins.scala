@@ -101,28 +101,56 @@ object JdbcWritePlugin extends StepPlugin {
     * unchanged, so results are byte-identical to the row-insert path. */
   private def duckdbBulkWrite(df: org.apache.spark.sql.DataFrame,
                               url: String, table: String,
-                              sparkMode: String): Unit = {
+                              sparkMode: String,
+                              props: Properties): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_duck_bulk")
     try {
       df.write.mode("overwrite").parquet(tmp.toString)
+      val staged = Option(tmp.toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .exists(_.getName.endsWith(".parquet"))
+      if (!staged) {
+        // An empty DataFrame (e.g. AQE's empty-relation optimization
+        // after a filter that matched nothing) stages zero part files,
+        // and read_parquet on an empty glob throws. Route the empty
+        // write through the Spark JDBC writer instead: it creates the
+        // table from the schema and inserts nothing — the row-insert
+        // path's semantics, at zero cost since there are no rows.
+        df.write.mode(sparkMode).jdbc(url, table, props)
+      } else {
       val glob = s"${tmp.toAbsolutePath}/*.parquet"
       val con = java.sql.DriverManager.getConnection(url)
       try {
         // one statement per operation: DuckDB's JDBC statement closes
-        // together with its result set
+        // together with its result set. The exists-probe must
+        // distinguish "table does not exist" from every other failure:
+        // treating a transient error as "absent" would turn an append
+        // into CREATE OR REPLACE and silently drop existing rows, so
+        // only DuckDB's does-not-exist catalog message maps to false
+        // and anything else rethrows.
         val exists =
           try {
             val st = con.createStatement()
             st.executeQuery(s"SELECT 1 FROM $table LIMIT 0").close()
             true
-          } catch { case _: java.sql.SQLException => false }
+          } catch {
+            case e: java.sql.SQLException
+                if Option(e.getMessage).exists(
+                  _.contains("does not exist")) => false
+          }
         val sql =
           if (sparkMode == "overwrite" || !exists)
             s"CREATE OR REPLACE TABLE $table AS " +
               s"SELECT * FROM read_parquet('$glob')"
-          else s"INSERT INTO $table SELECT * FROM read_parquet('$glob')"
+          // BY NAME: resolve target columns by name, not position —
+          // appending to a pre-existing table whose column order
+          // differs from the DataFrame must not write values into the
+          // wrong columns (the Spark JDBC writer resolves by name too).
+          else s"INSERT INTO $table BY NAME " +
+            s"SELECT * FROM read_parquet('$glob')"
         con.createStatement().execute(sql)
       } finally con.close()
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -138,7 +166,7 @@ object JdbcWritePlugin extends StepPlugin {
                             url: String, table: String, sparkMode: String,
                             props: Properties): Unit =
     if (url.startsWith("jdbc:duckdb:"))
-      duckdbBulkWrite(df, url, table, sparkMode)
+      duckdbBulkWrite(df, url, table, sparkMode, props)
     else df.write.mode(sparkMode).jdbc(url, table, props)
 
   /** Core sink logic, callable outside the runner (the oracle's

@@ -21,6 +21,18 @@ class BloomSpec extends SparkSpecBase {
     assert(probed.filter(!col("maybe_member")).isEmpty)
   }
 
+  test("a filter with DUPLICATE position rows still has no false " +
+      "negatives (probe dedups defensively)") {
+    // filter_path parquet from an arbitrary producer may carry dup
+    // rows; without the internal distinct they multiply join matches
+    // (__nh > __np) and flip true members to FALSE — ADVICE r8 pin
+    val in = strs("in", 200)
+    val f = Bloom.build(in, col("v"), k, m)
+    val dup = f.unionAll(f).unionAll(f.limit(7))
+    val probed = Bloom.probe(in, col("v"), col("v"), dup, k, m)
+    assert(probed.filter(!col("maybe_member")).isEmpty)
+  }
+
   test("false positives exist in principle but stay near (bits/m)^k") {
     val in = strs("in", 500)
     val f = Bloom.build(in, col("v"), k, m).cache()
