@@ -468,6 +468,37 @@ object CorpusShardPlugin extends StepPlugin {
   }
 }
 
+/** `shard_manifest` — per-shard trainer manifest over a sharded cut
+  * ([[graft.operators.Shard.manifest]]): doc/token/char totals per
+  * shard, the sidecar a training job reads to size epochs/steps
+  * before touching data. One map-side-combinable aggregate keyed by
+  * the bounded shard id.
+  *
+  * Args: `input` (a sharded directory or assign table carrying
+  * `shard`), `output_path`; optional `tokens_expr` / `chars_expr`
+  * (SQL expressions over the cut's columns, default 0 when the cut
+  * carries no such column — doc counts alone still pin balance).
+  */
+object ShardManifestPlugin extends StepPlugin {
+  val name = "shard_manifest"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val cut = ctx.spark.read.parquet(ctx.argStr("input"))
+    val toks = expr(ctx.argOpt("tokens_expr").map(_.toString)
+      .getOrElse("0"))
+    val chars = expr(ctx.argOpt("chars_expr").map(_.toString)
+      .getOrElse("0"))
+    graft.operators.Shard.manifest(cut, toks, chars)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val m = ctx.spark.read.parquet(out)
+    val agg = m.agg(coalesce(sum("n_docs"), lit(0L)).as("d"),
+      count(lit(1)).as("s")).head()
+    StepResult(Map("output_path" -> out, "n_docs" -> agg.getLong(0),
+      "n_shards" -> agg.getLong(1)))
+  }
+}
+
 /** `corpus_diff` — snapshot diff between two document tables
   * ([[graft.operators.CorpusDiff.diff]]): one row per id with status
   * added / removed / changed / unchanged — the audit that turns a full

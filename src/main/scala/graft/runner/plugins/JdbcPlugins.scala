@@ -256,5 +256,5 @@ object DefaultRegistry {
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
     TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
     CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin,
-    TextContaminationScorePlugin))
+    TextContaminationScorePlugin, ShardManifestPlugin))
 }

@@ -54,6 +54,36 @@ class ScaleDataSpec extends SparkSpecBase {
     scaled.unpersist()
   }
 
+  test("full-schema scale-up keeps FKs consistent: equi-joins grow " +
+    "exactly xR, fixed dims stay single-copy") {
+    def rd(t: String) = spark.read.parquet(s"$sf/$t.parquet")
+    val shared = ScaleData.globalStride(spark, sf,
+      Seq("lineitem", "orders", "customer", "supplier", "part",
+        "events", "documents", "embeddings"))
+    def sc(t: String) = ScaleData.scale(t, rd(t), R, Some(shared))
+    val li = sc("lineitem").cache()
+    val ord = sc("orders").cache()
+    val cust = sc("customer").cache()
+    val nat = sc("nation")
+    // lineitem ⋈ orders: every line finds exactly its order in its own
+    // replica — never R² (verbatim replication would), never dangling
+    val baseLiOrd = rd("lineitem").join(rd("orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      == baseLiOrd * R)
+    assert(li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .isEmpty, "dangling l_orderkey FK after scale-up")
+    // orders ⋈ customer likewise
+    assert(ord.join(cust, col("o_custkey") === col("c_custkey"),
+      "left_anti").isEmpty, "dangling o_custkey FK after scale-up")
+    // fixed dims: single copy, and every (replicated) customer still
+    // resolves its nation
+    assert(nat.count() == rd("nation").count())
+    assert(cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .count() == cust.count())
+    Seq(li, ord, cust).foreach(_.unpersist())
+  }
+
   test("embeddings: per-replica sign pattern decorrelates replicas but " +
     "keeps norms (replica 0 untouched)") {
     val base = spark.read.parquet(s"$sf/embeddings.parquet")

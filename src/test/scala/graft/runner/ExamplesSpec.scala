@@ -125,7 +125,7 @@ class ExamplesSpec extends SparkSpecBase {
   test("examples/training_cut.yml runs: scrub → dedup → decontaminate → " +
     "mixture → pack (the full assembly)") {
     val (work, res) = run("training_cut.yml")
-    assert(res.results.size == 8)
+    assert(res.results.size == 10)
     val scrub = res.results(0).fields
     // the corpus is digit-free, so real redaction counts are zero —
     // the step still rewrites the text column end to end
@@ -170,6 +170,26 @@ class ExamplesSpec extends SparkSpecBase {
     val moved = c0.count { case (k, v) => c1(k) != v }
     assert(moved > c0.size / 2,
       s"epoch 1 must re-key the permutation, only $moved/${c0.size} moved")
+    // both epochs' MANIFESTS (the trainer-facing sidecar): cover the
+    // same total under the same balance law — every shard populated,
+    // doc and token totals identical across epochs (same rows, just
+    // permuted), per-shard loads within the hash-balance envelope
+    def mf(i: Int) = spark.read
+      .parquet(res.results(i).fields("output_path").toString)
+      .select(col("shard").cast("int"), col("n_docs"), col("n_tokens"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (m0, m1) = (mf(8), mf(9))
+    assert(m0.keySet == Set(0, 1, 2, 3) && m1.keySet == Set(0, 1, 2, 3))
+    assert(m0.values.map(_._1).sum == m1.values.map(_._1).sum)
+    assert(m0.values.map(_._2).sum == m1.values.map(_._2).sum,
+      "token totals must be permutation-invariant")
+    Seq(m0, m1).foreach { m =>
+      val loads = m.values.map(_._1)
+      val mean = loads.sum.toDouble / loads.size
+      loads.foreach(l => assert(math.abs(l - mean) < mean * 0.5 + 8,
+        s"shard load $l far from mean $mean — balance law broken"))
+    }
     import scala.jdk.CollectionConverters._
     val stream = Files.walk(work)
     try {

@@ -49,6 +49,20 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     only = only or os.environ.get("SPARK_GRAFT_ONLY")
     ran = ({q.strip() for q in only.split(",") if q.strip()}
            if only else None)
+    # optional CORRECTNESS_r{N}.json-shaped artifact (builder-side scale
+    # gates commit these): per query rows/schema/hash verdicts
+    json_out = os.environ.get("PREFLIGHT_JSON")
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False,
+               hash_match=False, spark_rows=None, oracle_rows=None,
+               err=None):
+        report[name] = {"rows_match": rows_match,
+                        "schema_match": schema_match,
+                        "hash_match": hash_match,
+                        "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
@@ -61,6 +75,7 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
             # FULL-battery run (or a named query missing its dir): a
             # query that crashed before writing must fail the gate
             print(f"FAIL {name}: no result dir {res_dir}")
+            record(name, err=f"no result dir {res_dir}")
             n_fail += 1
             continue
         try:
@@ -70,6 +85,7 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
             rcols = sorted(ref.columns)
             if [c.lower() for c in mcols] != [c.lower() for c in rcols]:
                 print(f"FAIL {name}: cols mine={mcols} oracle={rcols}")
+                record(name, err=f"cols mine={mcols} oracle={rcols}")
                 n_fail += 1
                 continue
             mrows = sorted([tuple(norm(v) for v in r)
@@ -80,10 +96,15 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
                            key=sort_key)
             if len(mrows) != len(rrows):
                 print(f"FAIL {name}: rows mine={len(mrows)} oracle={len(rrows)}")
+                record(name, schema_match=True, spark_rows=len(mrows),
+                       oracle_rows=len(rrows))
                 n_fail += 1
                 continue
             if mrows == rrows:
                 print(f"PASS {name}: {len(mrows)} rows exact")
+                record(name, rows_match=True, schema_match=True,
+                       hash_match=True, spark_rows=len(mrows),
+                       oracle_rows=len(rrows))
                 n_pass += 1
                 continue
             # find worst diff
@@ -100,15 +121,78 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
                             worst = max(worst, abs(x - y))
             print(f"FAIL {name}: {bad}/{len(mrows)} rows differ, "
                   f"max_float_diff={worst:.3e}\n  mine:   {example[0]}\n  oracle: {example[1]}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(mrows), oracle_rows=len(rrows),
+                   err=f"{bad} rows differ, max_float_diff={worst:.3e}")
             n_fail += 1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            record(name, err=f"{type(e).__name__}: {e}")
             n_fail += 1
     skipped = f", {n_skip} not run" if n_skip else ""
     print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=1,
+                                             sort_keys=True))
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
+def bench_gate(path: str, ratio_cap: float = 4.0,
+               abs_floor_sec: float = 2.5,
+               abs_ceiling_sec: float = 30.0) -> int:
+    """Per-query DuckDB ratio gate over a Bench artifact.
+
+    Consumes the `queries_sequential` / `queries_duck` maps Bench emits
+    (the in-window self-pairing) and flags any query that is BOTH
+    > ratio_cap x its own oracle cost AND > abs_floor_sec absolute;
+    any query above abs_ceiling_sec flags unconditionally. A flagged
+    query is a per-query regression the headline total can hide.
+
+    Default calibration (green on the r8 156-query battery, red on any
+    new outlier): at the 60 MB gate scale Spark carries structural
+    per-query constants a single-process engine doesn't — ~1.1-1.3 s
+    per streaming drain (micro-batch machinery) and ~0.2-0.3 s per
+    round of iterative graph queries (job scheduling) — which INVERT at
+    scale (BASELINE.md sf10: DuckDB's recursive-CTE components 300.6 s
+    vs Spark 15.2 s). The floor sits above the drain constant and the
+    cap above the iterative-round band (worst legit today: k_core
+    3.6x); the 2x gate stays enforced where it is defined, on the
+    battery TOTAL. The ceiling catches absolute blowups that a huge
+    oracle cost would otherwise excuse (worst legit today:
+    dedup_components_dist 5.1 s).
+    """
+    d = json.loads(Path(path).read_text())
+    spark_q = d.get("queries_sequential") or {}
+    duck_q = d.get("queries_duck") or {}
+    if not duck_q:
+        print(f"bench-gate: {path} carries no queries_duck map "
+              f"(SPARK_GRAFT_SKIP_DUCK run?) — nothing to gate")
+        return 0
+    flagged = []
+    for name, s in sorted(spark_q.items()):
+        du = duck_q.get(name, -1.0)
+        if s < 0 or du <= 0:
+            continue  # failed query (caught by correctness) / no pair
+        if (s > abs_floor_sec and s > ratio_cap * du) \
+                or s > abs_ceiling_sec:
+            flagged.append((name, s, du, s / du))
+    n = len(spark_q)
+    paired = sum(1 for q in spark_q if duck_q.get(q, -1) > 0)
+    for name, s, du, r in flagged:
+        print(f"FLAG {name}: spark {s:.2f}s vs duck {du:.2f}s "
+              f"({r:.1f}x, cap {ratio_cap}x, floor {abs_floor_sec}s, "
+              f"ceiling {abs_ceiling_sec}s)")
+    tot_s = d.get("sequential_total_sec")
+    tot_d = d.get("duck_sequential_total_sec")
+    print(f"== bench-gate: {paired}/{n} paired, {len(flagged)} flagged; "
+          f"totals spark={tot_s} duck={tot_d} ==")
+    return 1 if flagged else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--bench":
+        extra = [float(a) for a in sys.argv[3:6]]
+        sys.exit(bench_gate(sys.argv[2], *extra))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   sys.argv[3] if len(sys.argv) > 3 else None))
