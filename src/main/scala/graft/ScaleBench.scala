@@ -1,0 +1,275 @@
+package graft
+
+/** One-command scale-proof harness: reproduces BASELINE.md's family
+  * scale tables (sf0.1 → sf1 → sf10) from a single entry point and
+  * emits a committed `SCALE_r{N}.json` artifact.
+  *
+  * What it automates (the previously-manual protocol):
+  *  1. ensures the scaled corpora exist — `/tmp/graft_sf1` (10×) and
+  *     `/tmp/graft_sf10` (100×), built by [[ScaleData]] from
+  *     `/root/testdata/sf0.1` with FK-consistent, disjoint-content
+  *     replicas (rebuilt automatically after container restarts);
+  *  2. runs each FAMILY's declared query subset at each SF in a CHILD
+  *     JVM with that family's config — shuffle partitions and heap
+  *     must track the data (the BASELINE.md partitions-track-data
+  *     rule), and heap is a JVM-start flag, hence child processes;
+  *     the three SFs of a family run back-to-back in one window so
+  *     the ratios are same-window (the ±40% cross-window noise rule);
+  *  3. counts the declared LINEARITY probes (pair-generating outputs
+  *     that must grow exactly ×R — dedup_jaccard's candidate pairs,
+  *     the component table, edit_distance's verified pairs) so the
+  *     wall ratios provably measure the engine, not a corpus
+  *     artifact.
+  *
+  * Usage:
+  *   sbt "runMain graft.ScaleBench SCALE_r9.json [sf0.1,sf1[,sf10]] [families]"
+  * Families default to all five (text, cc, vector, graph, stream);
+  * SFs default to sf0.1,sf1 (add sf10 explicitly for the ~20 min
+  * dress rehearsal). Child logs land in /tmp/scalebench_logs/.
+  *
+  * Internal: `--count <sfDir> <q1,q2,..>` is the child-mode entry that
+  * prints one JSON line of result-row counts for the linearity probes.
+  */
+object ScaleBench {
+
+  /** (shuffle partitions, heap) per SF tag — the measured-in configs
+    * from BASELINE.md's family tables. */
+  private type Cfg = Map[String, (Int, String)]
+
+  private val textCfg: Cfg = Map(
+    "sf0.1" -> (32, "8g"), "sf1" -> (64, "16g"), "sf10" -> (256, "48g"))
+  private val graphCfg: Cfg = Map(
+    "sf0.1" -> (32, "8g"), "sf1" -> (256, "32g"), "sf10" -> (1024, "96g"))
+
+  final case class Family(name: String, queries: Seq[String],
+                          linear: Seq[String], cfg: Cfg)
+
+  /** The declared family subsets — the BASELINE.md tables, verbatim. */
+  val families: Seq[Family] = Seq(
+    Family("text",
+      Seq("corpus_shuffle", "sequence_pack", "decontaminate", "bm25_topk",
+        "ngram_lm_score", "winnow_fingerprint", "dup_coverage",
+        "source_overlap", "sparse_cosine_pairs", "minhash_lsh_candidates",
+        "dedup_jaccard", "bpe_segment", "tfidf_topk", "simhash",
+        "quality_filter", "dsir_weights"),
+      linear = Seq("dedup_jaccard"), textCfg),
+    Family("cc",
+      Seq("dedup_components", "dedup_best_keeper", "dedup_clusters",
+        "dedup_components_dist", "edit_distance"),
+      linear = Seq("dedup_components", "edit_distance"), textCfg),
+    Family("vector",
+      Seq("sim_topk", "ann_recall_eval", "lsh_ann", "ivf_ann",
+        "quantized_rerank_topk", "semantic_dedup", "embedding_outliers",
+        "quantized_topk"),
+      linear = Seq.empty, textCfg),
+    Family("graph",
+      Seq("k_core", "triangle_count", "a2_weighted", "w1_rollsum",
+        "pagerank"),
+      linear = Seq.empty, graphCfg),
+    Family("stream",
+      Seq("stream_sliding_sum", "stream_daily_agg", "stream_cdc_merge",
+        "stream_interval_join", "stream_outer_join",
+        "stream_full_outer_join", "stream_session_agg",
+        "stream_running_totals", "funnel_steps", "sessionize"),
+      linear = Seq.empty, graphCfg))
+
+  private val sfDirs = Map(
+    "sf0.1" -> "/root/testdata/sf0.1",
+    "sf1" -> "/tmp/graft_sf1",
+    "sf10" -> "/tmp/graft_sf10")
+  private val sfFactors = Map("sf0.1" -> 1, "sf1" -> 10, "sf10" -> 100)
+
+  // same module flags build.sbt forks with — children create
+  // SparkSession outside spark-submit
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "--count") { countMode(args); return }
+    require(args.nonEmpty,
+      "usage: ScaleBench <out.json> [sfs,comma] [families,comma]")
+    val outPath = args(0)
+    val sfs = (if (args.length > 1) args(1).split(",").toSeq
+               else Seq("sf0.1", "sf1")).map(_.trim).filter(_.nonEmpty)
+    sfs.foreach(sf => require(sfDirs.contains(sf), s"unknown SF '$sf'"))
+    val fams = (if (args.length > 2)
+                  args(2).split(",").map(_.trim).filter(_.nonEmpty)
+                    .map(n => families.find(_.name == n)
+                      .getOrElse(sys.error(s"unknown family '$n'"))).toSeq
+                else families)
+
+    val logDir = java.nio.file.Paths.get("/tmp/scalebench_logs")
+    java.nio.file.Files.createDirectories(logDir)
+
+    sfs.filter(_ != "sf0.1").foreach(ensureCorpus)
+
+    // family-major, SFs back-to-back: same-window ratios
+    val results: Seq[(String, Map[String, Map[String, Double]],
+        Map[String, Map[String, Long]])] =
+      fams.map { fam =>
+        val perSf: Map[String, Map[String, Double]] = sfs.map { sf =>
+          val (shuffle, heap) = fam.cfg(sf)
+          val bench = java.nio.file.Files.createTempFile(
+            s"scalebench_${fam.name}_$sf", ".json")
+          val log = logDir.resolve(s"${fam.name}_$sf.log")
+          System.err.println(
+            s"[scalebench] ${fam.name} @ $sf ($shuffle parts, $heap)")
+          runChild("graft.Bench", heap, log, Map(
+            "SPARK_GRAFT_SF_DIR" -> sfDirs(sf),
+            "SPARK_GRAFT_CPUS" -> cpus,
+            "SPARK_GRAFT_SHUFFLE" -> shuffle.toString,
+            "SPARK_GRAFT_SEQ_ONLY" -> "1",
+            "SPARK_GRAFT_SKIP_DUCK" -> "1",
+            "SPARK_GRAFT_ONLY" -> fam.queries.mkString(","),
+            "SPARK_GRAFT_BENCH_OUT" -> bench.toString))
+          val parsed = MinJson.parse(
+            java.nio.file.Files.readString(bench))
+            .asInstanceOf[Map[String, Any]]
+          val seq = parsed("queries_sequential")
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[Double] }
+          java.nio.file.Files.deleteIfExists(bench)
+          sf -> seq
+        }.toMap
+        val counts: Map[String, Map[String, Long]] =
+          if (fam.linear.isEmpty) Map.empty
+          else sfs.map { sf =>
+            val (shuffle, heap) = fam.cfg(sf)
+            val cf = java.nio.file.Files.createTempFile(
+              s"scalecount_${fam.name}_$sf", ".json")
+            runChild("graft.ScaleBench", heap,
+              logDir.resolve(s"${fam.name}_${sf}_count.log"), Map(
+                "SPARK_GRAFT_CPUS" -> cpus,
+                "SPARK_GRAFT_SHUFFLE" -> shuffle.toString,
+                "SPARK_GRAFT_COUNT_OUT" -> cf.toString),
+              Seq("--count", sfDirs(sf), fam.linear.mkString(",")))
+            val m = MinJson.parse(java.nio.file.Files.readString(cf))
+              .asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+            java.nio.file.Files.deleteIfExists(cf)
+            sf -> m
+          }.toMap
+        (fam.name, perSf, counts)
+      }
+
+    val json = render(sfs, fams, results)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
+  }
+
+  private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Rebuild a scaled corpus if its directory is missing any table —
+    * /tmp does not survive restarts; ScaleData takes ~40 s (sf1). */
+  private def ensureCorpus(sf: String): Unit = {
+    val dir = sfDirs(sf)
+    val complete = Tables.names.forall(t =>
+      new java.io.File(s"$dir/$t.parquet").exists())
+    if (!complete) {
+      System.err.println(s"[scalebench] building $dir (factor ${sfFactors(sf)})")
+      runChild("graft.ScaleData", "16g",
+        java.nio.file.Paths.get(s"/tmp/scalebench_logs/scaledata_$sf.log"),
+        Map("SPARK_GRAFT_CPUS" -> cpus),
+        Seq("/root/testdata/sf0.1", dir, sfFactors(sf).toString, "all"))
+    }
+  }
+
+  private def runChild(mainClass: String, heap: String,
+                       log: java.nio.file.Path,
+                       env: Map[String, String],
+                       extraArgs: Seq[String] = Seq.empty): Unit = {
+    val java17 = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java17, s"-Xmx$heap") ++ jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, mainClass) ++ extraArgs
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val rc = pb.start().waitFor()
+    require(rc == 0, s"$mainClass exited $rc — see $log")
+  }
+
+  /** Child mode: count result rows of the named queries on `sfDir`
+    * (the linearity probes) and write one JSON object of counts. */
+  private def countMode(args: Array[String]): Unit = {
+    val Array(_, sfDir, qcsv) = args.take(3)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = qcsv.split(",").toSeq.map { q =>
+      q -> SparkEntry.queries(q)(spark, sfDir).count()
+    }
+    val json = counts.map { case (q, n) => s"${MinJson.str(q)}:$n" }
+      .mkString("{", ",", "}")
+    sys.env.get("SPARK_GRAFT_COUNT_OUT").foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json))
+    println(json)
+    spark.stop()
+  }
+
+  private def render(sfs: Seq[String], fams: Seq[Family],
+      results: Seq[(String, Map[String, Map[String, Double]],
+        Map[String, Map[String, Long]])]): String = {
+    def num(d: Double): String = f"$d%.3f"
+    val famJson = results.map { case (name, perSf, counts) =>
+      val fam = fams.find(_.name == name).get
+      val qJson = fam.queries.map { q =>
+        val per = sfs.flatMap { sf =>
+          perSf.get(sf).flatMap(_.get(q)).map(s => s""""$sf":${num(s)}""")
+        }
+        val base = perSf.get(sfs.head).flatMap(_.get(q)).getOrElse(-1.0)
+        val ratios = sfs.tail.flatMap { sf =>
+          perSf.get(sf).flatMap(_.get(q)).collect {
+            case s if base > 0 =>
+              s""""ratio_${sf}_vs_${sfs.head}":${num(s / base)}"""
+          }
+        }
+        s"${MinJson.str(q)}:{${(per ++ ratios).mkString(",")}}"
+      }
+      val totJson = {
+        val per = sfs.map { sf =>
+          val t = perSf.getOrElse(sf, Map.empty).values
+            .filter(_ >= 0).sum
+          s""""$sf":${num(t)}"""
+        }
+        s""""subset_total":{${per.mkString(",")}}"""
+      }
+      val cntJson =
+        if (counts.isEmpty) ""
+        else {
+          val perQ = fam.linear.map { q =>
+            val per = sfs.flatMap(sf =>
+              counts.get(sf).flatMap(_.get(q)).map(n => s""""$sf":$n"""))
+            val base = counts.get(sfs.head).flatMap(_.get(q))
+            val ok = base.exists(b => sfs.forall(sf =>
+              counts.get(sf).flatMap(_.get(q))
+                .contains(b * sfFactors(sf) / sfFactors(sfs.head))))
+            s"""${MinJson.str(q)}:{${per.mkString(",")},"exactly_linear":$ok}"""
+          }
+          s""","linearity_probes":{${perQ.mkString(",")}}"""
+        }
+      val cfgJson = sfs.map { sf =>
+        val (sh, hp) = fam.cfg(sf)
+        s""""$sf":"shuffle=$sh heap=$hp""""
+      }.mkString("{", ",", "}")
+      s"""${MinJson.str(name)}:{"config":$cfgJson,"queries":{${qJson.mkString(",")}},$totJson$cntJson}"""
+    }
+    s"""{"generated_by":"graft.ScaleBench","mode":"sequential per-query seconds, per-family config, SFs back-to-back in one window","sfs":[${sfs.map(MinJson.str).mkString(",")}],"families":{${famJson.mkString(",")}}}"""
+  }
+}
