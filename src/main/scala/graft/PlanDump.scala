@@ -146,7 +146,61 @@ object PlanDump {
     "contamination_score" -> ("Graded contamination: both sides fold " +
       "to DISTINCT (doc, shingle) rows before the shuffle-hash " +
       "overlap join (multiplicity <=1 by construction — no posting " +
-      "blowup, no df cap needed)."))
+      "blowup, no df cap needed)."),
+    "rollup_agg" -> ("ROLLUP grouping sets: Spark's Expand feeds ONE " +
+      "hash aggregate — all three grouping levels share a single " +
+      "exchange with map-side partials; decimal-exact sums."),
+    "salted_join" -> ("Skew-salted join: the hot fact key gains a " +
+      "salt from the row's own unique key, the dimension side " +
+      "EXPLODES x8 (dimension-sized, cheap) — the skewed key's rows " +
+      "spread over 8 partitions instead of one straggler task."),
+    "targeted_delete" -> ("GDPR-style targeted delete (workflow: the " +
+      "dumped plan is the survivor read-back): deletion keys SEMI-join " +
+      "the partition column set first, so only TOUCHED partitions " +
+      "rewrite — the rewrite cost scales with the hit set, not the " +
+      "table; untouched files stay byte-identical (PlanShapeSpec)."),
+    "incremental_rollup" -> ("Incremental rollup maintenance " +
+      "(workflow: the dumped plan is the final read-back): the delta " +
+      "aggregates ALONE (one small exchange) and full-outer-merges " +
+      "into the served rollup on the group key — maintenance cost " +
+      "tracks the delta, while the oracle recomputes from scratch."),
+    "a5_profile" -> ("Column profiling: every per-column stat folds in " +
+      "ONE pass over the table (single aggregate, no per-column " +
+      "scans); output is bounded by column count."),
+    "approx_quantile" -> ("Mergeable quantile sketch: partial " +
+      "percentile_approx buffers combine map-side; one bounded-row " +
+      "exchange regardless of data size."),
+    "dup_coverage" -> ("Span-dup coverage: the 8-gram posting " +
+      "self-join (df-capped) folds to per-doc duplicated-token " +
+      "counts; the coverage ratio is a stateless projection over " +
+      "ONE doc-keyed aggregate."),
+    "source_overlap" -> ("Cross-source overlap: DISTINCT (source, " +
+      "shingle) before the source-pair join — multiplicity <=1 per " +
+      "side caps the fanout at the true overlap size."),
+    "quality_percentile_filter" -> ("Quality floor: the per-source " +
+      "percentile threshold table is source-count-sized and " +
+      "broadcasts back onto the corpus — one aggregate exchange, one " +
+      "broadcast join, no window over the corpus."),
+    "repetition_ratio" -> ("Top-shingle repetition: shingle explode " +
+      "feeds two stacked doc-keyed aggregates (count, then max/sum) " +
+      "— the second reuses the first's partitioning, no join."),
+    "rolling_median" -> ("Rolling exact median: per-(zone) window " +
+      "sorts ride ONE exchange; the frame is row-bounded so state " +
+      "per key is constant."),
+    "ann_probe_sweep" -> ("Recall-vs-nprobe curve: the exact top-k " +
+      "joins each probe level's ANN top-k on (query, neighbor) — " +
+      "every join keyed, candidate sets k-bounded per query."),
+    "ann_recall_eval" -> ("ANN recall eval: brute-force truth is " +
+      "query-bounded (small query set x corpus scan), the IVF side " +
+      "prunes to probed clusters; the recall join is (query, " +
+      "neighbor)-keyed."),
+    "multimodal_meta" -> ("Multimodal metadata extraction: " +
+      "mapPartitions decode (no Expression form exists for codecs) " +
+      "with pruned binary column read; stateless per-row — no " +
+      "exchange at all."),
+    "image_resize" -> ("Image resize: same mapPartitions decode " +
+      "shape — per-row pixel work, zero shuffle; output geometry is " +
+      "a pure function of the input row."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

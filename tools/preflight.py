@@ -43,7 +43,11 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table (ScaleData corpora): a DIRECTORY of
+            # part files; DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     only = only or os.environ.get("SPARK_GRAFT_ONLY")
