@@ -85,7 +85,8 @@ object KCore {
         val nBad = cnt.getLong(0)
         if (nBad == 0L) converged = true
         else {
-          val antiOnBad = nBad <= cnt.getLong(1) - nBad
+          val nAll = cnt.getLong(1)
+          val antiOnBad = nBad <= nAll - nBad
           val bad = degs.filter(col("deg") < k).select("node")
           val keep = degs.filter(col("deg") >= k).select("node")
           val (side, joinType) =
@@ -95,8 +96,18 @@ object KCore {
             .join(side.withColumnRenamed("node", "b"), Seq("b"), joinType)
             .select("a", "b"))
           val nextCount = next.count()
-          val newDegs = pin(
-            if (antiOnBad) {
+          // Incremental only when the peeled set is genuinely SMALL
+          // (late rounds — where the full re-aggregation's edge-sized
+          // shuffle is pure waste): the update replaces a 2|next|-row
+          // shuffle with a 2|removed|-row one plus a node-sized join,
+          // but costs two extra (broadcast-side) passes over the
+          // cached edge set and an eager checkpoint of the degree
+          // table, so it only pays once |removed| << |next|. Early /
+          // balanced rounds recompute from `next` — one aggregate over
+          // a pinned cache, lineage already flat, plain lazy persist.
+          val incremental = antiOnBad && nBad * 8L < nAll
+          val newDegs =
+            if (incremental) {
               // removed = cur \ next = edges with an endpoint in `bad`
               // (deduped: an edge with BOTH endpoints bad must count
               // once, contributing 1 to each endpoint's decrement)
@@ -108,12 +119,15 @@ object KCore {
                     .join(badA, Seq("a"), "left_anti"))
               val removedDeg = degrees(removed)
                 .withColumnRenamed("deg", "__rm")
-              degs.filter(col("deg") >= k)
+              // pin (checkpoint): consecutive incremental rounds chain
+              // degs -> degs and would otherwise grow the logical tree
+              pin(degs.filter(col("deg") >= k)
                 .join(removedDeg, Seq("node"), "left")
                 .select(col("node"),
                   (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg"))
-                .filter(col("deg") > 0)
-            } else degrees(next))
+                .filter(col("deg") > 0))
+            } else
+              degrees(next).persist(StorageLevel.MEMORY_AND_DISK)
           degs.unpersist()
           cur.unpersist()
           cur = next
