@@ -229,11 +229,19 @@ object AdvancedQueries extends QueryGroup {
     * oracle computes the exact count and literal `true`. The row
     * hash-matches iff the sketch honors its error bound — a real
     * three-check green, not a `no_oracle` hole. Raw estimate accuracy
-    * additionally spec-pinned (PlanShapeSpec). */
+    * additionally spec-pinned (PlanShapeSpec).
+    *
+    * rsd is pinned to 0.01, NOT the 0.05 default: rsd is ONE standard
+    * deviation, so a 5% contract over a 5% sketch is a coin flip at
+    * scale — and the sf1 battery (200k distinct parts) caught exactly
+    * that, the estimate drifting past 5% while the sf0.01/sf0.1 runs
+    * had been lucky. At rsd=0.01 the 5% check is a ~5σ bound that
+    * holds at every SF; the cost is a 16 KB-per-group sketch instead
+    * of 1 KB — still constant, still mergeable. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
         count_distinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")) <=
