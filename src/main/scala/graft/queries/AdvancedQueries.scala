@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
@@ -19,12 +19,47 @@ object AdvancedQueries extends QueryGroup {
     * rows' NULL keys are coalesced to '(all)' so results sort stably in
     * any comparator (and both engines emit the identical sentinel). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+    groupingSetsFromLeaf(Tables.orders(spark, dir),
+      "o_orderstatus", "o_orderpriority", col("o_totalprice"),
+      Seq((true, true), (true, false), (false, true), (false, false)))
       .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
-        col("n"), col("total"))
+        col("n"), col("__sum").cast("double").as("total"))
+
+  /** Cube/rollup via LEAF RE-AGGREGATION instead of the builtin
+    * operators: the builtin plan Expands EVERY INPUT ROW once per
+    * grouping set before the partial aggregate (3-4x the scan-side CPU
+    * — at 100 TB, petabytes of rows through Expand), while COUNT and
+    * the decimal-exact SUM are algebraic, so the coarser sets re-fold
+    * EXACTLY from the finest (a, b) leaf. Plan: ONE full-data
+    * aggregate to the leaf (the only data-sized exchange), then Expand
+    * over the LEAF-SIZED result (dozens of rows) and a second, bounded
+    * aggregate. Bit-identical to the builtin: decimal addition is
+    * associative, and the final decimal→double cast happens once at
+    * the end (the [[Exact]] contract).
+    *
+    * `sets` lists (keepA, keepB) per grouping set; dropped keys become
+    * NULL like the builtin (group keys here are non-null by schema, so
+    * set-NULL cannot collide with data NULL). Output: a, b, `n`,
+    * `__sum` (still decimal — callers cast). */
+  private def groupingSetsFromLeaf(df: DataFrame, aName: String,
+      bName: String, value: Column,
+      sets: Seq[(Boolean, Boolean)]): DataFrame = {
+    val aT = df.schema(aName).dataType.catalogString
+    val bT = df.schema(bName).dataType.catalogString
+    val leaf = df.groupBy(col(aName), col(bName))
+      .agg(count(lit(1)).as("__n"),
+        sum(value.cast(Exact.DecimalT)).as("__s"))
+    leaf.select(explode(array(sets.map { case (ka, kb) =>
+        struct(
+          (if (ka) col(aName) else lit(null).cast(aT)).as("a"),
+          (if (kb) col(bName) else lit(null).cast(bT)).as("b"))
+      }: _*)).as("__g"), col("__n"), col("__s"))
+      .select(col("__g.a").as(aName), col("__g.b").as(bName),
+        col("__n"), col("__s"))
+      .groupBy(aName, bName)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("__sum"))
+  }
 
   /** Explicit GROUPING SETS — the general form cube/rollup compile to,
     * through the SQL front-end (an asymmetric set list neither shortcut
@@ -62,14 +97,16 @@ object AdvancedQueries extends QueryGroup {
       .select(col("o_orderkey"), col("pri_label"))
   }
 
-  /** ROLLUP over (returnflag, linestatus). */
+  /** ROLLUP over (returnflag, linestatus) — leaf re-aggregation form
+    * (see [[groupingSetsFromLeaf]]): one full-data exchange instead of
+    * Expand x3 over every input row. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("qty"))
+    groupingSetsFromLeaf(Tables.lineitem(spark, dir),
+      "l_returnflag", "l_linestatus", col("l_quantity"),
+      Seq((true, true), (true, false), (false, false)))
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
-        col("n"), col("qty"))
+        col("n"), col("__sum").cast("double").as("qty"))
 
   /** lead/lag over each customer's order sequence (deterministic
     * tie-break on the unique key). */

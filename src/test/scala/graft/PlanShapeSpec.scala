@@ -37,6 +37,30 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("rollup_agg / cube_agg: Expand runs over the LEAF AGGREGATE, " +
+    "never over the scan (no input row crosses Expand)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate}
+    Seq(queries.AdvancedQueries.rollupAgg(spark, sf),
+      queries.AdvancedQueries.cubeAgg(spark, sf)).foreach { df =>
+      // the grouping-set fanout is a Generate (explode over the level
+      // array) in the leaf-reagg form; the builtin would be an Expand
+      val fanouts = df.queryExecution.optimizedPlan.collect {
+        case e: Expand => e.asInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.UnaryNode]
+        case g: Generate => g
+      }
+      assert(fanouts.nonEmpty, "no grouping-set fanout node found — " +
+        "plan changed shape entirely?")
+      // every fanout's subtree must contain the leaf Aggregate: the
+      // level multiplication touches dozens of leaf rows, not the
+      // full input (the builtin rollup/cube plan Expands the scan)
+      fanouts.foreach { e =>
+        assert(e.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"grouping-set fanout directly over input:\n$e")
+      }
+    }
+  }
+
   test("weighted_sample: the byWeight thinning adds NO exchange on top " +
     "of the weights plan (stateless projection + filter)") {
     val weights = queries.TextQueries.clusterSizeWeights(spark, sf)
