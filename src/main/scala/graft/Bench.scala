@@ -155,8 +155,13 @@ object Bench {
           val st = con.createStatement()
           graft.Tables.names.foreach { t =>
             val p = new java.io.File(s"$sfDir/$t.parquet")
+            // Spark-written tables (the ScaleData corpora) are
+            // DIRECTORIES of part files — DuckDB needs the glob form
+            val src =
+              if (p.isDirectory) s"${p.getAbsolutePath}/*.parquet"
+              else p.getAbsolutePath
             if (p.exists()) st.execute(
-              s"CREATE VIEW $t AS SELECT * FROM read_parquet('${p.getAbsolutePath}')")
+              s"CREATE VIEW $t AS SELECT * FROM read_parquet('$src')")
           }
           val oracleTasks = SparkEntry.oracleSql.toSeq.sortBy(_._1)
             .filter { case (name, _) => only.forall(_.contains(name)) }

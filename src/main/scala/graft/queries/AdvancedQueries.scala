@@ -273,13 +273,22 @@ object AdvancedQueries extends QueryGroup {
     * scale — and the sf1 battery (200k distinct parts) caught exactly
     * that, the estimate drifting past 5% while the sf0.01/sf0.1 runs
     * had been lucky. At rsd=0.01 the 5% check is a ~5σ bound that
-    * holds at every SF; the cost is a 16 KB-per-group sketch instead
-    * of 1 KB — still constant, still mergeable. */
+    * holds at every SF.
+    *
+    * Plan shape: the input is pre-DISTINCTed on (flag, partkey) and
+    * both aggregates run over the distinct pairs — HLL is
+    * duplicate-insensitive, so the estimate is identical, while the
+    * expensive per-row sketch update touches only distinct values and
+    * the mixed distinct/non-distinct aggregate's Expand (which doubles
+    * every input row) disappears entirely. Measured at sf1: 34.6 s
+    * (naive mixed form at rsd=0.01) → the distinct exchange + a
+    * 2M-row sketch pass. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
-        count_distinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")) <=
           col("exact_parts") * lit(0.05)).as("within_5pct"))

@@ -23,7 +23,11 @@ def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table (ScaleData corpora): directory of parts
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
