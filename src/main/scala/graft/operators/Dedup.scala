@@ -84,6 +84,62 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Cross-corpus near-dup audit — dedup a NEW corpus against a
+    * REFERENCE corpus (the "don't re-ingest yesterday's training data"
+    * pass every incremental crawl needs): for each new document, its
+    * best reference match by n-gram Jaccard (highest J, ties broken by
+    * smallest ref id), emitted only at J ≥ `minJaccard`. Unmatched new
+    * docs are absent — the clean side of an anti-join downstream.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] but two-sided —
+    * shingle posting equi-join between the corpora (never all-pairs,
+    * never a broadcast of a corpus-sized side), one size aggregate per
+    * side, and a per-new-doc struct-max (no window, no global sort).
+    * The optional `maxDocFreq` cap drops boilerplate shingles hot in
+    * EITHER corpus before the join; Jaccard denominators always use
+    * the true (uncapped) shingle counts.
+    */
+  def crossCorpusBest(newDf: DataFrame, refDf: DataFrame, idCol: String,
+                      text: Column, n: Int = 3, minJaccard: Double = 0.5,
+                      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shNew = Fingerprint.explodedShingleHashes(newDf, idCol, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shRef = Fingerprint.explodedShingleHashes(refDf, idCol, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pNew, pRef) = maxDocFreq match {
+      case Some(cap) =>
+        val keep = shNew.select(col("sh")).unionAll(shRef.select(col("sh")))
+          .groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("sh")
+        (shNew.join(keep, Seq("sh"), "left_semi"),
+          shRef.join(keep, Seq("sh"), "left_semi"))
+      case None => (shNew, shRef)
+    }
+    val sizesNew = shNew.groupBy(idCol).agg(count(lit(1)).as("n_new"))
+    val sizesRef = shRef.groupBy(idCol).agg(count(lit(1)).as("n_ref"))
+    val inter = pNew.select(col(idCol).as("doc_id"), col("sh"))
+      .join(pRef.select(col(idCol).as("ref_id"), col("sh"))
+        .hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizesNew.select(col(idCol).as("doc_id"), col("n_new")),
+        "doc_id")
+      .join(sizesRef.select(col(idCol).as("ref_id"), col("n_ref")),
+        "ref_id")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_new") + col("n_ref") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      // best ref per new doc: lexicographic struct-max = highest J,
+      // then smallest ref id (J ties are identical rationals, so the
+      // doubles tie identically in every engine)
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("__nr"),
+        col("n_common"))).as("__best"))
+      .select(col("doc_id"), (-col("__best.__nr")).as("ref_id"),
+        col("__best.n_common").as("n_common"),
+        col("__best.jaccard").as("jaccard"))
+  }
+
   /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
     * xxhash64 shingle hashes. Constant-size per doc; the scalable
     * near-dup representation. Signature as `sig` array column.

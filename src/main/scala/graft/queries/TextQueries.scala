@@ -390,6 +390,7 @@ object TextQueries extends QueryGroup {
     "corpus_clean" -> (corpusClean _),
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
+    "cross_corpus_dedup" -> (crossCorpusDedup _),
     "stratified_sample" -> (stratifiedSample _))
 
   /** Benchmark decontamination under the oracle: every 10th doc plays
@@ -406,6 +407,22 @@ object TextQueries extends QueryGroup {
       corpus = d.filter(col("doc_id") % 10 =!= 0),
       benchmark = d.filter(col("doc_id") % 10 === 0),
       idCol = "doc_id", text = col("text"), n = 8)
+  }
+
+  /** Cross-corpus dedup under the oracle: every 7th doc plays the
+    * REFERENCE corpus (yesterday's training set), the rest the new
+    * crawl; each new doc reports its best reference match at J ≥ 0.5
+    * ([[graft.operators.Dedup.crossCorpusBest]]). The corpus's J≥0.5
+    * near-dup clusters guarantee nonzero matches, so both the hit and
+    * miss paths execute. Spark counts 64-bit shingle hashes, DuckDB
+    * the n-gram strings — equal distinct counts (the dedup_jaccard
+    * equivalence). */
+  def crossCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.crossCorpusBest(
+      newDf = d.filter(col("doc_id") % 7 =!= 0),
+      refDf = d.filter(col("doc_id") % 7 === 0),
+      idCol = "doc_id", text = col("text"), n = 3, minJaccard = 0.5)
   }
 
   /** Deterministic stratified sampling under the oracle: language as
@@ -801,6 +818,31 @@ object TextQueries extends QueryGroup {
          |FROM pairs
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
+    "cross_corpus_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1),
+         |      i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END)) AS s FROM tok),
+         |newsh AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         |refsh AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         |szn AS (SELECT doc_id, COUNT(*) AS n FROM newsh GROUP BY 1),
+         |szr AS (SELECT doc_id, COUNT(*) AS n FROM refsh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS ref_id,
+         |    COUNT(*) AS n_common
+         |  FROM newsh a JOIN refsh b ON a.s = b.s GROUP BY 1, 2),
+         |scored AS (SELECT i.doc_id, i.ref_id, i.n_common,
+         |    i.n_common / (sn.n + sr.n - i.n_common) AS jaccard
+         |  FROM inter i
+         |  JOIN szn sn ON i.doc_id = sn.doc_id
+         |  JOIN szr sr ON i.ref_id = sr.doc_id
+         |  WHERE i.n_common / (sn.n + sr.n - i.n_common) >= 0.5),
+         |best AS (SELECT doc_id, ref_id, n_common, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, ref_id) AS rn FROM scored)
+         |SELECT doc_id, ref_id, n_common, jaccard
+         |FROM best WHERE rn = 1""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -256,5 +256,6 @@ object DefaultRegistry {
     TextLeakageSplitPlugin, TextClusterWeightsPlugin,
     TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
     CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin,
-    TextContaminationScorePlugin, ShardManifestPlugin))
+    TextContaminationScorePlugin, ShardManifestPlugin,
+    TextCrossDedupPlugin))
 }

@@ -67,6 +67,47 @@ object TextDedupPlugin extends StepPlugin {
   }
 }
 
+/** `text_cross_dedup` — dedup a new corpus AGAINST A REFERENCE corpus
+  * ([[Dedup.crossCorpusBest]]): the incremental-crawl pass that drops
+  * documents already present (near-verbatim) in yesterday's training
+  * set. Writes the per-doc best-match audit to `matches_path` (when
+  * given) and the cleaned corpus (matched docs dropped) to
+  * `output_path`.
+  *
+  * Args: `input` (new corpus), `reference_input`, `output_path`;
+  * optional `matches_path`, `id_col` (doc_id), `text_col` (text),
+  * `ngram` (3), `min_jaccard` (0.5), `max_doc_freq` (unset).
+  */
+object TextCrossDedupPlugin extends StepPlugin {
+  val name = "text_cross_dedup"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val idCol = ctx.argOpt("id_col").map(_.toString).getOrElse("doc_id")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val n = ctx.argOpt("ngram").map(_.toString.toInt).getOrElse(3)
+    val minJ = ctx.argOpt("min_jaccard").map(_.toString.toDouble)
+      .getOrElse(0.5)
+    val cap = ctx.argOpt("max_doc_freq").map(_.toString.toInt)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val ref = ctx.spark.read.parquet(ctx.argStr("reference_input"))
+    val matches = Dedup.crossCorpusBest(docs, ref, idCol, col(textCol),
+      n = n, minJaccard = minJ, maxDocFreq = cap)
+      .withColumnRenamed("doc_id", idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ctx.argOpt("matches_path").map(_.toString).foreach(p =>
+        matches.write.mode("overwrite").parquet(p))
+      docs.join(matches.select(idCol), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(out)
+      val nIn = docs.count()
+      val nMatched = matches.count()
+      StepResult(Map("output_path" -> out, "n_in" -> nIn,
+        "n_matched" -> nMatched, "n_kept" -> (nIn - nMatched)))
+    } finally matches.unpersist()
+  }
+}
+
 /** `text_quality` — per-document stats + language ID + keep/drop
   * verdict (the quality_filter surface as a pipeline step).
   *

@@ -734,6 +734,44 @@ class RunnerSpec extends SparkSpecBase {
     assert(merged == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
   }
 
+  test("text_cross_dedup drops near-verbatim matches of the reference " +
+      "corpus and keeps the rest") {
+    val root = tmpDir()
+    import spark.implicits._
+    val ref = root.resolve("ref").toString
+    Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").write.parquet(ref)
+    val corpus = root.resolve("new").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // verbatim
+      (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup
+      (3L, "completely unrelated fresh content here today"),
+      (4L, "pack my box with five dozen liquor jugs"))      // verbatim
+      .toDF("doc_id", "text").write.parquet(corpus)
+    val p = write(root, "crossdedup.yml",
+      s"""steps:
+         |  - plugin: text_cross_dedup
+         |    args:
+         |      input: "$corpus"
+         |      reference_input: "$ref"
+         |      min_jaccard: 0.5
+         |      matches_path: "$root/matches"
+         |      output_path: "$root/clean"
+         |""".stripMargin)
+    val r = runner(root).runFile(p)
+    val f = r.results.head.fields
+    assert(f("n_in") == 4L)
+    assert(f("n_matched").asInstanceOf[Long] >= 3L, f.toString) // 1,2,4
+    val clean = spark.read.parquet(s"$root/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean.contains(3L) && !clean.contains(1L) && !clean.contains(4L))
+    // the audit names the right reference doc for the verbatim copies
+    val m = spark.read.parquet(s"$root/matches")
+      .select("doc_id", "ref_id").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 100L && m(4L) == 101L)
+  }
+
   test("bloom_build + bloom_probe decontaminate through the DSL") {
     val root = tmpDir()
     import spark.implicits._
