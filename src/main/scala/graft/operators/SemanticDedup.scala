@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
+  /** SemDeDup's own scaling rule, as a helper so callers size k from
+    * the corpus instead of pinning it: k = n / targetClusterSize keeps
+    * the EXPECTED cluster size constant as the corpus grows, so the
+    * within-cluster pair work is n·targetClusterSize — linear in n —
+    * instead of the n²/k a fixed k degrades to. (The oracle query pins
+    * k=8 for cross-engine determinism at the gate SFs; SCALE_r09's
+    * semantic_dedup row measures that fixed-k form, which is why it
+    * grows super-linearly there — a parameter artifact, not a plan
+    * one.) Capped at [[Ivf.MaxK]]: the centroid table must stay a
+    * driver-sized constant. */
+  def kForCorpus(n: Long, targetClusterSize: Int = 1024): Int = {
+    require(targetClusterSize >= 1)
+    // overflow-safe ceil division (n can be Long.MaxValue)
+    val ceil = n / targetClusterSize +
+      (if (n % targetClusterSize > 0) 1L else 0L)
+    math.max(1L, math.min(Ivf.MaxK.toLong, ceil)).toInt
+  }
+
   /** @param corpus (id LONG, vec ARRAY<DOUBLE>)
     * @return one row per input id:
     *         (id, cluster_id, killer_id NULLABLE, keep BOOLEAN). */

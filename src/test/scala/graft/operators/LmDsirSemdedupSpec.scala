@@ -53,6 +53,18 @@ class LmDsirSemdedupSpec extends SparkSpecBase {
     assert(b < 1.0 && g > 1.0)
   }
 
+  test("SemanticDedup.kForCorpus: constant expected cluster size, " +
+      "MaxK-capped") {
+    // k grows with n so |cluster| ≈ target stays constant — the rule
+    // that keeps within-cluster pair work LINEAR in the corpus
+    assert(SemanticDedup.kForCorpus(1024, 1024) == 1)
+    assert(SemanticDedup.kForCorpus(1025, 1024) == 2)
+    assert(SemanticDedup.kForCorpus(1024 * 1000, 1024) == 1000)
+    assert(SemanticDedup.kForCorpus(0, 1024) == 1)
+    assert(SemanticDedup.kForCorpus(Long.MaxValue, 1024) ==
+      graft.operators.Ivf.MaxK)
+  }
+
   test("SemanticDedup.dedupe: same-cluster near-dups collapse to the min id") {
     // two tight clusters on orthogonal axes plus one lone vector;
     // within each cluster all pairs are near-identical (cosine ≈ 1)
