@@ -147,9 +147,16 @@ object PlanDump {
       "to DISTINCT (doc, shingle) rows before the shuffle-hash " +
       "overlap join (multiplicity <=1 by construction — no posting " +
       "blowup, no df cap needed)."),
-    "rollup_agg" -> ("ROLLUP grouping sets: Spark's Expand feeds ONE " +
-      "hash aggregate — all three grouping levels share a single " +
-      "exchange with map-side partials; decimal-exact sums."),
+    "rollup_agg" -> ("ROLLUP via leaf re-aggregation: one full-data " +
+      "aggregate to the finest leaf, then the grouping-set fanout " +
+      "(explode) multiplies LEAF-sized rows only — the builtin " +
+      "Expand-over-the-scan (3x scan-side CPU) is gone; algebraic " +
+      "re-fold keeps decimal-exact sums bit-identical."),
+    "cross_corpus_dedup" -> ("Cross-corpus dedup: two-sided shingle " +
+      "posting equi-join between the new and reference corpora " +
+      "(shuffle-hash — neither side broadcasts), size aggregates per " +
+      "side, per-new-doc struct-max best match (no window, no global " +
+      "sort)."),
     "salted_join" -> ("Skew-salted join: the hot fact key gains a " +
       "salt from the row's own unique key, the dimension side " +
       "EXPLODES x8 (dimension-sized, cheap) — the skewed key's rows " +
