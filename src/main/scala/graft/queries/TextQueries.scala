@@ -391,6 +391,7 @@ object TextQueries extends QueryGroup {
     "edit_distance" -> (editDistance _),
     "decontaminate" -> (decontaminate _),
     "cross_corpus_dedup" -> (crossCorpusDedup _),
+    "corpus_drift" -> (corpusDrift _),
     "stratified_sample" -> (stratifiedSample _))
 
   /** Benchmark decontamination under the oracle: every 10th doc plays
@@ -423,6 +424,19 @@ object TextQueries extends QueryGroup {
       newDf = d.filter(col("doc_id") % 7 =!= 0),
       refDf = d.filter(col("doc_id") % 7 === 0),
       idCol = "doc_id", text = col("text"), n = 3, minJaccard = 0.5)
+  }
+
+  /** Corpus drift audit under the oracle: the %7 reference/new split
+    * again; top 50 most over-represented terms in the new side by
+    * Laplace-smoothed probability ratio over the shared vocabulary
+    * ([[graft.operators.Drift.termDrift]]) — transcendental-free, so
+    * every probability and ratio is bit-identical cross-engine. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Drift.termDrift(
+      newDf = d.filter(col("doc_id") % 7 =!= 0),
+      refDf = d.filter(col("doc_id") % 7 === 0),
+      text = col("text"), topK = 50)
   }
 
   /** Deterministic stratified sampling under the oracle: language as
@@ -818,6 +832,27 @@ object TextQueries extends QueryGroup {
          |FROM pairs
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
+    "corpus_drift" ->
+      s"""WITH tn AS (SELECT unnest($toks) AS term FROM documents
+         |    WHERE doc_id % 7 <> 0),
+         |tr AS (SELECT unnest($toks) AS term FROM documents
+         |    WHERE doc_id % 7 = 0),
+         |cn AS (SELECT term, COUNT(*) AS c_new FROM tn
+         |  WHERE len(term) > 0 GROUP BY 1),
+         |cr AS (SELECT term, COUNT(*) AS c_ref FROM tr
+         |  WHERE len(term) > 0 GROUP BY 1),
+         |j AS (SELECT COALESCE(cn.term, cr.term) AS term,
+         |    COALESCE(c_new, 0) AS c_new, COALESCE(c_ref, 0) AS c_ref
+         |  FROM cn FULL OUTER JOIN cr ON cn.term = cr.term),
+         |tot AS (SELECT SUM(c_new) AS nn, SUM(c_ref) AS nr,
+         |    COUNT(*) AS v FROM j)
+         |SELECT term, c_new, c_ref,
+         |  CAST(c_new + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE) AS p_new,
+         |  CAST(c_ref + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE) AS p_ref,
+         |  (CAST(c_new + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)) /
+         |    (CAST(c_ref + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) AS ratio
+         |FROM j, tot
+         |ORDER BY ratio DESC, term LIMIT 50""".stripMargin,
     "cross_corpus_dedup" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
