@@ -60,4 +60,33 @@ object Drift {
       .orderBy(col("ratio").desc, col("term"))
       .limit(topK)
   }
+
+  /** Per-source out-of-vocabulary rate of a new corpus against the
+    * REFERENCE vocabulary: the fraction of token OCCURRENCES whose
+    * term the reference corpus never saw — the tokenizer/domain
+    * coverage signal that decides whether a new source needs a vocab
+    * refresh before it joins the mix. One distinct pass builds the
+    * vocabulary-sized reference side; the new corpus's token stream
+    * joins it keyed by term (shuffle-hash — the vocab grows with the
+    * reference, so no broadcast assumption) and folds to one bounded
+    * per-source row. Exact rational rate, one IEEE division.
+    *
+    * @return (source, n_tokens, n_oov, oov_rate) */
+  def oovRate(newDf: DataFrame, refDf: DataFrame, text: Column,
+              source: Column): DataFrame = {
+    val refVocab = refDf
+      .select(explode(TextStats.tokens(text)).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("__in_ref", lit(1))
+    newDf.select(source.as("source"),
+        explode(TextStats.tokens(text)).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(refVocab, Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_ref").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -392,6 +392,7 @@ object TextQueries extends QueryGroup {
     "decontaminate" -> (decontaminate _),
     "cross_corpus_dedup" -> (crossCorpusDedup _),
     "corpus_drift" -> (corpusDrift _),
+    "oov_rate" -> (oovRate _),
     "stratified_sample" -> (stratifiedSample _))
 
   /** Benchmark decontamination under the oracle: every 10th doc plays
@@ -437,6 +438,17 @@ object TextQueries extends QueryGroup {
       newDf = d.filter(col("doc_id") % 7 =!= 0),
       refDf = d.filter(col("doc_id") % 7 === 0),
       text = col("text"), topK = 50)
+  }
+
+  /** Per-source OOV rate under the oracle: the %7 reference/new split;
+    * fraction of each new source's token occurrences absent from the
+    * reference vocabulary ([[graft.operators.Drift.oovRate]]). */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Drift.oovRate(
+      newDf = d.filter(col("doc_id") % 7 =!= 0),
+      refDf = d.filter(col("doc_id") % 7 === 0),
+      text = col("text"), source = col("source"))
   }
 
   /** Deterministic stratified sampling under the oracle: language as
@@ -832,6 +844,20 @@ object TextQueries extends QueryGroup {
          |FROM pairs
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
+    "oov_rate" ->
+      s"""WITH rv AS (SELECT DISTINCT unnest($toks) AS term
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |rvf AS (SELECT term FROM rv WHERE len(term) > 0),
+         |nt AS (SELECT source, unnest($toks) AS term FROM documents
+         |    WHERE doc_id % 7 <> 0),
+         |ntf AS (SELECT source, term FROM nt WHERE len(term) > 0)
+         |SELECT source,
+         |  COUNT(*) AS n_tokens,
+         |  SUM(CASE WHEN rvf.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         |  CAST(SUM(CASE WHEN rvf.term IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         |FROM ntf LEFT JOIN rvf ON ntf.term = rvf.term
+         |GROUP BY source""".stripMargin,
     "corpus_drift" ->
       s"""WITH tn AS (SELECT unnest($toks) AS term FROM documents
          |    WHERE doc_id % 7 <> 0),
