@@ -257,5 +257,5 @@ object DefaultRegistry {
     TextTopicPairsPlugin, TextGroupSamplePlugin, CorpusShardPlugin,
     CorpusDiffPlugin, BloomBuildPlugin, BloomProbePlugin,
     TextContaminationScorePlugin, ShardManifestPlugin,
-    TextCrossDedupPlugin))
+    TextCrossDedupPlugin, TextDriftPlugin))
 }

@@ -108,6 +108,49 @@ object TextCrossDedupPlugin extends StepPlugin {
   }
 }
 
+/** `text_drift` — corpus drift audit against a reference corpus
+  * ([[graft.operators.Drift]]): writes the top-k over-represented
+  * terms (Laplace-smoothed probability ratio) to `output_path` and,
+  * when `oov_path` is given, the per-source out-of-vocabulary rates —
+  * the mixture-shift + tokenizer-coverage screen a refresh pipeline
+  * runs before accepting a new cut.
+  *
+  * Args: `input` (new corpus), `reference_input`, `output_path`;
+  * optional `oov_path`, `text_col` (text), `source_col` (source),
+  * `top_k` (50).
+  */
+object TextDriftPlugin extends StepPlugin {
+  val name = "text_drift"
+
+  def run(ctx: StepContext): StepResult = {
+    val out = ctx.argStr("output_path")
+    val textCol = ctx.argOpt("text_col").map(_.toString).getOrElse("text")
+    val srcCol = ctx.argOpt("source_col").map(_.toString)
+      .getOrElse("source")
+    val topK = ctx.argOpt("top_k").map(_.toString.toInt).getOrElse(50)
+    val docs = ctx.spark.read.parquet(ctx.argStr("input"))
+    val ref = ctx.spark.read.parquet(ctx.argStr("reference_input"))
+    graft.operators.Drift.termDrift(docs, ref, col(textCol), topK)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val drifted = ctx.spark.read.parquet(out)
+    val maxRatio = drifted.agg(coalesce(max(col("ratio")), lit(0.0)))
+      .head().getDouble(0)
+    val fields = scala.collection.mutable.Map[String, Any](
+      "output_path" -> out, "n_terms" -> drifted.count(),
+      "max_ratio" -> maxRatio)
+    ctx.argOpt("oov_path").map(_.toString).foreach { p =>
+      graft.operators.Drift.oovRate(docs, ref, col(textCol), col(srcCol))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      val oov = ctx.spark.read.parquet(p)
+      fields += ("oov_path" -> p)
+      fields += ("worst_oov_rate" ->
+        oov.agg(coalesce(max(col("oov_rate")), lit(0.0))).head()
+          .getDouble(0))
+    }
+    StepResult(fields.toMap)
+  }
+}
+
 /** `text_quality` — per-document stats + language ID + keep/drop
   * verdict (the quality_filter surface as a pipeline step).
   *

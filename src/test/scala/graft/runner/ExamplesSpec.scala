@@ -56,6 +56,33 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("examples/refresh_gate.yml runs: reference split -> drift/OOV " +
+    "audit -> cross-corpus dedup") {
+    val (work, res) = run("refresh_gate.yml")
+    assert(res.results.size == 4)
+    val drift = res.results(2).fields
+    assert(drift("n_terms").asInstanceOf[Long] > 0L, s"got $drift")
+    // same documents table on both sides of the split: no OOV terms,
+    // and no term can drift beyond the smoothed size-imbalance band
+    assert(drift("worst_oov_rate") == 0.0, s"got $drift")
+    assert(drift("max_ratio").asInstanceOf[Double] > 0.0 &&
+      drift("max_ratio").asInstanceOf[Double] < 3.0, s"got $drift")
+    val dedup = res.results(3).fields
+    // the corpus's J>=0.5 near-dup clusters straddle the %7 split, so
+    // the gate must catch real cross-corpus matches
+    assert(dedup("n_matched").asInstanceOf[Long] > 0L, s"got $dedup")
+    assert(dedup("n_kept") == dedup("n_in").asInstanceOf[Long] -
+      dedup("n_matched").asInstanceOf[Long])
+    import org.apache.spark.sql.functions.col
+    val matches = spark.read
+      .parquet(s"$work/refresh_gate/*/matches.parquet")
+    assert(matches.filter(col("jaccard") < 0.5).isEmpty)
+    // cleaned corpus disjoint from the matched ids, covers the rest
+    val clean = spark.read
+      .parquet(s"$work/refresh_gate/*/clean.parquet").count()
+    assert(clean == dedup("n_kept").asInstanceOf[Long])
+  }
+
   test("examples/corpus_refresh.yml runs: diff -> delta -> shards " +
     "(the incremental-refresh flow)") {
     val (_, res) = run("corpus_refresh.yml")

@@ -772,6 +772,43 @@ class RunnerSpec extends SparkSpecBase {
     assert(m(1L) == 100L && m(4L) == 101L)
   }
 
+  test("text_drift reports over-represented terms and per-source OOV") {
+    val root = tmpDir()
+    import spark.implicits._
+    val ref = root.resolve("ref").toString
+    Seq((100L, "srcA", "alpha beta gamma delta"),
+      (101L, "srcA", "alpha beta epsilon zeta"))
+      .toDF("doc_id", "source", "text").write.parquet(ref)
+    val corpus = root.resolve("new").toString
+    Seq((1L, "srcA", "alpha beta gamma delta"),
+      (2L, "srcB", "nova nova nova quasar"),   // all-new vocabulary
+      (3L, "srcA", "alpha epsilon zeta beta"))
+      .toDF("doc_id", "source", "text").write.parquet(corpus)
+    val p = write(root, "drift.yml",
+      s"""steps:
+         |  - plugin: text_drift
+         |    args:
+         |      input: "$corpus"
+         |      reference_input: "$ref"
+         |      top_k: 5
+         |      oov_path: "$root/oov"
+         |      output_path: "$root/drift"
+         |""".stripMargin)
+    val r = runner(root).runFile(p)
+    val f = r.results.head.fields
+    assert(f("n_terms") == 5L)
+    // 'nova' (3 new occurrences, absent from ref) must rank first
+    import org.apache.spark.sql.functions.col
+    val top = spark.read.parquet(s"$root/drift")
+      .orderBy(col("ratio").desc).select("term").head().getString(0)
+    assert(top == "nova", s"top drifted term was $top")
+    // srcB is 100% OOV, srcA fully covered
+    val oov = spark.read.parquet(s"$root/oov")
+      .select("source", "oov_rate").as[(String, Double)].collect().toMap
+    assert(oov("srcB") == 1.0 && oov("srcA") == 0.0, oov.toString)
+    assert(f("worst_oov_rate") == 1.0)
+  }
+
   test("bloom_build + bloom_probe decontaminate through the DSL") {
     val root = tmpDir()
     import spark.implicits._
