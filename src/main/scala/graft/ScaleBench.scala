@@ -100,9 +100,14 @@ object ScaleBench {
     require(args.nonEmpty,
       "usage: ScaleBench <out.json> [sfs,comma] [families,comma]")
     val outPath = args(0)
-    val sfs = (if (args.length > 1) args(1).split(",").toSeq
-               else Seq("sf0.1", "sf1")).map(_.trim).filter(_.nonEmpty)
-    sfs.foreach(sf => require(sfDirs.contains(sf), s"unknown SF '$sf'"))
+    val sfsRaw = (if (args.length > 1) args(1).split(",").toSeq
+                  else Seq("sf0.1", "sf1")).map(_.trim).filter(_.nonEmpty)
+    sfsRaw.foreach(sf => require(sfDirs.contains(sf), s"unknown SF '$sf'"))
+    // ascending by factor: the linearity probe divides by the FIRST
+    // SF's factor, so a descending list ("sf10,sf1") would truncate
+    // the expected count to 0 and report false on perfectly-linear
+    // data; ascending is also the canonical reporting order
+    val sfs = sfsRaw.sortBy(sfFactors)
     val fams = (if (args.length > 2)
                   args(2).split(",").map(_.trim).filter(_.nonEmpty)
                     .map(n => families.find(_.name == n)

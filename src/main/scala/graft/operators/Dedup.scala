@@ -129,15 +129,20 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common") / (col("n_new") + col("n_ref") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
-      // best ref per new doc: lexicographic struct-max = highest J,
-      // then smallest ref id (J ties are identical rationals, so the
-      // doubles tie identically in every engine)
-      .groupBy("doc_id")
-      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("__nr"),
-        col("n_common"))).as("__best"))
-      .select(col("doc_id"), (-col("__best.__nr")).as("ref_id"),
-        col("__best.n_common").as("n_common"),
-        col("__best.jaccard").as("jaccard"))
+      // best ref per new doc: highest J, ties by smallest ref id.
+      // row_number over (J desc, ref_id asc) — TYPE-AGNOSTIC in the id
+      // column (a struct-max over -ref_id would cast a string/UUID id
+      // to NULL and silently corrupt the audit output); J ties are
+      // identical rationals, so the doubles tie identically in every
+      // engine. The window partitions on doc_id — same shuffle key the
+      // old groupBy used, and the per-doc candidate list is threshold-
+      // bounded, so no partition grows with corpus size.
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("jaccard").desc, col("ref_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("ref_id"), col("n_common"),
+        col("jaccard"))
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over

@@ -82,7 +82,7 @@ object Drift {
     newDf.select(source.as("source"),
         explode(TextStats.tokens(text)).as("term"))
       .filter(length(col("term")) > 0)
-      .join(refVocab, Seq("term"), "left")
+      .join(refVocab.hint("shuffle_hash"), Seq("term"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in_ref").isNull, 1L).otherwise(0L)).as("n_oov"))

@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
   /** Whitespace tokenization after lowercase+trim (the cross-engine-
-    * reproducible baseline; a BPE estimate is layered on top). */
+    * reproducible baseline; a BPE estimate is layered on top).
+    *
+    * The split class is an EXPLICIT `[ \t\n\r]+`, not `\s+`: Java's
+    * `\s` is ASCII-only while other engines' regex libraries (RE2,
+    * and Unicode-aware builds of them) disagree on `\s` membership —
+    * an oracle comparison that hinges on `\s` is regex-library-
+    * version-sensitive. A literal character class means every engine
+    * tokenizes bit-identically. */
   def tokens(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+    split(trim(lower(text)), "[ \\t\\n\\r]+")
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")

@@ -288,7 +288,10 @@ object AdvancedQueries extends QueryGroup {
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
-        count(lit(1)).as("exact_parts"))
+        // count(col), not count(*): count_distinct ignores NULL keys,
+        // so a NULL partkey must not count as one distinct value here
+        // (TPC-H data never has one; other corpora can)
+        count(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")) <=
           col("exact_parts") * lit(0.05)).as("within_5pct"))
@@ -552,7 +555,7 @@ object AdvancedQueries extends QueryGroup {
       "count_min_merge" ->
         """WITH tok AS (
           |  SELECT source,
-          |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          |    unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')) AS w
           |  FROM documents),
           |hb AS (
           |  SELECT source, w, i,

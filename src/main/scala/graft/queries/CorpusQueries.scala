@@ -106,7 +106,7 @@ object CorpusQueries extends QueryGroup {
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        explode(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).as("term"))
       .groupBy("source")
       .agg(
         countDistinct("doc_id").as("n_docs"),
@@ -202,7 +202,7 @@ object CorpusQueries extends QueryGroup {
     val d = Tables.documents(spark, dir)
     graft.operators.Shard.manifest(
       graft.operators.Shard.assign(d, col("doc_id"), numShards = 8),
-      size(split(trim(lower(col("text"))), "\\s+")), col("n_chars"))
+      size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")), col("n_chars"))
   }
 
   /** Bloom-filter decontamination verdict
@@ -256,7 +256,7 @@ object CorpusQueries extends QueryGroup {
     "pii_scrub" -> (piiScrub _),
     "vocab_growth" -> (vocabGrowth _))
 
-  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val toks = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r]+')"
 
   /** Shared oracle CTE: one row per (doc_id, term, tf). */
   private val tfCte =
@@ -369,7 +369,7 @@ object CorpusQueries extends QueryGroup {
     "shard_manifest" ->
       s"""WITH s AS (
          |  SELECT ${graft.operators.Shard.sqlShard("doc_id", 8)} AS shard,
-         |    len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |    len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r]+'))
          |      AS n_tok,
          |    n_chars
          |  FROM documents WHERE doc_id IS NOT NULL)

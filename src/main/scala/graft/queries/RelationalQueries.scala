@@ -281,7 +281,7 @@ object RelationalQueries extends QueryGroup {
           |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
       "token_topk" ->
         """SELECT token, COUNT(*) AS n
-          |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')) AS token
           |      FROM documents) t
           |GROUP BY token
           |ORDER BY n DESC, token

@@ -385,7 +385,7 @@ object StreamingQueries extends QueryGroup {
     val agg = docs.filter(col("doc_id").isNotNull)
       .select(
         graft.operators.Shard.shardOf(col("doc_id"), 8).as("shard"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).cast("long")
           .as("n_tok"),
         col("n_chars"))
       .groupBy("shard")

@@ -195,7 +195,7 @@ object TextQueries extends QueryGroup {
   def dedupBestKeeper(spark: SparkSession, dir: String): DataFrame =
     Components.bestKeepers(candidatePairs(spark, dir), "doc_a", "doc_b",
       scores = Tables.documents(spark, dir).select(col("doc_id"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).cast("long")
           .as("n_tokens")),
       idCol = "doc_id", scoreCol = "n_tokens")
 
@@ -461,7 +461,7 @@ object TextQueries extends QueryGroup {
       col("doc_id"), col("lang"), sampleRates, defaultRate = 0.1)
       .select("doc_id", "lang", "sampled")
 
-  private val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val toks = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r]+')"
 
   /** The BPE learning recurrence as a CTE prefix (w, s0, p1..m1..s6 —
     * shared by bpe_learn and bpe_segment). Per-round stages are

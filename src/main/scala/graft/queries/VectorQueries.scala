@@ -382,7 +382,7 @@ object VectorQueries extends QueryGroup {
 
   private val shingleCte =
     """tok AS (SELECT doc_id,
-      |  regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |  regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |  CASE WHEN len(t) >= 3
       |    THEN list_transform(range(1, len(t) - 1),
@@ -665,7 +665,7 @@ object VectorQueries extends QueryGroup {
         .mkString(" || ")
       s"""WITH toks AS (
          |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |    unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r]+')) AS tok
          |  FROM documents),
          |agg AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,

@@ -54,7 +54,7 @@ class BpeSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
       .toSeq
     val words = docs.as[String].collect()
-      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .flatMap(_.split("[ \\t\\n\\r]+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
     assert(got == referenceMerges(words, 6),
       s"got $got\nref ${referenceMerges(words, 6)}")
@@ -149,7 +149,7 @@ class BpeSpec extends SparkSpecBase {
       docs: Seq[(Long, String)],
       merges: Seq[(String, String)]): Seq[(Long, Long, Long)] =
     docs.map { case (id, text) =>
-      val words = text.split("\\s+").filter(_.nonEmpty)
+      val words = text.split("[ \\t\\n\\r]+").filter(_.nonEmpty)
       val total = words.map { w =>
         var syms = w.map(_.toString).toVector
         merges.foreach { case (a, b) =>

@@ -103,7 +103,7 @@ class StreamOpsSpec extends SparkSpecBase {
     def manifestOf(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("doc_id").isNotNull)
       .select(Shard.shardOf(col("doc_id"), 8).as("shard"),
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).cast("long")
           .as("n_tok"), col("n_chars"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),

@@ -211,9 +211,85 @@ def bench_gate(path: str, ratio_cap: float = 6.0,
     return 1 if flagged else 0
 
 
+def bench_delta_gate(cur_path: str, prev_path: str,
+                     growth_cap: float = 1.5,
+                     duck_floor_sec: float = 0.1,
+                     spark_floor_sec: float = 2.5,
+                     min_delta_sec: float = 0.3,
+                     abs_ceiling_sec: float = 30.0) -> int:
+    """CROSS-ROUND per-query regression gate (the r9 judge's ask #4).
+
+    The absolute-cap gate (`--bench`) needs a cap wide enough to absorb
+    cross-window noise (±40% per side => per-query ratios legitimately
+    swing ~2x), which leaves it near-toothless for catching a real
+    per-query regression at sf0.1 where per-job constants dominate.
+    This gate instead pins each query's (spark_seq / duck_seq) ratio
+    against the SAME query's ratio in the PREVIOUS round's same-protocol
+    artifact: dividing by the in-window DuckDB cost cancels the
+    window's machine state, so a ratio that grew > growth_cap is plan
+    regression, not drift.
+
+    Guards (all must hold before a ratio flag):
+      - duck >= duck_floor in BOTH rounds (the oracle does comparable
+        work — codec/sink rows pair against trivial lookups);
+      - current spark >= spark_floor AND grew >= min_delta_sec
+        absolute. The floor is the SAME 2.5 s materiality floor the
+        absolute gate uses: spark-side and duck-side window noise are
+        INDEPENDENT (GC/JIT/cache state of a 32-thread JVM vs a
+        single-process engine), so duck normalization cancels machine
+        drift but not per-side variance, and sub-2.5 s queries swing
+        up to ~2x normalized between windows (measured r8->r9:
+        pagerank 1.04->1.66 s while its duck twin got FASTER). Below
+        the floor the correctness gate and the ceiling govern;
+      - anything above abs_ceiling_sec flags unconditionally, new or
+        old.
+    Queries new in the current round have no baseline — ceiling only.
+    """
+    cur = json.loads(Path(cur_path).read_text())
+    prev = json.loads(Path(prev_path).read_text())
+    cs, cd = cur.get("queries_sequential") or {}, cur.get("queries_duck") or {}
+    ps, pd_ = prev.get("queries_sequential") or {}, prev.get("queries_duck") or {}
+    if not cd or not pd_:
+        print("bench-delta: one side carries no queries_duck map — "
+              "cannot form ratios")
+        return 2
+    flagged, n_new, n_paired = [], 0, 0
+    for name, s_c in sorted(cs.items()):
+        if s_c < 0:
+            continue  # failed query — correctness gate's job
+        if s_c > abs_ceiling_sec:
+            flagged.append((name, s_c, None, None, "ceiling"))
+            continue
+        if name not in ps or ps[name] < 0:
+            n_new += 1
+            continue
+        d_c, d_p, s_p = cd.get(name, -1.0), pd_.get(name, -1.0), ps[name]
+        if d_c < duck_floor_sec or d_p < duck_floor_sec:
+            continue
+        n_paired += 1
+        if (s_c >= spark_floor_sec and s_c - s_p >= min_delta_sec
+                and (s_c / d_c) > growth_cap * (s_p / d_p)):
+            flagged.append((name, s_c, s_p, (s_c / d_c) / (s_p / d_p),
+                            "ratio-growth"))
+    for name, s_c, s_p, g, why in flagged:
+        if why == "ceiling":
+            print(f"FLAG {name}: spark {s_c:.2f}s above ceiling "
+                  f"{abs_ceiling_sec}s")
+        else:
+            print(f"FLAG {name}: spark {s_p:.2f}s -> {s_c:.2f}s, "
+                  f"duck-normalized ratio grew {g:.2f}x "
+                  f"(cap {growth_cap}x)")
+    print(f"== bench-delta: {n_paired} ratio-paired, {n_new} new "
+          f"(ceiling-only), {len(flagged)} flagged ==")
+    return 1 if flagged else 0
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "--bench":
         extra = [float(a) for a in sys.argv[3:7]]
         sys.exit(bench_gate(sys.argv[2], *extra))
+    if sys.argv[1] == "--bench-delta":
+        extra = [float(a) for a in sys.argv[4:9]]
+        sys.exit(bench_delta_gate(sys.argv[2], sys.argv[3], *extra))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   sys.argv[3] if len(sys.argv) > 3 else None))

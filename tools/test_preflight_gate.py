@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Self-test of preflight's cross-round bench-delta gate (builder-side
+tooling test, runnable standalone: `python3 tools/test_preflight_gate.py`).
+
+Covers the r9 judge's ask #4 contract:
+  1. identical-protocol artifacts with only window noise -> exit 0;
+  2. a deliberately-injected per-query regression (3x spark growth,
+     duck flat, above the 2.5 s materiality floor) -> exit 1 and the
+     query named;
+  3. a sub-floor flip (0.4 s -> 0.9 s) stays green (scheduler noise,
+     not a regression worth a red gate);
+  4. the unconditional ceiling fires with no baseline at all.
+"""
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+from preflight import bench_delta_gate  # noqa: E402
+
+
+def art(path: Path, spark: dict, duck: dict) -> str:
+    path.write_text(json.dumps(
+        {"queries_sequential": spark, "queries_duck": duck}))
+    return str(path)
+
+
+def main() -> int:
+    tmp = Path(tempfile.mkdtemp(prefix="preflight_gate_test"))
+    prev = art(tmp / "prev.json",
+               {"q_big": 3.0, "q_small": 0.4, "q_mid": 1.2},
+               {"q_big": 1.0, "q_small": 0.3, "q_mid": 0.8})
+
+    # 1. noise-only window (±30% both sides) is green
+    cur_ok = art(tmp / "cur_ok.json",
+                 {"q_big": 3.6, "q_small": 0.5, "q_mid": 1.0},
+                 {"q_big": 0.9, "q_small": 0.35, "q_mid": 0.9})
+    assert bench_delta_gate(cur_ok, prev) == 0, "noise window must pass"
+
+    # 2. injected regression: q_big 3.0 -> 9.0 s, duck flat -> caught
+    cur_bad = art(tmp / "cur_bad.json",
+                  {"q_big": 9.0, "q_small": 0.4, "q_mid": 1.2},
+                  {"q_big": 1.0, "q_small": 0.3, "q_mid": 0.8})
+    assert bench_delta_gate(cur_bad, prev) == 1, "3x regression must flag"
+
+    # 3. sub-floor flip stays green (0.4 -> 0.9 s is noise territory)
+    cur_small = art(tmp / "cur_small.json",
+                    {"q_big": 3.0, "q_small": 0.9, "q_mid": 1.2},
+                    {"q_big": 1.0, "q_small": 0.3, "q_mid": 0.8})
+    assert bench_delta_gate(cur_small, prev) == 0, \
+        "sub-floor flip must not flag"
+
+    # 4. ceiling fires even for a query with no baseline
+    cur_ceil = art(tmp / "cur_ceil.json",
+                   {"q_new": 31.0}, {"q_new": 1.0})
+    assert bench_delta_gate(cur_ceil, prev) == 1, "ceiling must flag"
+
+    print("test_preflight_gate: 4/4 assertions green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
