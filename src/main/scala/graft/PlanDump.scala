@@ -155,8 +155,10 @@ object PlanDump {
     "cross_corpus_dedup" -> ("Cross-corpus dedup: two-sided shingle " +
       "posting equi-join between the new and reference corpora " +
       "(shuffle-hash — neither side broadcasts), size aggregates per " +
-      "side, per-new-doc struct-max best match (no window, no global " +
-      "sort)."),
+      "side, per-new-doc best match via a doc-keyed row_number window " +
+      "(type-agnostic in the id column; partition lists are " +
+      "threshold-bounded, so no window partition grows with the " +
+      "corpus — and no global sort)."),
     "salted_join" -> ("Skew-salted join: the hot fact key gains a " +
       "salt from the row's own unique key, the dimension side " +
       "EXPLODES x8 (dimension-sized, cheap) — the skewed key's rows " +
@@ -207,7 +209,73 @@ object PlanDump {
       "exchange at all."),
     "image_resize" -> ("Image resize: same mapPartitions decode " +
       "shape — per-row pixel work, zero shuffle; output geometry is " +
-      "a pure function of the input row."))
+      "a pure function of the input row."),
+    // ---- r10: remaining members of the >=1 s sequential tier ----
+    "jdbc_roundtrip" -> ("Relational sink roundtrip (workflow: the " +
+      "dumped plan is the JDBC read-back): the write side stages the " +
+      "DataFrame distributed (CSV parts) and hands Derby ONE bulk " +
+      "import per part — write cost is the parquet scan + text " +
+      "encode, linear and partition-parallel; the embedded store is " +
+      "single-node BY CONTRACT (it is the reference's declared sink " +
+      "shape), so the sink, not Spark, is the scale boundary."),
+    "duckdb_roundtrip" -> ("Single-file analytical store roundtrip " +
+      "(workflow; dumped plan is the JDBC read-back): distributed " +
+      "parquet staging + ONE native read_parquet bulk statement — " +
+      "the same stage-then-bulk-load idiom a warehouse COPY uses; " +
+      "per-row JDBC inserts never touch the hot path."),
+    "hll_distinct" -> ("HLL error-contract check: input pre-DISTINCTs " +
+      "on (flag, key) — one exchange — then the rsd-sized sketch and " +
+      "the exact count fold over distinct pairs only; the " +
+      "mixed-aggregate Expand (which doubles every scan row) is " +
+      "gone. Sketch partials merge by register: map-side combine, " +
+      "bounded rows after the first aggregate."),
+    "bpe_segment" -> ("BPE encode: merges learn on the WORD HISTOGRAM " +
+      "(vocabulary-sized, not corpus-sized); encoding is " +
+      "mapPartitions over a broadcast rank table (rank-pointer " +
+      "scan, no joins) — the corpus is touched exactly once, " +
+      "stateless per row."),
+    "stream_sliding_sum" -> ("Sliding-window streaming sum (dumped " +
+      "plan: batch read-back of the AvailableNow drain): overlapping " +
+      "windows explode per event into window-keyed partial state; " +
+      "state store is keyed by (window, key) so parallelism tracks " +
+      "key cardinality, and the watermark bounds retained state."),
+    "stream_session_agg" -> ("Streaming session windows: " +
+      "session-gap merge state keyed by user — state size tracks " +
+      "ACTIVE sessions (watermark-expired sessions evict), not " +
+      "history; the drain is checkpointed AvailableNow."),
+    "stream_outer_join" -> ("Stream-stream LEFT OUTER join: both " +
+      "sides shuffle on the join key into the state store; " +
+      "watermarks bound both buffers, and the null-extension emits " +
+      "exactly at watermark expiry — state is interval-bounded, " +
+      "never history-bounded."),
+    "stream_full_outer_join" -> ("Stream-stream FULL OUTER join: " +
+      "same keyed state-store shape with BOTH sides' unmatched rows " +
+      "emitted on expiry; the watermark is the state bound."),
+    "stream_interval_join" -> ("Stream-stream interval join: the " +
+      "time-range predicate rides a keyed equi-join; state retention " +
+      "is the interval width per key — constant per key as the " +
+      "stream grows."),
+    "stream_cdc_merge" -> ("Streaming CDC upsert: per-key " +
+      "last-write-wins via flatMapGroupsWithState keyed by the " +
+      "primary key — state is one row per LIVE key; deletes " +
+      "tombstone and evict."),
+    "stream_scd2" -> ("Streaming SCD2: per-key ordered fold in " +
+      "flatMapGroupsWithState emits close+open row pairs per " +
+      "change — state per key is the single OPEN version, history " +
+      "lives only in the sink."),
+    "stream_running_totals" -> ("Streaming running totals: " +
+      "mapGroupsWithState keyed by entity holds one accumulator row " +
+      "per key — output is deltas, state never grows with events."),
+    "stream_ivf_ingest" -> ("Streaming IVF ingest: new vectors " +
+      "assign to their nearest centroid in a stateless map over the " +
+      "broadcast centroid table (k rows), then append " +
+      "cluster-partitioned — index maintenance without rebuilds, no " +
+      "shuffle beyond the partitioned write."),
+    "stream_shard_manifest" -> ("Streaming shard manifest: the " +
+      "per-shard aggregate folds incrementally in state keyed by " +
+      "shard id (numShards keys TOTAL — bounded state by " +
+      "construction); the batch twin's manifest law is asserted " +
+      "equal in the spec."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

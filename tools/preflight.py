@@ -41,6 +41,13 @@ def sort_key(row):
 
 def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
+    # parallel chunked runs (tools/sf10_preflight.py) cap each worker
+    # so N processes share the box instead of each claiming all cores
+    # and 80% of RAM
+    if os.environ.get("PREFLIGHT_THREADS"):
+        con.execute(f"SET threads={int(os.environ['PREFLIGHT_THREADS'])}")
+    if os.environ.get("PREFLIGHT_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['PREFLIGHT_MEMLIMIT']}'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():
@@ -91,6 +98,51 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
                 print(f"FAIL {name}: cols mine={mcols} oracle={rcols}")
                 record(name, err=f"cols mine={mcols} oracle={rcols}")
                 n_fail += 1
+                continue
+            if os.environ.get("PREFLIGHT_COMPARE") == "sql":
+                # MEMORY-FLAT compare for large SFs (sf10's 375M oracle
+                # rows cannot be fetched into Python): row counts plus
+                # symmetric EXCEPT ALL inside DuckDB. Value-equal rows
+                # cancel exactly (DuckDB set ops hash NaN equal and
+                # coerce union-compatible numeric types), so 0+0
+                # differences == the exact python-row compare; the
+                # trade-off is losing the per-row diff diagnostics,
+                # which the small-SF runs keep.
+                msel = ", ".join(f'"{c}"' for c in mcols)
+                rsel = ", ".join(f'"{c}"' for c in rcols)
+                n_mine = mine.aggregate("count(*)").fetchone()[0]
+                n_ref = ref.aggregate("count(*)").fetchone()[0]
+                if n_mine != n_ref:
+                    print(f"FAIL {name}: rows mine={n_mine} oracle={n_ref}")
+                    record(name, schema_match=True, spark_rows=n_mine,
+                           oracle_rows=n_ref)
+                    n_fail += 1
+                    continue
+                # EXCEPT ALL, not the relation API's except_() (which
+                # is EXCEPT DISTINCT and would pass on multiplicity
+                # mismatches like [A,A,B] vs [A,B,B])
+                mine.create_view("__pf_mine", True)
+                ref.create_view("__pf_ref", True)
+                diff = con.execute(
+                    "SELECT (SELECT count(*) FROM "
+                    f"(SELECT {msel} FROM __pf_mine EXCEPT ALL "
+                    f"SELECT {rsel} FROM __pf_ref)) + "
+                    "(SELECT count(*) FROM "
+                    f"(SELECT {rsel} FROM __pf_ref EXCEPT ALL "
+                    f"SELECT {msel} FROM __pf_mine))").fetchone()[0]
+                if diff == 0:
+                    print(f"PASS {name}: {n_mine} rows exact (sql compare)")
+                    record(name, rows_match=True, schema_match=True,
+                           hash_match=True, spark_rows=n_mine,
+                           oracle_rows=n_ref)
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: {diff} rows differ "
+                          f"(symmetric EXCEPT ALL, {n_mine} total)")
+                    record(name, rows_match=True, schema_match=True,
+                           spark_rows=n_mine, oracle_rows=n_ref,
+                           err=f"{diff} rows differ (sql compare)")
+                    n_fail += 1
                 continue
             mrows = sorted([tuple(norm(v) for v in r)
                             for r in mine.select(", ".join(f'"{c}"' for c in mcols)).fetchall()],
