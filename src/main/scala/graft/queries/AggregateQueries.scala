@@ -161,7 +161,15 @@ object AggregateQueries extends QueryGroup {
       url, "orders_keyed", "upsert", keys = Seq("o_orderkey"))
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    spark.read.jdbc(url, "orders_keyed", props)
+    // PARTITIONED read-back: one JDBC cursor over the whole table is
+    // the classic sink-read anti-pattern — stride the key range over
+    // parallel cursors (embedded Derby serves concurrent readers
+    // in-JVM; on a server database these are concurrent connections).
+    // Bounds come from the written key range: predicates on the
+    // stride column route every row, bounds only shape the split.
+    val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    spark.read.jdbc(url, "orders_keyed", "o_orderkey",
+      bounds.getLong(0), bounds.getLong(1), 8, props)
   }
 
   /** The same seed→upsert→read-back contract through the reference
