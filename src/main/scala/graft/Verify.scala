@@ -29,7 +29,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the 1-partition
+      // constraint INTO the final stage, so a query whose last stage
+      // carries real compute (a shuffled join, an aggregate) executes
+      // single-threaded — measured at sf10 as a 20+ min single task.
+      // repartition keeps upstream parallelism and serializes only the
+      // single-file write itself (driver-compare keeps one part file).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
