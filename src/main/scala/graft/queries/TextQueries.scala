@@ -844,6 +844,17 @@ object TextQueries extends QueryGroup {
          |FROM pairs
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
+    // r9 driver artifact flagged oov_rate red (hash) while the same
+    // protocol passed at HEAD under the builder's DuckDB 1.0.0 — the
+    // divergence could not be reproduced locally, which points at the
+    // driver box's DuckDB build tokenizing '\s+' differently (regex
+    // \s membership varies across regex-library builds/versions; the
+    // builder cannot install other DuckDB builds to bisect, zero
+    // egress). Both engines now split on the explicit class
+    // [ \t\n\r]+ via $toks / TextStats.tokens, which no regex
+    // library interprets differently — engine-version-proof by
+    // construction (r10; re-verified at sf0.01/0.1 and in the sf10
+    // battery).
     "oov_rate" ->
       s"""WITH rv AS (SELECT DISTINCT unnest($toks) AS term
          |    FROM documents WHERE doc_id % 7 = 0),
