@@ -41,6 +41,14 @@ def sort_key(row):
 
 def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
+    # PER-PROCESS spill directory. DuckDB's in-memory default is the
+    # CWD-RELATIVE ".tmp" — concurrent preflight workers sharing a cwd
+    # delete/overwrite each other's spill files, which surfaces as
+    # "Could not read enough bytes from duckdb_temp_storage" IO errors
+    # or hard worker aborts (observed in the sf10 chunked run).
+    tmp = f"/tmp/pf_tmp_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     # parallel chunked runs (tools/sf10_preflight.py) cap each worker
     # so N processes share the box instead of each claiming all cores
     # and 80% of RAM
