@@ -67,7 +67,8 @@ def main():
         env = dict(os.environ, PREFLIGHT_COMPARE="sql",
                    PREFLIGHT_JSON=str(work / f"q_{q}.json"),
                    PREFLIGHT_THREADS=threads,
-                   PREFLIGHT_MEMLIMIT=memlimit)
+                   PREFLIGHT_MEMLIMIT=memlimit,
+                   PREFLIGHT_TEMPLIMIT=os.environ.get("PF_TEMPLIMIT", "10GB"))
         env.pop("SPARK_GRAFT_ONLY", None)
         try:
             r = subprocess.run(
@@ -99,7 +100,17 @@ def main():
 
     def worker(q):
         with sem:
-            run_one(q)
+            try:
+                run_one(q)
+            except Exception as e:  # noqa: BLE001 — a thread death would
+                # silently wedge the pool; record and continue instead
+                with lock:
+                    done[q] = {"rows_match": False, "schema_match": False,
+                               "hash_match": False, "spark_rows": None,
+                               "oracle_rows": None,
+                               "err": f"driver {type(e).__name__}: {e}"}
+                    print(f"FAIL {q} — driver {type(e).__name__}: {e}",
+                          flush=True)
 
     for q in todo:
         t = threading.Thread(target=worker, args=(q,))

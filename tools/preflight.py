@@ -49,6 +49,18 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     tmp = f"/tmp/pf_tmp_{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
+    import atexit
+    import shutil
+    atexit.register(lambda: shutil.rmtree(tmp, ignore_errors=True))
+    # bound the spill so one heavy oracle fails ITSELF cleanly instead
+    # of filling the disk and killing sibling workers (observed: one
+    # sf10 oracle spilled 33 GB)
+    if os.environ.get("PREFLIGHT_TEMPLIMIT"):
+        try:
+            con.execute("SET max_temp_directory_size="
+                        f"'{os.environ['PREFLIGHT_TEMPLIMIT']}'")
+        except Exception:  # noqa: BLE001 — setting absent in old builds
+            pass
     # parallel chunked runs (tools/sf10_preflight.py) cap each worker
     # so N processes share the box instead of each claiming all cores
     # and 80% of RAM
