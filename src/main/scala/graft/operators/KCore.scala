@@ -38,14 +38,41 @@ import org.apache.spark.storage.StorageLevel
 object KCore {
 
   /** @param edges canonical undirected edges (a, b), a < b, deduped
+    * @param localThreshold edge count at or below which the whole peel
+    *         runs DRIVER-LOCAL on the collected edge list (the
+    *         [[Components.connected]] `localThreshold` contract): 2M
+    *         edges ≈ 32 MB of longs — broadcast-threshold scale, and
+    *         below it each distributed round's count action + joins
+    *         are pure job-scheduling overhead against an in-memory
+    *         peel that is O(rounds · m) array passes. Identical
+    *         simultaneous-peel semantics, bit-identical output
+    *         (KCoreSpec pins local == distributed). Above the
+    *         threshold — and always under `checkpointDir` (the cluster
+    *         contract) — the distributed loop runs unchanged: the
+    *         100 TB path. 0 forces distributed.
     * @return (node, deg, in_core) for every node still carrying an
     *         edge after `rounds` peels; `deg` is the degree within the
     *         surviving subgraph, `in_core` = deg ≥ k (all true ⇔ the
     *         peeling converged to the true k-core). */
   def peel(edges: DataFrame, k: Int, rounds: Int,
-           checkpointDir: Option[String] = None): DataFrame = {
+           checkpointDir: Option[String] = None,
+           localThreshold: Long = 2000000L): DataFrame = {
     require(k >= 1 && rounds >= 1)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val edgeCols = edges.select("a", "b")
+    // size the graph off ONE materialized cache of the (possibly
+    // expensive) edge plan; above the threshold the cache is handed to
+    // the loop's first pin and released with the other generations
+    val sized: Option[DataFrame] =
+      if (checkpointDir.isEmpty && localThreshold > 0) {
+        val e0 = edgeCols.persist(StorageLevel.MEMORY_AND_DISK)
+        if (e0.count() <= localThreshold) {
+          val out = localPeel(e0, k, rounds)
+          e0.unpersist()
+          return out
+        }
+        Some(e0)
+      } else None
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -71,7 +98,8 @@ object KCore {
       if (checkpointDir.isDefined) frames.foreach(_.unpersist())
       else retired = frames.toList ::: retired
 
-    var cur = pin(edges.select("a", "b"))
+    var cur = pin(sized.getOrElse(edgeCols))
+    sized.foreach(retire(_))
     // Degrees are MAINTAINED INCREMENTALLY across rounds, not
     // re-aggregated from the full surviving edge set each round (which
     // at scale was the dominant residual — one edge-set-sized shuffle
@@ -159,5 +187,75 @@ object KCore {
     degs
       .select(col("node"), col("deg").cast("long").as("deg"),
         (col("deg") >= k).as("in_core"))
+  }
+
+  /** Driver-local peel over a collected (bounded — see
+    * `localThreshold`) edge list: the SAME simultaneous-peel rounds —
+    * each round deletes EVERY node currently below k and decrements
+    * its neighbors, cascades land in later rounds — on dense-remapped
+    * ids in flat arrays. A removed edge decrements both endpoints, so
+    * a peeled node's degree reaches exactly 0 and the survivors carry
+    * the surviving subgraph's degrees — the distributed loop's
+    * invariant, minus its per-round job. */
+  private def localPeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
+      StructType}
+    val spark = e.sparkSession
+    val idType = e.schema("a").dataType
+    val rows = e.collect()
+    var m = rows.length
+    val idx = new java.util.HashMap[Any, Integer](m * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]
+    def ix(x: Any): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = ids.length; idx.put(x, i); ids += x }
+      i
+    }
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i); ea(i) = ix(r.get(0)); eb(i) = ix(r.get(1)); i += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    val bad = new Array[Boolean](n)
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      var anyBad = false
+      var v = 0
+      while (v < n) {
+        bad(v) = deg(v) > 0 && deg(v) < k
+        if (bad(v)) anyBad = true
+        v += 1
+      }
+      if (!anyBad) converged = true
+      else {
+        var w = 0
+        var j = 0
+        while (j < m) {
+          val u = ea(j)
+          val x = eb(j)
+          if (bad(u) || bad(x)) { deg(u) -= 1; deg(x) -= 1 }
+          else { ea(w) = u; eb(w) = x; w += 1 }
+          j += 1
+        }
+        m = w
+      }
+      round += 1
+    }
+    val out = new java.util.ArrayList[Row](n)
+    var v = 0
+    while (v < n) {
+      if (deg(v) > 0) out.add(Row(ids(v), deg(v), deg(v) >= k))
+      v += 1
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", idType), StructField("deg", LongType),
+      StructField("in_core", BooleanType))))
   }
 }

@@ -45,16 +45,38 @@ object Triangles {
     * @param edges canonical undirected edge list: columns (a, b) with
     *              a < b, no duplicates (callers dedup; a multigraph
     *              would double-count closures)
+    * @param localThreshold edge count at or below which the census runs
+    *              DRIVER-LOCAL on the collected edge list (the
+    *              [[Components.connected]] `localThreshold` contract):
+    *              2M edges ≈ 32 MB of longs — broadcast-threshold
+    *              scale, and below it the six shuffles of the
+    *              distributed census (degree agg, orientation joins,
+    *              adjacency build + two O(√m)-array attach joins,
+    *              closure aggregate) are pure overhead against an
+    *              in-memory intersect that the driver finishes in
+    *              tenths of a second on all cores. Identical
+    *              orientation/intersection algorithm, bit-identical
+    *              output (TrianglesSpec pins local == distributed).
+    *              Above the threshold the distributed census runs
+    *              unchanged — the 100 TB path. 0 forces distributed.
     * @return (node, deg, n_tri, clustering_coeff) for every node that
     *         appears in `edges`; coefficient = 2·tri / (deg·(deg−1)),
     *         0.0 for degree-1 nodes — both engines divide the same
     *         exact integers, so the double is identical. */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame,
+              localThreshold: Long = 2000000L): DataFrame = {
     // the edge set feeds the degree aggregate and the orientation join;
     // persist (the multi-consumer rule; lineage stays flat, no
     // iteration, so no checkpoint needed)
     val e = edges.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one cheap job: materializes the cache every downstream consumer
+    // needs anyway, and sizes the graph for the local/distributed choice
+    if (e.count() <= localThreshold) {
+      val out = localPerNode(e)
+      e.unpersist()
+      return out
+    }
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -102,5 +124,114 @@ object Triangles {
           (col("n_tri") * 2).cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Driver-local census over a collected (bounded — see
+    * `localThreshold`) edge list: the SAME degree-ordered orientation +
+    * sorted-adjacency intersection, on dense-remapped ids in flat
+    * arrays, closure counting chunked across all cores. Semantics
+    * identical to the distributed census (orientation by (deg, id)
+    * with the id's natural order — the census is order-insensitive
+    * beyond needing SOME strict total order, and the per-node counts
+    * are exact integers either way). */
+  private def localPerNode(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    val spark = e.sparkSession
+    val idType = e.schema("a").dataType
+    val rows = e.collect()
+    val m = rows.length
+    // dense remap: original id -> [0, n)
+    val idx = new java.util.HashMap[Any, Integer](m * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]
+    def ix(x: Any): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = ids.length; idx.put(x, i); ids += x }
+      i
+    }
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i); ea(i) = ix(r.get(0)); eb(i) = ix(r.get(1)); i += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // strict total order for orientation: (deg, id natural order)
+    def less(u: Int, v: Int): Boolean =
+      deg(u) < deg(v) || (deg(u) == deg(v) &&
+        ids(u).asInstanceOf[Comparable[Any]].compareTo(ids(v)) < 0)
+    // CSR out-adjacency, runs sorted by dense id (both intersect sides
+    // sort by the same key, so the merge is exact)
+    val outDeg = new Array[Int](n)
+    val esrc = new Array[Int](m)
+    val edst = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val s = if (less(ea(i), eb(i))) ea(i) else eb(i)
+      val d = if (s == ea(i)) eb(i) else ea(i)
+      esrc(i) = s; edst(i) = d; outDeg(s) += 1; i += 1
+    }
+    val start = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(start, n)
+    i = 0
+    while (i < m) { adj(fill(esrc(i))) = edst(i); fill(esrc(i)) += 1; i += 1 }
+    var v = 0
+    while (v < n) { java.util.Arrays.sort(adj, start(v), start(v + 1)); v += 1 }
+    // closure count, chunked over edges, one thread-local accumulator
+    // per chunk (no atomics), merged below
+    val cores = math.max(1, Runtime.getRuntime.availableProcessors)
+    val chunks = java.util.stream.IntStream.range(0, cores).parallel()
+      .mapToObj[Array[Long]] { p =>
+        val local = new Array[Long](n)
+        var j = (p.toLong * m / cores).toInt
+        val hi = ((p + 1).toLong * m / cores).toInt
+        while (j < hi) {
+          val s = esrc(j)
+          val d = edst(j)
+          var pu = start(s)
+          var pv = start(d)
+          val eu = start(s + 1)
+          val ev = start(d + 1)
+          var c = 0L
+          while (pu < eu && pv < ev) {
+            val wu = adj(pu)
+            val wv = adj(pv)
+            if (wu == wv) { local(wu) += 1; c += 1; pu += 1; pv += 1 }
+            else if (wu < wv) pu += 1
+            else pv += 1
+          }
+          local(s) += c; local(d) += c
+          j += 1
+        }
+        local
+      }
+      // merge SEQUENTIALLY — a parallel reduce with a mutable identity
+      // array would hand the same array to several threads at once
+      .collect(java.util.stream.Collectors.toList[Array[Long]])
+    val tri = new Array[Long](n)
+    chunks.forEach { c =>
+      var k = 0
+      while (k < n) { tri(k) += c(k); k += 1 }
+    }
+    val out = new java.util.ArrayList[Row](n)
+    v = 0
+    while (v < n) {
+      val cc = if (deg(v) >= 2)
+        (tri(v) * 2).toDouble / (deg(v) * (deg(v) - 1)).toDouble
+      else 0.0
+      out.add(Row(ids(v), deg(v), tri(v), cc))
+      v += 1
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", idType), StructField("deg", LongType),
+      StructField("n_tri", LongType),
+      StructField("clustering_coeff", DoubleType))))
   }
 }

@@ -781,7 +781,16 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("triangle census: hash joins throughout, no nested-loop blowup") {
-    val df = queries.VectorQueries.triangleCount(spark, sf)
+    // localThreshold = 0 forces the DISTRIBUTED census (the query
+    // itself takes the driver-local path at spec scale — this test
+    // pins the plan the 100 TB path runs)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val df = operators.Triangles.perNode(edges, localThreshold = 0)
     val p = plan(df)
     // wedge self-join + closure join must be equi-joins (skew capped by
     // the degree orientation); a BroadcastNestedLoopJoin or cartesian

@@ -32,4 +32,24 @@ class KCoreSpec extends SparkSpecBase {
   test("k above the max degree empties the graph") {
     assert(run(k = 10, rounds = 2).isEmpty)
   }
+
+  test("driver-local peel == distributed peel, including mid-cascade") {
+    // hub-skewed pseudo-random graph; compare the default (local) path
+    // against localThreshold = 0 (forced distributed) at a k that
+    // cascades AND a round count that stops mid-cascade
+    val edges = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 97 % 40
+      val v = (i * 40503L + 7) % 89 % 40
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Boolean]("in_core")))).toMap
+    for (rounds <- Seq(1, 2, 6)) {
+      val local = toMap(KCore.peel(edges.toDF("a", "b"), k = 4, rounds))
+      val dist = toMap(KCore.peel(edges.toDF("a", "b"), k = 4, rounds,
+        localThreshold = 0))
+      assert(local == dist, s"rounds=$rounds")
+    }
+  }
 }

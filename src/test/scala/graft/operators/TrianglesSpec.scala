@@ -62,4 +62,23 @@ class TrianglesSpec extends SparkSpecBase {
         s"node $node: oriented $tri vs naive ${naive.getOrElse(node, 0L)}")
     }
   }
+
+  test("driver-local census == distributed census, bit-exact") {
+    // same hub-skewed pseudo-random graph; default threshold takes the
+    // local path, localThreshold = 0 forces the distributed one — the
+    // outputs must agree to the last double
+    val edges = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 97 % 40
+      val v = (i * 40503L + 7) % 89 % 40
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    val local = toMap(Triangles.perNode(edges.toDF("a", "b")))
+    val dist = toMap(Triangles.perNode(edges.toDF("a", "b"),
+      localThreshold = 0))
+    assert(local == dist)
+  }
 }
