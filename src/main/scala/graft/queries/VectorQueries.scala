@@ -160,7 +160,13 @@ object VectorQueries extends QueryGroup {
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // shuffle-hash, not sort-merge: the self-join key (orderkey) is
+    // uniform and the per-partition build side stays bounded as long
+    // as shuffle partitions track data size (the repo-wide rule) — the
+    // two 600k-row sorts SMJ would run are the dominant cost of the
+    // whole graph build at the gate SF (measured 1.9 s -> 0.85 s)
     li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .hint("shuffle_hash")
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
         "l_orderkey")
       .filter(col("a") < col("b"))
