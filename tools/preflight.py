@@ -64,6 +64,11 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     # parallel chunked runs (tools/sf10_preflight.py) cap each worker
     # so N processes share the box instead of each claiming all cores
     # and 80% of RAM
+    # order never matters (every compare sorts rows/cols first), and
+    # preserving insertion order forces DuckDB to MATERIALIZE big
+    # streaming pipelines — the sf10 wedge/CC oracles spill tens of GB
+    # with it on and stream with it off
+    con.execute("SET preserve_insertion_order=false")
     if os.environ.get("PREFLIGHT_THREADS"):
         con.execute(f"SET threads={int(os.environ['PREFLIGHT_THREADS'])}")
     if os.environ.get("PREFLIGHT_MEMLIMIT"):
