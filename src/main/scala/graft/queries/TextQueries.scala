@@ -479,17 +479,20 @@ object TextQueries extends QueryGroup {
          |  GROUP BY 1, 2),
          |m$r AS (SELECT lhs, rhs, n FROM p$r
          |  ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |s$r AS MATERIALIZED (SELECT freq, replace(seg,
+         |s$r AS MATERIALIZED (SELECT w, freq, replace(seg,
          |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
          |      (SELECT rhs FROM m$r) || ' ',
          |    ' ' || (SELECT lhs FROM m$r) ||
          |      (SELECT rhs FROM m$r) || ' ') AS seg
          |  FROM $prev)""".stripMargin
     }
+    // every s-stage carries the WORD through (vocab-sized either way):
+    // bpe_segment joins occurrences to the final segmented vocab
+    // instead of re-segmenting per occurrence
     s"""w AS (SELECT t AS w, COUNT(*) AS freq
        |  FROM (SELECT unnest($toks) AS t FROM documents) u
        |  WHERE t <> '' GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT freq,
+       |s0 AS MATERIALIZED (SELECT w, freq,
        |  '  ' || array_to_string(string_split(w, ''), '  ') || '  '
        |    AS seg FROM w),
        |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
@@ -529,7 +532,7 @@ object TextQueries extends QueryGroup {
   /** The cluster_size_weights oracle body, shared with
     * weighted_sample. */
   private def clusterWeightsOracle: String =
-    s"""WITH comp AS ($componentsOracle),
+    s"""WITH comp AS MATERIALIZED ($componentsOracle),
        |sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1),
        |m AS (SELECT doc_id, n FROM comp JOIN sz USING (component))
        |SELECT d.doc_id,
@@ -539,7 +542,14 @@ object TextQueries extends QueryGroup {
        |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
 
   /** Min-reachable-id ground truth for connected components (recursive
-    * CTE) — shared by both dedup_components variants. */
+    * CTE) — shared by both dedup_components variants.
+    *
+    * `sym AS MATERIALIZED` is the sf10 evaluation fence (the k_core
+    * "iterative-oracle rule"): DuckDB INLINES non-materialized CTEs
+    * per reference, and `sym` sits inside the recursive step — inlined,
+    * the whole shingle posting join re-evaluates EVERY reach iteration
+    * (measured: >96 GB memory + 28 GB spill at sf10; materialized, sym
+    * is a pair-count-sized table computed once). */
   private def componentsOracle: String =
     s"""WITH RECURSIVE
        |tok AS (SELECT doc_id, $toks AS t FROM documents),
@@ -556,7 +566,7 @@ object TextQueries extends QueryGroup {
        |  JOIN sz sa ON doc_a = sa.doc_id
        |  JOIN sz sb ON doc_b = sb.doc_id
        |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.5),
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(id, r) AS (
        |  SELECT DISTINCT u, u FROM sym
@@ -662,26 +672,24 @@ object TextQueries extends QueryGroup {
            s"""SELECT CAST($r AS INT) AS merge_rank, lhs, rhs,
               |  lhs || rhs AS merged, n FROM m$r""".stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin,
-    // the learned merges (same m1..m6 CTEs) applied to per-word doc
-    // segmentations — the tokenizer's "encode" side
+    // the learned merges (same m1..m6 CTEs) applied back to the corpus
+    // — the tokenizer's "encode" side. Segmentation happens once per
+    // DISTINCT word (the s6 vocab table the learn side already built;
+    // replace() is a pure function of the word), and occurrences JOIN
+    // the segmented vocab — the old per-occurrence t0..t6 stages
+    // materialized 7 occurrence-sized tables and spilled >28 GB at
+    // sf10; this form's occurrence-sized work is one streamed join
     "bpe_segment" ->
       s"""WITH $bpeLearnCtes,
-         |t0 AS MATERIALIZED (SELECT doc_id,
-         |  '  ' || array_to_string(string_split(t, ''), '  ') || '  '
-         |    AS seg
-         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents) u
-         |  WHERE t <> ''),
-         |${(1 to 6).map(r =>
-           s"""t$r AS MATERIALIZED (SELECT doc_id, replace(seg,
-              |    ' ' || (SELECT lhs FROM m$r) || '  ' ||
-              |      (SELECT rhs FROM m$r) || ' ',
-              |    ' ' || (SELECT lhs FROM m$r) ||
-              |      (SELECT rhs FROM m$r) || ' ') AS seg
-              |  FROM t${r - 1})""".stripMargin).mkString(",\n")}
+         |wc AS MATERIALIZED (SELECT w,
+         |  CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS c
+         |  FROM s6)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT)
-         |    AS n_bpe_tokens
-         |FROM t6 GROUP BY 1""".stripMargin,
+         |  CAST(SUM(c) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, t AS wd
+         |      FROM (SELECT doc_id, unnest($toks) AS t FROM documents) u
+         |      WHERE t <> '') occ
+         |JOIN wc ON occ.wd = wc.w GROUP BY 1""".stripMargin,
     // the naive per-source running cumsum the two-pass form must equal
     // (windowed SUM(BIGINT) is HUGEINT in DuckDB → cast back)
     "token_budget_cap" ->
@@ -760,13 +768,13 @@ object TextQueries extends QueryGroup {
     "dedup_components" -> componentsOracle,
     "dedup_components_dist" -> componentsOracle,
     "dedup_clusters" ->
-      s"""WITH comp AS ($componentsOracle)
+      s"""WITH comp AS MATERIALIZED ($componentsOracle)
          |SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS keeper
          |FROM comp GROUP BY 1""".stripMargin,
     // same split thresholds as train_val_split, keyed on the cluster
     // representative (own id outside any cluster)
     "leakage_safe_split" ->
-      s"""WITH comp AS ($componentsOracle)
+      s"""WITH comp AS MATERIALIZED ($componentsOracle)
          |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep,
          |  ${Split.sqlCase("COALESCE(c.component, d.doc_id)",
                             splitWeights)} AS split
@@ -788,7 +796,7 @@ object TextQueries extends QueryGroup {
          |      AS sample_rank
          |  FROM documents) t WHERE sample_rank <= 20""".stripMargin,
     "dedup_best_keeper" ->
-      s"""WITH comp AS ($componentsOracle),
+      s"""WITH comp AS MATERIALIZED ($componentsOracle),
          |tk AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
          |  FROM documents),
          |r AS (SELECT component, c.doc_id, n_tokens,

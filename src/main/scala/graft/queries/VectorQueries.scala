@@ -452,14 +452,21 @@ object VectorQueries extends QueryGroup {
          |    $d * COALESCE(m$i.m, 0.0) AS pr
          |  FROM e CROSS JOIN nn LEFT JOIN m$i ON e.id = m$i.id)"""
         .stripMargin
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |p AS (SELECT a.id AS ia, b.id AS ib FROM e a JOIN e b
+    // MATERIALIZED fences (the k_core iterative-oracle rule): DuckDB
+    // inlines non-materialized CTEs per reference — `p` (the all-pairs
+    // cosine join, the dominant cost) is referenced twice by `ed`, and
+    // `ed`/`deg` once per unrolled iteration; inlined, the pair join
+    // re-evaluates up to 6 times (measured: sf10 oracle ran past a
+    // 5400 s timeout; fenced it is one pass)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+       |  embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM e a JOIN e b
        |  ON a.id < b.id WHERE $cosAB >= 0.3),
-       |ed AS (SELECT ia AS src, ib AS dst FROM p
+       |ed AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
        |  UNION ALL SELECT ib AS src, ia AS dst FROM p),
-       |deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
-       |nn AS (SELECT COUNT(*) AS n FROM e),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM ed
+       |  GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
        |pr0 AS (SELECT e.id, 1.0 / nn.n AS pr FROM e CROSS JOIN nn),
        |${iter(1, "pr0")},
        |${iter(2, "pr1")}
@@ -471,7 +478,8 @@ object VectorQueries extends QueryGroup {
     // x<y<z once each: e1=(x,y), e2=(y,z), closure e3=(x,z) — every
     // triangle has exactly one canonical-ordered path, so no /6 fixups
     "triangle_count" ->
-      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
