@@ -475,22 +475,38 @@ object VectorQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "pagerank" -> pagerankOracle,
-    // x<y<z once each: e1=(x,y), e2=(y,z), closure e3=(x,z) — every
-    // triangle has exactly one canonical-ordered path, so no /6 fixups
+    // degree-oriented adjacency intersection in DuckDB's list dialect:
+    // the x<y<z 3-way-join form materializes the WEDGE set through its
+    // pipeline breakers (~7B rows at sf10 — blew 80 GB memory + 35 GB
+    // spill even evaluated once), while this form's biggest state is
+    // the node-sized adjacency table and everything per-edge streams.
+    // The relational 3-way join remains the spec-scale cross-check
+    // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
-        |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
         |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
         |  GROUP BY 1),
-        |t AS (SELECT node, COUNT(*) AS n_tri FROM (
-        |  SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
-        |  UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+        |ed AS MATERIALIZED (SELECT
+        |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+        |      THEN e0.a ELSE e0.b END AS src,
+        |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+        |      THEN e0.b ELSE e0.a END AS dst
+        |  FROM e0 JOIN deg da ON da.node = e0.a
+        |  JOIN deg db ON db.node = e0.b),
+        |adj AS MATERIALIZED (SELECT src, list(dst) AS nbrs
+        |  FROM ed GROUP BY 1),
+        |pe AS (SELECT ed.src, ed.dst,
+        |    list_intersect(a1.nbrs, a2.nbrs) AS c
+        |  FROM ed JOIN adj a1 ON a1.src = ed.src
+        |  JOIN adj a2 ON a2.src = ed.dst),
+        |t AS (SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_tri FROM (
+        |  SELECT src AS node, len(c) AS cnt FROM pe
+        |  UNION ALL SELECT dst, len(c) FROM pe
+        |  UNION ALL SELECT unnest(c), 1 FROM pe) GROUP BY 1)
         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
         |  CASE WHEN d.deg >= 2
