@@ -499,10 +499,11 @@ object VectorQueries extends QueryGroup {
         |  JOIN deg db ON db.node = e0.b),
         |adj AS MATERIALIZED (SELECT src, list(dst) AS nbrs
         |  FROM ed GROUP BY 1),
-        |pe AS (SELECT ed.src, ed.dst,
+        |pe AS MATERIALIZED (SELECT src, dst, c FROM (
+        |  SELECT ed.src, ed.dst,
         |    list_intersect(a1.nbrs, a2.nbrs) AS c
         |  FROM ed JOIN adj a1 ON a1.src = ed.src
-        |  JOIN adj a2 ON a2.src = ed.dst),
+        |  JOIN adj a2 ON a2.src = ed.dst) q WHERE len(c) > 0),
         |t AS (SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_tri FROM (
         |  SELECT src AS node, len(c) AS cnt FROM pe
         |  UNION ALL SELECT dst, len(c) FROM pe
