@@ -480,6 +480,13 @@ object VectorQueries extends QueryGroup {
     // pipeline breakers (~7B rows at sf10 — blew 80 GB memory + 35 GB
     // spill even evaluated once), while this form's biggest state is
     // the node-sized adjacency table and everything per-edge streams.
+    // The per-edge closure is referenced exactly ONCE: each edge's
+    // three contribution kinds (src += |∩|, dst += |∩|, each witness
+    // += 1) are emitted as one unnested struct list, so nothing
+    // triangle-sized is ever materialized or re-evaluated (the earlier
+    // 3-branch UNION ALL over a MATERIALIZED closure spilled 37 GiB at
+    // sf10 storing the intersect lists; this form streams them
+    // straight into the node-sized hash aggregate).
     // The relational 3-way join remains the spec-scale cross-check
     // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
@@ -499,15 +506,18 @@ object VectorQueries extends QueryGroup {
         |  JOIN deg db ON db.node = e0.b),
         |adj AS MATERIALIZED (SELECT src, list(dst) AS nbrs
         |  FROM ed GROUP BY 1),
-        |pe AS MATERIALIZED (SELECT src, dst, c FROM (
-        |  SELECT ed.src, ed.dst,
-        |    list_intersect(a1.nbrs, a2.nbrs) AS c
-        |  FROM ed JOIN adj a1 ON a1.src = ed.src
-        |  JOIN adj a2 ON a2.src = ed.dst) q WHERE len(c) > 0),
-        |t AS (SELECT node, CAST(SUM(cnt) AS BIGINT) AS n_tri FROM (
-        |  SELECT src AS node, len(c) AS cnt FROM pe
-        |  UNION ALL SELECT dst, len(c) FROM pe
-        |  UNION ALL SELECT unnest(c), 1 FROM pe) GROUP BY 1)
+        |contrib AS (
+        |  SELECT unnest(list_concat(
+        |      [{'n': q.src, 'c': CAST(len(q.c) AS BIGINT)},
+        |       {'n': q.dst, 'c': CAST(len(q.c) AS BIGINT)}],
+        |      list_transform(q.c, z -> {'n': z, 'c': CAST(1 AS BIGINT)}))) AS u
+        |  FROM (SELECT ed.src, ed.dst,
+        |          list_intersect(a1.nbrs, a2.nbrs) AS c
+        |        FROM ed JOIN adj a1 ON a1.src = ed.src
+        |        JOIN adj a2 ON a2.src = ed.dst) q
+        |  WHERE len(q.c) > 0),
+        |t AS (SELECT u.n AS node, CAST(SUM(u.c) AS BIGINT) AS n_tri
+        |  FROM contrib GROUP BY 1)
         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
         |  CASE WHEN d.deg >= 2
