@@ -56,18 +56,35 @@ object KCore {
     *         peeling converged to the true k-core). */
   def peel(edges: DataFrame, k: Int, rounds: Int,
            checkpointDir: Option[String] = None,
-           localThreshold: Long = 2000000L): DataFrame = {
+           localThreshold: Long = 2000000L,
+           preDeduped: Boolean = true,
+           edgeCountHint: Option[Long] = None): DataFrame = {
     require(k >= 1 && rounds >= 1)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // preDeduped=false accepts a raw (possibly duplicated) pair
+    // stream and dedups INTERNALLY — primitive-set membership during
+    // the driver-local ingest (skips the caller's whole distinct
+    // exchange; the [[Triangles.perNode]] contract), a `.distinct()`
+    // feeding the loop's first pin on the distributed path; the size
+    // probe / hint bounds the true edge count from above.
+    // edgeCountHint (the [[Triangles.perNode]] contract): a
+    // caller-known upper bound makes the local/distributed choice
+    // WITHOUT materializing the pair stream — the small path is one
+    // collect job, the big path never caches raw pairs.
     val edgeCols = edges.select("a", "b")
+    if (edgeCountHint.exists(n =>
+        checkpointDir.isEmpty && localThreshold > 0 && n <= localThreshold))
+      return localPeel(edgeCols, k, rounds, preDeduped)
     // size the graph off ONE materialized cache of the (possibly
     // expensive) edge plan; above the threshold the cache is handed to
-    // the loop's first pin and released with the other generations
+    // the loop's first pin and released with the other generations.
+    // A big hint skips the probe cache entirely.
     val sized: Option[DataFrame] =
-      if (checkpointDir.isEmpty && localThreshold > 0) {
+      if (checkpointDir.isEmpty && localThreshold > 0 &&
+          edgeCountHint.isEmpty) {
         val e0 = edgeCols.persist(StorageLevel.MEMORY_AND_DISK)
         if (e0.count() <= localThreshold) {
-          val out = localPeel(e0, k, rounds)
+          val out = localPeel(e0, k, rounds, preDeduped)
           e0.unpersist()
           return out
         }
@@ -98,7 +115,10 @@ object KCore {
       if (checkpointDir.isDefined) frames.foreach(_.unpersist())
       else retired = frames.toList ::: retired
 
-    var cur = pin(sized.getOrElse(edgeCols))
+    val canonical =
+      if (preDeduped) sized.getOrElse(edgeCols)
+      else sized.getOrElse(edgeCols).distinct()
+    var cur = pin(canonical)
     sized.foreach(retire(_))
     // Degrees are MAINTAINED INCREMENTALLY across rounds, not
     // re-aggregated from the full surviving edge set each round (which
@@ -197,26 +217,38 @@ object KCore {
     * a peeled node's degree reaches exactly 0 and the survivors carry
     * the surviving subgraph's degrees — the distributed loop's
     * invariant, minus its per-round job. */
-  private def localPeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private def localPeel(e: DataFrame, k: Int, rounds: Int,
+                        preDeduped: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
       StructType}
     val spark = e.sparkSession
     val idType = e.schema("a").dataType
     val rows = e.collect()
-    var m = rows.length
-    val idx = new java.util.HashMap[Any, Integer](m * 2)
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Any]
     def ix(x: Any): Int = {
       var i = idx.get(x)
       if (i == null) { i = ids.length; idx.put(x, i); ids += x }
       i
     }
-    val ea = new Array[Int](m)
-    val eb = new Array[Int](m)
+    val ea = new Array[Int](rows.length)
+    val eb = new Array[Int](rows.length)
+    // !preDeduped: dedupe during ingest via the primitive
+    // [[PackedPairSet]] (dense ids pack into one Long ≥ 1) — the
+    // peel's degree invariant needs each undirected edge once
+    val seen: PackedPairSet =
+      if (preDeduped) null else new PackedPairSet(rows.length)
+    var m = 0
     var i = 0
-    while (i < m) {
-      val r = rows(i); ea(i) = ix(r.get(0)); eb(i) = ix(r.get(1)); i += 1
+    while (i < rows.length) {
+      val r = rows(i)
+      val u = ix(r.get(0)); val v = ix(r.get(1))
+      if (seen == null ||
+          seen.add((math.min(u, v).toLong << 32) | math.max(u, v).toLong)) {
+        ea(m) = u; eb(m) = v; m += 1
+      }
+      i += 1
     }
     val n = ids.length
     val deg = new Array[Long](n)

@@ -43,8 +43,8 @@ object Triangles {
   /** Per-node triangle counts and local clustering coefficient.
     *
     * @param edges canonical undirected edge list: columns (a, b) with
-    *              a < b, no duplicates (callers dedup; a multigraph
-    *              would double-count closures)
+    *              a < b; duplicate-free when `preDeduped` (the default
+    *              — a multigraph would double-count closures)
     * @param localThreshold edge count at or below which the census runs
     *              DRIVER-LOCAL on the collected edge list (the
     *              [[Components.connected]] `localThreshold` contract):
@@ -59,24 +59,77 @@ object Triangles {
     *              output (TrianglesSpec pins local == distributed).
     *              Above the threshold the distributed census runs
     *              unchanged — the 100 TB path. 0 forces distributed.
+    * @param preDeduped set false when `edges` may carry duplicate
+    *              (a, b) rows (e.g. a relational pair-generation whose
+    *              global `.distinct()` would cost a full extra
+    *              shuffle): the census dedups INTERNALLY — an O(1)
+    *              hash-set membership test during the driver-local
+    *              ingest (the pair stream is already in hand; at the
+    *              gate SF the skipped exchange is ~40% of the whole
+    *              query), a `.distinct()` over the already-persisted
+    *              edge cache on the distributed path (same exchange
+    *              the caller would have paid, just moved after the
+    *              size probe). The local/distributed threshold then
+    *              compares the RAW pair count — a conservative upper
+    *              bound of the true edge count.
+    * @param edgeCountHint caller-known upper bound on the edge count
+    *              (e.g. from a join-free aggregate over the pair
+    *              generator — Σ C(n_group, 2) costs one tiny shuffle,
+    *              never touches the pair stream). When given, the
+    *              local/distributed choice is made WITHOUT
+    *              materializing the edges: the small path collapses
+    *              to a single collect job (no persist, no count), and
+    *              the big path never caches the raw pre-distinct pair
+    *              stream — deciding the plan from a statistic instead
+    *              of from materialized data, which is the only version
+    *              of this choice that survives 100 TB.
     * @return (node, deg, n_tri, clustering_coeff) for every node that
     *         appears in `edges`; coefficient = 2·tri / (deg·(deg−1)),
     *         0.0 for degree-1 nodes — both engines divide the same
     *         exact integers, so the double is identical. */
   def perNode(edges: DataFrame,
-              localThreshold: Long = 2000000L): DataFrame = {
-    // the edge set feeds the degree aggregate and the orientation join;
+              localThreshold: Long = 2000000L,
+              preDeduped: Boolean = true,
+              edgeCountHint: Option[Long] = None): DataFrame = {
+    val raw = edges.select(col("a"), col("b"))
+    edgeCountHint match {
+      case Some(n) if localThreshold > 0 && n <= localThreshold =>
+        // trusted-small: ONE job (the collect) — no persist, no count
+        return localPerNode(raw, preDeduped)
+      case Some(_) =>
+        // trusted-big: dedupe (if owed) straight off the stream into
+        // the census's one edge cache; the raw pair stream is never
+        // cached
+        return census(
+          (if (preDeduped) raw else raw.distinct())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+      case None => ()
+    }
+    // no hint: the edge set feeds the size probe and then either path;
     // persist (the multi-consumer rule; lineage stays flat, no
     // iteration, so no checkpoint needed)
-    val e = edges.select(col("a"), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = raw.persist(StorageLevel.MEMORY_AND_DISK)
     // one cheap job: materializes the cache every downstream consumer
     // needs anyway, and sizes the graph for the local/distributed choice
-    if (e.count() <= localThreshold) {
-      val out = localPerNode(e)
-      e.unpersist()
+    if (e0.count() <= localThreshold) {
+      val out = localPerNode(e0, preDeduped)
+      e0.unpersist()
       return out
     }
+    if (preDeduped) census(e0)
+    else {
+      // materialize the deduped cache off the raw one, then release
+      // the raw — the big path must not hold two edge-sized caches
+      // for the whole census
+      val d = e0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      e0.unpersist()
+      census(d)
+    }
+  }
+
+  /** Distributed census over a deduped, persisted edge cache. */
+  private def census(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -134,27 +187,39 @@ object Triangles {
     * with the id's natural order — the census is order-insensitive
     * beyond needing SOME strict total order, and the per-node counts
     * are exact integers either way). */
-  private def localPerNode(e: DataFrame): DataFrame = {
+  private def localPerNode(e: DataFrame, preDeduped: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
       StructType}
     val spark = e.sparkSession
     val idType = e.schema("a").dataType
     val rows = e.collect()
-    val m = rows.length
     // dense remap: original id -> [0, n)
-    val idx = new java.util.HashMap[Any, Integer](m * 2)
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Any]
     def ix(x: Any): Int = {
       var i = idx.get(x)
       if (i == null) { i = ids.length; idx.put(x, i); ids += x }
       i
     }
-    val ea = new Array[Int](m)
-    val eb = new Array[Int](m)
+    val ea = new Array[Int](rows.length)
+    val eb = new Array[Int](rows.length)
+    // !preDeduped: dedupe during ingest — O(1) primitive-set
+    // membership on the dense-packed pair ([[PackedPairSet]]), in
+    // place of the caller's global distinct exchange (the dense ids
+    // fit an Int each, so one Long ≥ 1 keys a pair)
+    val seen: PackedPairSet =
+      if (preDeduped) null else new PackedPairSet(rows.length)
+    var m = 0
     var i = 0
-    while (i < m) {
-      val r = rows(i); ea(i) = ix(r.get(0)); eb(i) = ix(r.get(1)); i += 1
+    while (i < rows.length) {
+      val r = rows(i)
+      val u = ix(r.get(0)); val v = ix(r.get(1))
+      if (seen == null ||
+          seen.add((math.min(u, v).toLong << 32) | math.max(u, v).toLong)) {
+        ea(m) = u; eb(m) = v; m += 1
+      }
+      i += 1
     }
     val n = ids.length
     val deg = new Array[Long](n)

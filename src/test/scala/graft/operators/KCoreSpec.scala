@@ -52,4 +52,35 @@ class KCoreSpec extends SparkSpecBase {
       assert(local == dist, s"rounds=$rounds")
     }
   }
+
+  test("preDeduped=false: duplicated pair stream == deduped input, " +
+      "local and distributed") {
+    // raw relational pair-stream shape (repeated co-occurrences): the
+    // operator's internal dedup must reproduce the clean peel exactly
+    // — a duplicate-counted degree would survive a peel it shouldn't
+    val edges = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 97 % 40
+      val v = (i * 40503L + 7) % 89 % 40
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    val dups = edges.zipWithIndex.flatMap { case (e, i) =>
+      Seq.fill(1 + (i % 3))(e)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Boolean]("in_core")))).toMap
+    val clean = toMap(KCore.peel(edges.toDF("a", "b"), k = 4, rounds = 6))
+    assert(toMap(KCore.peel(dups.toDF("a", "b"), k = 4, rounds = 6,
+      preDeduped = false)) == clean)
+    assert(toMap(KCore.peel(dups.toDF("a", "b"), k = 4, rounds = 6,
+      localThreshold = 0, preDeduped = false)) == clean)
+    // edgeCountHint: trusted-small (single collect) and trusted-big
+    // (straight to the distributed loop) both match the probe flow
+    assert(toMap(KCore.peel(dups.toDF("a", "b"), k = 4, rounds = 6,
+      preDeduped = false,
+      edgeCountHint = Some(dups.size.toLong))) == clean)
+    assert(toMap(KCore.peel(dups.toDF("a", "b"), k = 4, rounds = 6,
+      localThreshold = 1, preDeduped = false,
+      edgeCountHint = Some(dups.size.toLong))) == clean)
+  }
 }
