@@ -490,49 +490,51 @@ object VectorQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "pagerank" -> pagerankOracle,
-    // degree-oriented adjacency intersection in DuckDB's list dialect:
-    // the x<y<z 3-way-join form materializes the WEDGE set through its
-    // pipeline breakers (~7B rows at sf10 — blew 80 GB memory + 35 GB
-    // spill even evaluated once), while this form's biggest state is
-    // the node-sized adjacency table and everything per-edge streams.
-    // The per-edge closure is referenced exactly ONCE: each edge's
-    // three contribution kinds (src += |∩|, dst += |∩|, each witness
-    // += 1) are emitted as one unnested struct list, so nothing
-    // triangle-sized is ever materialized or re-evaluated (the earlier
-    // 3-branch UNION ALL over a MATERIALIZED closure spilled 37 GiB at
-    // sf10 storing the intersect lists; this form streams them
-    // straight into the node-sized hash aggregate).
+    // degree-oriented wedge join, ALL-PLAIN CTEs. Three forms were
+    // measured before landing here (sf0.1 / projected sf10):
+    //  - raw x<y<z 3-way join: 1.1 s, but unoriented wedges blow up
+    //    superlinearly at sf10 (~7B rows, 80 GB + 35 GB spill);
+    //  - list-dialect adjacency intersect: node-sized state, but
+    //    DuckDB's per-element list overhead makes it 30.5 s at sf0.1;
+    //  - THIS form: orient every edge low→high by (deg, node) — the
+    //    O(√m)-outdegree bound caps wedges at 41M (sf0.1), linear in
+    //    SF under replication — and emit each triangle's three corner
+    //    contributions through ONE unnest into the node-sized hash
+    //    aggregate. 2.3 s at sf0.1 and nothing wedge-sized is ever a
+    //    hash BUILD side (ed is the build of both joins; the wedge
+    //    stream only probes).
+    // Plain (non-MATERIALIZED) CTEs are deliberate: DuckDB 1.0 scans
+    // a materialized CTE single-threaded, which serializes the whole
+    // downstream wedge pipeline (measured 11.8 s vs 2.3 s inline);
+    // the bounded recompute of e0 per inlined reference is cheaper
+    // than losing probe parallelism. (dkey packs (deg, node) into one
+    // BIGINT so the wedge-pair predicate is a single int compare.)
     // The relational 3-way join remains the spec-scale cross-check
     // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
-      """WITH e0 AS MATERIALIZED (
+      """WITH e0 AS (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
         |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
         |  GROUP BY 1),
-        |ed AS MATERIALIZED (SELECT
+        |ed AS (SELECT
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
         |      THEN e0.a ELSE e0.b END AS src,
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
-        |      THEN e0.b ELSE e0.a END AS dst
+        |      THEN e0.b ELSE e0.a END AS dst,
+        |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+        |      THEN db.deg * 1000000000 + e0.b
+        |      ELSE da.deg * 1000000000 + e0.a END AS dkey
         |  FROM e0 JOIN deg da ON da.node = e0.a
         |  JOIN deg db ON db.node = e0.b),
-        |adj AS MATERIALIZED (SELECT src, list(dst) AS nbrs
-        |  FROM ed GROUP BY 1),
-        |contrib AS (
-        |  SELECT unnest(list_concat(
-        |      [{'n': q.src, 'c': CAST(len(q.c) AS BIGINT)},
-        |       {'n': q.dst, 'c': CAST(len(q.c) AS BIGINT)}],
-        |      list_transform(q.c, z -> {'n': z, 'c': CAST(1 AS BIGINT)}))) AS u
-        |  FROM (SELECT ed.src, ed.dst,
-        |          list_intersect(a1.nbrs, a2.nbrs) AS c
-        |        FROM ed JOIN adj a1 ON a1.src = ed.src
-        |        JOIN adj a2 ON a2.src = ed.dst) q
-        |  WHERE len(q.c) > 0),
-        |t AS (SELECT u.n AS node, CAST(SUM(u.c) AS BIGINT) AS n_tri
-        |  FROM contrib GROUP BY 1)
+        |t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+        |  FROM ed e1 JOIN ed e2
+        |    ON e1.src = e2.src AND e1.dkey < e2.dkey
+        |  JOIN ed e3 ON e3.src = e1.dst AND e3.dst = e2.dst) u
+        |  GROUP BY 1)
         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
         |  CASE WHEN d.deg >= 2
