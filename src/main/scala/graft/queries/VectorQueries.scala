@@ -467,16 +467,29 @@ object VectorQueries extends QueryGroup {
          |    $d * COALESCE(m$i.m, 0.0) AS pr
          |  FROM e CROSS JOIN nn LEFT JOIN m$i ON e.id = m$i.id)"""
         .stripMargin
-    // MATERIALIZED fences (the k_core iterative-oracle rule): DuckDB
-    // inlines non-materialized CTEs per reference — `p` (the all-pairs
-    // cosine join, the dominant cost) is referenced twice by `ed`, and
-    // `ed`/`deg` once per unrolled iteration; inlined, the pair join
-    // re-evaluates up to 6 times (measured: sf10 oracle ran past a
-    // 5400 s timeout; fenced it is one pass)
-    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+    // Fence placement is load-bearing twice over. `p` (the pair join,
+    // the dominant cost) is referenced twice by `ed` and `ed`/`deg`
+    // once per unrolled iteration — unfenced, DuckDB inlines it and
+    // re-evaluates the join up to 6 times. But DuckDB 1.0 also scans a
+    // MATERIALIZED CTE single-threaded, so the pair join's INPUTS must
+    // stay plain or the whole O(n²) probe runs on one core (measured:
+    // with `e` fenced the sf10 oracle sat at 1 core for 3h20m and
+    // timed out; plain `eu` inputs parallelize the join). Hence: plain
+    // `ev`/`eu` feed the join, `p` alone fences its result. The
+    // pre-normalized unit vectors make the pair predicate one dot
+    // product instead of three, with a margin-safe screen (1e-7 slack
+    // vs ~1e-14 FP divergence between u·u-dot and the exact ratio) and
+    // the ORIGINAL predicate as the final word — bit-identical output
+    // (verified by symmetric EXCEPT at sf0.1).
+    s"""WITH ev AS (SELECT vec_id AS id,
        |  embedding::DOUBLE[] AS v FROM embeddings),
-       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM e a JOIN e b
-       |  ON a.id < b.id WHERE $cosAB >= 0.3),
+       |eu AS (SELECT id, v, list_transform(v,
+       |  x -> x / sqrt(list_dot_product(v, v))) AS u FROM ev),
+       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM eu a
+       |  JOIN eu b ON a.id < b.id
+       |  WHERE list_dot_product(a.u, b.u) >= 0.2999999
+       |    AND $cosAB >= 0.3),
+       |e AS MATERIALIZED (SELECT id FROM ev),
        |ed AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
        |  UNION ALL SELECT ib AS src, ia AS dst FROM p),
        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM ed
