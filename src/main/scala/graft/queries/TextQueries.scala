@@ -291,6 +291,35 @@ object TextQueries extends QueryGroup {
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityVerdict(Tables.documents(spark, dir))
 
+  /** The published Gopher rule battery ([[GopherRules]]) over the
+    * documents table. The synthetic corpus is single-line word salad —
+    * no bullets, ellipses or symbols — so the query first DECORATES
+    * the text deterministically by doc_id residue (bulletified lines,
+    * `...`-terminated lines, `#` symbol noise, digit-word injection);
+    * the oracle applies the identical literal `replace` chain, so
+    * every rule fires with real counts on both engines instead of
+    * comparing structural zeros. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = pmod(col("doc_id"), lit(6))
+    val decorated = docs.withColumn("__t",
+      when(m === 0, regexp_replace(col("text"), lit(" table "),
+        lit("\n- table ")))
+        .when(m === 1, regexp_replace(col("text"), lit(" scan "),
+          lit("...\n")))
+        .when(m === 2, concat(col("text"), lit("...")))
+        .when(m === 3, regexp_replace(col("text"), lit(" agg "),
+          lit(" # agg # ")))
+        .when(m === 4, regexp_replace(col("text"), lit(" value "),
+          lit(" 123 456 ")))
+        .otherwise(col("text")))
+    GopherRules(decorated, col("__t"), minWords = 30,
+      minStopDistinct = 1)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "n_lines", "bullet_line_ratio", "ellipsis_line_ratio",
+        "alpha_word_ratio", "n_stop_distinct", "verdict")
+  }
+
   /** The composed corpus-cleaning flagship: quality filter → exact-dedup
     * keeper selection in ONE plan. Every doc comes back with its quality
     * verdict, its dup-group keeper (among quality-keeps; -1 when the doc
@@ -363,6 +392,7 @@ object TextQueries extends QueryGroup {
     "token_budget_cap" -> (tokenBudgetCap _),
     "quality_percentile_filter" -> (qualityPercentileFilter _),
     "quality_filter" -> (qualityFilter _),
+    "gopher_rules" -> (gopherRules _),
     "hof_funcs" -> (hofFuncs _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
@@ -579,6 +609,66 @@ object TextQueries extends QueryGroup {
       s"""WITH $qualityCte
          |SELECT doc_id, n_tokens, stopword_ratio, lang_pred, verdict
          |FROM v""".stripMargin,
+    // line predicates avoid (?m) anchors on BOTH sides (Java's
+    // MULTILINE $ matches before \r and U+2028, RE2's only before \n);
+    // '\n' enters the RE2 pattern via chr(10) concat because standard
+    // single-quoted SQL has no escapes
+    "gopher_rules" -> {
+      val t2 = "regexp_split_to_array(trim(lower(t)), '[ \\t\\n\\r]+')"
+      val stops = GopherRules.stopSet
+        .map(s => s"CAST(list_contains($t2, '$s') AS INT)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, CASE doc_id % 6
+         |    WHEN 0 THEN replace(text, ' table ', chr(10) || '- table ')
+         |    WHEN 1 THEN replace(text, ' scan ', '...' || chr(10))
+         |    WHEN 2 THEN text || '...'
+         |    WHEN 3 THEN replace(text, ' agg ', ' # agg # ')
+         |    WHEN 4 THEN replace(text, ' value ', ' 123 456 ')
+         |    ELSE text END AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len($t2) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(trim(t), '[ \\t\\n\\r]+', '', 'g'))
+         |    AS BIGINT) AS word_chars,
+         |  CAST(length(t) - length(replace(t, '#', ''))
+         |    + len(regexp_extract_all(t, '\\.\\.\\.')) AS BIGINT)
+         |    AS n_symbols,
+         |  CAST(len(str_split(t, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(regexp_extract_all(t,
+         |    '(?:^|' || chr(10) || ')[ \\t]*[-*\u2022]')) AS BIGINT)
+         |    AS n_bullets,
+         |  CAST(len(regexp_extract_all(t, '\\.\\.\\.' || chr(10)))
+         |    + CASE WHEN t LIKE '%...' THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_ell_lines,
+         |  CAST(len(regexp_extract_all(trim(lower(t)),
+         |    '(?:^|[ \\t\\n\\r])[^ \\t\\n\\r]*[a-z]')) AS BIGINT)
+         |    AS n_alpha,
+         |  CAST($stops AS INT) AS n_stop_distinct
+         |FROM d),
+         |r AS (SELECT doc_id, n_words,
+         |  CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS mean_word_len,
+         |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS symbol_word_ratio,
+         |  n_lines,
+         |  CAST(n_bullets AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |    AS bullet_line_ratio,
+         |  CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |    AS ellipsis_line_ratio,
+         |  CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS alpha_word_ratio,
+         |  n_stop_distinct FROM m)
+         |SELECT *,
+         |  CASE WHEN n_words < 30 THEN 'too_few_words'
+         |    WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mean_word_len < 3.0 THEN 'short_words'
+         |    WHEN mean_word_len > 10.0 THEN 'long_words'
+         |    WHEN symbol_word_ratio > 0.1 THEN 'symbol_heavy'
+         |    WHEN bullet_line_ratio > 0.9 THEN 'bullet_heavy'
+         |    WHEN ellipsis_line_ratio > 0.3 THEN 'ellipsis_heavy'
+         |    WHEN alpha_word_ratio < 0.8 THEN 'non_alpha'
+         |    WHEN n_stop_distinct < 1 THEN 'no_stopwords'
+         |    ELSE 'keep' END AS verdict
+         |FROM r""".stripMargin
+    },
     "corpus_clean" ->
       s"""WITH $qualityCte,
          |m AS (SELECT doc_id, md5(text) AS m5 FROM documents)
