@@ -135,8 +135,17 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
                 # which the small-SF runs keep.
                 msel = ", ".join(f'"{c}"' for c in mcols)
                 rsel = ", ".join(f'"{c}"' for c in rcols)
+                # materialize the ORACLE once into a temp table: as a
+                # view it would re-execute for the count and once per
+                # EXCEPT side (3 full runs — the sf10 graph oracles
+                # cost tens of minutes per run); the temp table spills
+                # under the same TEMPLIMIT so the compare stays
+                # memory-flat
+                con.execute("DROP TABLE IF EXISTS __pf_ref_t")
+                con.execute(f"CREATE TEMP TABLE __pf_ref_t AS {sql}")
                 n_mine = mine.aggregate("count(*)").fetchone()[0]
-                n_ref = ref.aggregate("count(*)").fetchone()[0]
+                n_ref = con.execute(
+                    "SELECT count(*) FROM __pf_ref_t").fetchone()[0]
                 if n_mine != n_ref:
                     print(f"FAIL {name}: rows mine={n_mine} oracle={n_ref}")
                     record(name, schema_match=True, spark_rows=n_mine,
@@ -147,13 +156,12 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
                 # is EXCEPT DISTINCT and would pass on multiplicity
                 # mismatches like [A,A,B] vs [A,B,B])
                 mine.create_view("__pf_mine", True)
-                ref.create_view("__pf_ref", True)
                 diff = con.execute(
                     "SELECT (SELECT count(*) FROM "
                     f"(SELECT {msel} FROM __pf_mine EXCEPT ALL "
-                    f"SELECT {rsel} FROM __pf_ref)) + "
+                    f"SELECT {rsel} FROM __pf_ref_t)) + "
                     "(SELECT count(*) FROM "
-                    f"(SELECT {rsel} FROM __pf_ref EXCEPT ALL "
+                    f"(SELECT {rsel} FROM __pf_ref_t EXCEPT ALL "
                     f"SELECT {msel} FROM __pf_mine))").fetchone()[0]
                 if diff == 0:
                     print(f"PASS {name}: {n_mine} rows exact (sql compare)")
