@@ -516,17 +516,20 @@ object VectorQueries extends QueryGroup {
     //    aggregate. 2.3 s at sf0.1 and nothing wedge-sized is ever a
     //    hash BUILD side (ed is the build of both joins; the wedge
     //    stream only probes).
-    // e0/deg/ed are MATERIALIZED; the wedge pipeline below them is
-    // plain. Unfenced, DuckDB inlines e0 into each of its 4 references
-    // (deg once, ed once + twice more via deg) and runs 4 concurrent
-    // copies of the pair-DISTINCT — at sf10 that wrote 35 GB of spill
-    // in 96 s and died. The old "fences serialize the scan" rationale
-    // for all-plain CTEs dated from before preserve_insertion_order
-    // was turned off in preflight; with ordering off, fenced and plain
-    // wedge pipelines run at full parallelism (measured sf1: fenced
-    // 123 s vs plain 303 s, outputs bit-identical by symmetric
-    // EXCEPT ALL). (dkey packs (deg, node) into one BIGINT so the
-    // wedge-pair predicate is a single int compare.)
+    // ONLY e0 is MATERIALIZED; deg/ed/the wedge pipeline stay plain.
+    // Unfenced, DuckDB inlines e0 into each of its 4 references (deg
+    // once, ed once + twice more via deg) and runs 4 concurrent copies
+    // of the pair-DISTINCT — at sf10 that wrote 35 GB of spill in 96 s
+    // and died. Fencing MORE is an anti-optimization: the 3-variant
+    // A/B (e0-only / e0+deg / all-fenced, outputs bit-identical by
+    // symmetric EXCEPT ALL) measured 3.0 / 9.8 / 9.9 s at sf0.1 and
+    // 64.8 / 135.7 / 133.7 s at sf1 — the deg fence alone costs 2-3×,
+    // while deg/ed recomputed from the materialized e0 are cheap
+    // group-by/join passes. (The old "fences serialize the scan"
+    // rationale for all-plain CTEs dated from before
+    // preserve_insertion_order was turned off in preflight.) (dkey
+    // packs (deg, node) into one BIGINT so the wedge-pair predicate
+    // is a single int compare.)
     // The relational 3-way join remains the spec-scale cross-check
     // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
@@ -534,10 +537,10 @@ object VectorQueries extends QueryGroup {
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
         |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
         |  GROUP BY 1),
-        |ed AS MATERIALIZED (SELECT
+        |ed AS (SELECT
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
         |      THEN e0.a ELSE e0.b END AS src,
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
