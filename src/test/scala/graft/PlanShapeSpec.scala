@@ -82,6 +82,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("gopher_rules is a stateless single-stage projection (no " +
+    "exchange, whole battery inside codegen)") {
+    val p = plan(queries.TextQueries.gopherRules(spark, sf))
+    assert(!p.contains("Exchange"), p.take(2000))
+    // executedPlan.toString renders codegen stages as "*(n) "; the
+    // whole battery must be ONE stage (stage 1) with no off-codegen
+    // operators between scan and output
+    assert(p.contains("*(1) Project") && !p.contains("*(2)"),
+      p.take(2000))
+    // no interpreted higher-order function or UDF snuck into the rules
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform") &&
+      !p.toLowerCase.contains("batchevalpython"), p.take(2000))
+  }
+
   test("j1_multiply broadcasts the part dimension (no shuffle of facts)") {
     val p = plan(queries.RelationalQueries.j1Multiply(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
