@@ -71,6 +71,17 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con.execute("SET preserve_insertion_order=false")
     if os.environ.get("PREFLIGHT_THREADS"):
         con.execute(f"SET threads={int(os.environ['PREFLIGHT_THREADS'])}")
+    # escape hatch for stats-blind plans: above a materialized CTE
+    # DuckDB 1.0's cardinality estimates collapse to 0 and the join-
+    # order pass then picks hash-join build sides arbitrarily — for
+    # the sf10 triangle oracle it builds on the 4-billion-row wedge
+    # stream instead of the edge list (observed: 35 GB of spill in
+    # minutes, then death). The oracle's SYNTACTIC join order is the
+    # correct one (build sides are the right-hand relations as
+    # written), so per-query solo runs can disable the reorder pass.
+    if os.environ.get("PREFLIGHT_DISABLED_OPTIMIZERS"):
+        con.execute("SET disabled_optimizers="
+                    f"'{os.environ['PREFLIGHT_DISABLED_OPTIMIZERS']}'")
     if os.environ.get("PREFLIGHT_MEMLIMIT"):
         con.execute(f"SET memory_limit='{os.environ['PREFLIGHT_MEMLIMIT']}'")
     for t in TABLES:
