@@ -530,20 +530,28 @@ object VectorQueries extends QueryGroup {
     //    aggregate. 2.3 s at sf0.1 and nothing wedge-sized is ever a
     //    hash BUILD side (ed is the build of both joins; the wedge
     //    stream only probes).
-    // ONLY e0 is MATERIALIZED; deg/ed/the wedge pipeline stay plain.
-    // Unfenced, DuckDB inlines e0 into each of its 4 references (deg
-    // once, ed once + twice more via deg) and runs 4 concurrent copies
-    // of the pair-DISTINCT — at sf10 that wrote 35 GB of spill in 96 s
-    // and died. Fencing MORE is an anti-optimization: the 3-variant
-    // A/B (e0-only / e0+deg / all-fenced, outputs bit-identical by
-    // symmetric EXCEPT ALL) measured 3.0 / 9.8 / 9.9 s at sf0.1 and
-    // 64.8 / 135.7 / 133.7 s at sf1 — the deg fence alone costs 2-3×,
-    // while deg/ed recomputed from the materialized e0 are cheap
-    // group-by/join passes. (The old "fences serialize the scan"
-    // rationale for all-plain CTEs dated from before
-    // preserve_insertion_order was turned off in preflight.) (dkey
-    // packs (deg, node) into one BIGINT so the wedge-pair predicate
-    // is a single int compare.)
+    // ALL of e0/deg/ed are MATERIALIZED — each stage evaluated exactly
+    // once. The fence layout went through a measured decision tree:
+    //  - all-PLAIN: DuckDB inlines e0 into its 4 references and runs 4
+    //    concurrent pair-DISTINCT copies (sf10: 35 GB spill, death);
+    //  - e0-only / e0+ed fences: fastest at small SF (3.0 s sf0.1),
+    //    but every partially-plain variant re-computes ed per wedge
+    //    reference — three concurrent edge-pipeline builds stacked
+    //    105 GB RSS at sf10 before the box ran out (observed, killed);
+    //  - all-fenced: 9.9 s sf0.1 / 134 s sf1 (outputs bit-identical to
+    //    every variant by symmetric EXCEPT ALL), and the sf10 state is
+    //    edge-linear (completes inside 10 GB mem + 8 GB spill at sf1).
+    // One caveat travels with the fences: above a materialized CTE,
+    // DuckDB 1.0's cardinality estimates collapse to 0 and its join-
+    // order pass then builds the closure hash join on the 4-billion-
+    // row WEDGE stream instead of ed (EXISTS/IN closure rewrites
+    // flatten to the same flipped RIGHT_SEMI). The syntactic order
+    // below is the correct one — ed is the right-hand (build) side of
+    // both wedge joins — so the sf10 compare runs with the reorder
+    // pass off (PREFLIGHT_DISABLED_OPTIMIZERS=join_order); at the
+    // bench SFs the default plan fits and runs as-is. (dkey packs
+    // (deg, node) into one BIGINT so the wedge-pair predicate is a
+    // single int compare.)
     // The relational 3-way join remains the spec-scale cross-check
     // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
@@ -551,10 +559,10 @@ object VectorQueries extends QueryGroup {
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
         |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
         |  GROUP BY 1),
-        |ed AS (SELECT
+        |ed AS MATERIALIZED (SELECT
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
         |      THEN e0.a ELSE e0.b END AS src,
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
