@@ -27,7 +27,15 @@ object SparkEntry {
     groups.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * ORACLE TYPE DISCIPLINE (BASELINE.md "DuckDB oracle type
+    * discipline"): DuckDB types an uncast integer SUM as HUGEINT
+    * (int128), which has no int64/Arrow mapping — a type-sensitive
+    * driver hasher then mismatches every row while value compares stay
+    * green. CAST every aggregate/computed column to the Spark result's
+    * type (SUM of ints → BIGINT). Enforced by OracleTypeSpec (all
+    * oracles, every `sbt test`) and tools/preflight.py. */
   def oracleSql: Map[String, String] =
     groups.flatMap(_.oracles).toMap
 }

@@ -128,6 +128,23 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
         try:
             mine = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
             ref = con.sql(sql)
+            # ORACLE TYPE DISCIPLINE (r10 judge finding): DuckDB types an
+            # uncast integer SUM as HUGEINT (int128), which has no int64 /
+            # Arrow mapping — a type-sensitive driver hasher then
+            # mismatches every row while this script's fetchall compare
+            # (both sides coerced to Python int) stays green. oov_rate
+            # was red in the driver artifact for two rounds on exactly
+            # this. No oracle result column may type HUGEINT; CAST
+            # aggregate outputs to the Spark column's type (BIGINT).
+            hug = [c for c, t in zip(ref.columns, ref.types)
+                   if "HUGEINT" in str(t).upper()]
+            if hug:
+                print(f"FAIL {name}: oracle columns {hug} type HUGEINT "
+                      f"(int128) — CAST to BIGINT; a type-sensitive "
+                      f"driver hasher mismatches every row")
+                record(name, err=f"HUGEINT oracle columns: {hug}")
+                n_fail += 1
+                continue
             mcols = sorted(mine.columns)
             rcols = sorted(ref.columns)
             if [c.lower() for c in mcols] != [c.lower() for c in rcols]:
