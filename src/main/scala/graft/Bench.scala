@@ -215,16 +215,41 @@ object Bench {
     println(fullJson)
     // truncation-proof summary: repeat the headline numbers in a short
     // LAST line that any tail keeps — including the in-window DuckDB
-    // pairing, so the artifact is interpretable without archaeology
+    // pairing, so the artifact is interpretable without archaeology.
+    // SHAPE MATTERS (BENCH_r09/r10 both came back "parsed": null even
+    // though the tail held a complete summary line): the driver's
+    // parser expects the CONTRACT shape — {"metric","value","unit",
+    // "queries":{...},"sf":N} with a queries MAP and a NUMERIC sf —
+    // which the old summary lacked (no "queries", sf as a path
+    // string). The full 160-query map is ~6 KB and cannot survive a
+    // 2000-char tail window, so this line carries the SLOWEST queries
+    // only, values rounded to ms, trimmed to a fixed byte budget, plus
+    // "queries_omitted" so the truncation is explicit; the complete
+    // map lives in bench_full.json / bench_summary.json.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val seqSorted = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val (topQ, omitted) = {
+      val sb = new StringBuilder
+      var n = 0
+      seqSorted.foreach { case (k, v) =>
+        val entry = (if (n > 0) "," else "") + "\"" + k + "\":" + ms(v)
+        if (sb.length + entry.length <= 700) { sb.append(entry); n += 1 }
+      }
+      ("{" + sb.toString + "}", seqSorted.length - n)
+    }
     val duckTail = duck.map { case (total, _, errs) =>
       val rs = if (total > 0) seqWall / total else -1.0
       val rw =
         if (seqOnly || total <= 0) ""
-        else s""","spark_wall_vs_duck":${wall / total}"""
-      s""","duck_seq":$total,"duck_errors":$errs,"spark_seq_vs_duck":$rs$rw"""
+        else s""","spark_wall_vs_duck":${ms(wall / total)}"""
+      s""","duck_sequential_total_sec":${ms(total)},"duck_errors":$errs,"spark_seq_vs_duck":${ms(rs)}$rw"""
     }.getOrElse("")
-    val concTail = if (seqOnly) "" else s""""sum_query_sec":$sum,"""
-    val summaryJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":$seqWall$duckTail,"full_distribution":"$outFile","sf":"$sfDir"}"""
+    val concTail = if (seqOnly) "" else s""""sum_query_sec":${ms(sum)},"""
+    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
     println(summaryJson)
     // the summary ALSO goes to a file beside the full distribution:
     // BENCH_r09.json came back with "parsed": null because the
