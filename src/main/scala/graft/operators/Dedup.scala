@@ -254,19 +254,48 @@ object Dedup {
     * BIGINT differently across engines). [[simhash64]] (xxhash64 →
     * one BIGINT) stays the production representation. */
   def simhashMd5Bits(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    // LANE-PACKED bit counters: the naive form is 64 aggregate
+    // expressions (one ±1 CASE-sum per bit), and at bench scale its
+    // cost is dominated by the generated-code size of the 65-aggregate
+    // plan, not by data (270k tokens; measured 3.3–4.0 s at sf0.1).
+    // Instead each hex digit's four bit counters ride in one LONG as
+    // four 16-bit lanes: per token, digit i maps through a 16-entry
+    // literal lookup to bit0 + bit1·2^16 + bit2·2^32 + bit3·2^48, and
+    // ONE sum per digit position accumulates all four counters (16
+    // sums total). Unpack is shiftright+mask; the sign test
+    // 2·Σbit > n equals the old Σ(±1) > 0 exactly (Σ(±1) = 2·Σbit − n,
+    // integer arithmetic). Measured 4.0 → 1.6 s at sf0.1; bit-exact
+    // vs the 64-sum form (EXCEPT-verified).
+    //
+    // Lane bound: a counter saturates at 65535, so a single document
+    // with ≥ 65536 whitespace tokens (~400 KB of text) would carry
+    // into the next lane — that is outside this operator's contract
+    // (chunk first, or use [[simhash64]]) and FAILS LOUD via
+    // raise_error below rather than returning a silently-wrong hash.
+    val lut = typedLit(Seq.tabulate(16) { d =>
+      (0 until 4).map(k => ((d >> k) & 1).toLong << (16 * k)).sum
+    })
+    val packed = Seq.tabulate(16) { i =>
+      // instr is 1-based: digit value d arrives as d+1, the lut index
+      element_at(lut, instr(lit("0123456789abcdef"),
+        substring(col("__h"), 1 + i, 1)).cast("int")).as(s"__p$i")
+    }
     val toks = df.select(col(idCol), explode(TextStats.tokens(text)).as("tok"))
       .withColumn("__h", md5(col("tok")))
-    val bitSums = Seq.tabulate(64) { j =>
-      val digit = (instr(lit("0123456789abcdef"),
-        substring(col("__h"), 1 + j / 4, 1)) - 1).cast("int")
-      // integer bit extraction: '/' on Columns is DOUBLE division
-      val bit = shiftright(digit, j % 4) % 2
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"__b$j")
-    }
-    val agg = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
-    val bits = concat(Seq.tabulate(64)(j =>
-      when(col(s"__b$j") > 0, lit("1")).otherwise(lit("0"))): _*)
-    agg.withColumn("simhash_bits", bits)
-      .drop(Seq.tabulate(64)(j => s"__b$j"): _*)
+      .select(col(idCol) +: packed: _*)
+    val sums = Seq.tabulate(16)(i => sum(col(s"__p$i")).as(s"__s$i"))
+    val agg = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"), sums: _*)
+    val bits = concat(Seq.tabulate(64) { j =>
+      val cnt = shiftright(col(s"__s${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(65535L))
+      when(cnt * 2 > col("n_tokens"), lit("1")).otherwise(lit("0"))
+    }: _*)
+    agg.withColumn("simhash_bits",
+        when(col("n_tokens") >= 65536, raise_error(concat(
+          lit("simhashMd5Bits lane bound: document "), col(idCol).cast("string"),
+          lit(" has "), col("n_tokens").cast("string"),
+          lit(" tokens (>= 65536) — chunk it or use simhash64"))))
+          .otherwise(bits))
+      .drop(Seq.tabulate(16)(i => s"__s$i"): _*)
   }
 }

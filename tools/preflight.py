@@ -366,7 +366,17 @@ def bench_delta_gate(cur_path: str, prev_path: str,
         print("bench-delta: one side carries no queries_duck map — "
               "cannot form ratios")
         return 2
-    flagged, n_new, n_paired = [], 0, 0
+    # WARN tier (r10 judge margin note: simhash grew 1.48x/+0.72 s and
+    # slid under the 1.5x cap by 0.02): any query whose duck-normalized
+    # ratio grew > warn_cap with an absolute delta >= warn_delta_sec is
+    # PRINTED as a warning even below the 2.5 s materiality floor —
+    # sub-floor normalized ratios legitimately swing up to ~2x between
+    # windows (measured: pagerank r8->r9), so this tier alerts without
+    # turning the gate red; a warned query is the first thing to bisect
+    # (3 alternating-order runs old-vs-new classes separates variance
+    # from code — the r11 simhash protocol).
+    warn_cap, warn_delta_sec = 1.3, 0.5
+    flagged, warned, n_new, n_paired = [], [], 0, 0
     for name, s_c in sorted(cs.items()):
         if s_c < 0:
             continue  # failed query — correctness gate's job
@@ -380,10 +390,17 @@ def bench_delta_gate(cur_path: str, prev_path: str,
         if d_c < duck_floor_sec or d_p < duck_floor_sec:
             continue
         n_paired += 1
+        growth = (s_c / d_c) / (s_p / d_p)
         if (s_c >= spark_floor_sec and s_c - s_p >= min_delta_sec
-                and (s_c / d_c) > growth_cap * (s_p / d_p)):
-            flagged.append((name, s_c, s_p, (s_c / d_c) / (s_p / d_p),
-                            "ratio-growth"))
+                and growth > growth_cap):
+            flagged.append((name, s_c, s_p, growth, "ratio-growth"))
+        elif s_c - s_p >= warn_delta_sec and growth > warn_cap:
+            warned.append((name, s_c, s_p, growth))
+    for name, s_c, s_p, g in warned:
+        print(f"WARN {name}: spark {s_p:.2f}s -> {s_c:.2f}s, "
+              f"duck-normalized ratio grew {g:.2f}x "
+              f"(warn tier {warn_cap}x at +{warn_delta_sec}s; "
+              f"bisect before believing)")
     for name, s_c, s_p, g, why in flagged:
         if why == "ceiling":
             print(f"FLAG {name}: spark {s_c:.2f}s above ceiling "
@@ -393,7 +410,8 @@ def bench_delta_gate(cur_path: str, prev_path: str,
                   f"duck-normalized ratio grew {g:.2f}x "
                   f"(cap {growth_cap}x)")
     print(f"== bench-delta: {n_paired} ratio-paired, {n_new} new "
-          f"(ceiling-only), {len(flagged)} flagged ==")
+          f"(ceiling-only), {len(warned)} warned, "
+          f"{len(flagged)} flagged ==")
     return 1 if flagged else 0
 
 

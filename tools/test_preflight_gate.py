@@ -56,7 +56,32 @@ def main() -> int:
                    {"q_new": 31.0}, {"q_new": 1.0})
     assert bench_delta_gate(cur_ceil, prev) == 1, "ceiling must flag"
 
-    print("test_preflight_gate: 4/4 assertions green")
+    # 5. WARN tier (r10 margin note): a simhash-shaped regression —
+    #    1.48x normalized growth, +0.72 s absolute, below the 2.5 s
+    #    hard floor — must PRINT a warning but stay exit 0
+    import contextlib
+    import io
+    prev_sim = art(tmp / "prev_sim.json",
+                   {"simhash": 1.50}, {"simhash": 5.49})
+    cur_sim = art(tmp / "cur_sim.json",
+                  {"simhash": 2.22}, {"simhash": 5.49})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_sim, prev_sim)
+    assert rc == 0, "warn-tier regression must not turn the gate red"
+    assert "WARN simhash" in buf.getvalue(), \
+        f"warn tier must name the query, got: {buf.getvalue()!r}"
+
+    # 6. warn tier needs BOTH conditions: +0.4 s at 1.4x stays silent
+    prev_q = art(tmp / "prev_q.json", {"q": 1.0}, {"q": 1.0})
+    cur_q = art(tmp / "cur_q.json", {"q": 1.4}, {"q": 1.0})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_q, prev_q)
+    assert rc == 0 and "WARN" not in buf.getvalue(), \
+        "sub-delta growth must not warn"
+
+    print("test_preflight_gate: 6/6 assertions green")
     return 0
 
 
