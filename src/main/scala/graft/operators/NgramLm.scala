@@ -32,16 +32,25 @@ import graft.functions.Exact
   */
 object NgramLm {
 
-  /** One row per (id, sh, w1): positional bigram postings. Reuses the
-    * shared shingle builder ([[Fingerprint.explodedShingles]], the
-    * lead-window form — codegen, no interpreted higher-order lambdas)
-    * so bigram semantics can't drift from the dedup battery's. Tokens
-    * are whitespace-split, so the first token of the 2-gram string is
-    * recoverable with a codegen `substring_index`. */
-  private def bigramPostings(df: DataFrame, idCol: String,
-                             text: Column): DataFrame =
-    Fingerprint.explodedShingles(df, idCol, text, 2)
-      .withColumn("w1", substring_index(col("sh"), " ", 1))
+  /** One row per token occurrence: `(id, w1, w2)` where `w2` is the
+    * successor token or NULL for each document's final token. Built as
+    * a pure codegen projection — posexplode over the token array plus
+    * one `element_at` — with NO window shuffle (the old form routed
+    * through the `lead()`-window shingle builder, paying a
+    * shuffle+sort per side). Tokens come from the same
+    * [[TextStats.tokens]] split as the dedup battery, and a token can
+    * contain no space, so the `(w1, w2)` pair is bijective with the
+    * "w1 w2" shingle string — bigram semantics cannot drift. */
+  private def pairPostings(df: DataFrame, idCol: String,
+                           text: Column): DataFrame =
+    df.select(col(idCol), TextStats.tokens(text).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(col("__t")).as(Seq("__pos", "w1")))
+      // posexplode is 0-based, element_at 1-based: successor = t[i+2];
+      // try_element_at because ANSI element_at THROWS past the end —
+      // NULL there is the operator's "no successor" sentinel
+      .withColumn("w2", try_element_at(col("__t"), col("__pos") + 2))
+      .select(col(idCol), col("w1"), col("w2"))
 
   /** Score `docs` under a bigram LM trained on `lmDocs`.
     *
@@ -53,22 +62,34 @@ object NgramLm {
     * inverse add-one-smoothed conditional probability, V = training
     * vocabulary size. Higher = less predictable under the reference
     * slice (more novel or lower quality).
-    */
+    *
+    * ONE aggregate carries both training distributions (the r10 fuse):
+    * because every token occurrence yields exactly one `(w1, w2)` pair
+    * row (document-final tokens pair with NULL), the pair counts
+    * re-aggregate by prefix to the EXACT unigram occurrence counts
+    * (`cu(w) = Σ_{w2} c(w, w2)`, including the NULL successor), the
+    * non-NULL rows ARE the bigram counts, and `distinct w1` is the
+    * vocabulary — so the training corpus is tokenized and shuffled
+    * once, and the three consumers share the pair-aggregate's exchange
+    * (identical subplans; AQE stage reuse). The re-aggregates run over
+    * DISTINCT pairs (vocabulary-sized), not token occurrences. */
   def score(docs: DataFrame, lmDocs: DataFrame, idCol: String,
             text: Column): DataFrame = {
-    val uni = lmDocs
-      .select(explode(graft.operators.TextStats.tokens(text)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val pairCounts = pairPostings(lmDocs, idCol, text)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val uni = pairCounts.groupBy("w1").agg(sum(col("c")).as("cu"))
+      .select(col("w1").as("w1u"), col("cu"))
+    val bi = pairCounts.filter(col("w2").isNotNull)
+      .select(col("w1").as("w1b"), col("w2").as("w2b"),
+        col("c").as("cb"))
     // vocab size as a 1-row subplan (broadcast below) — an agg column,
     // not a collected scalar, so the whole score stays one lazy plan
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = bigramPostings(lmDocs, idCol, text)
-      .groupBy("sh").agg(count(lit(1)).as("cb"))
-    val sb = bigramPostings(docs, idCol, text)
+    val sb = pairPostings(docs, idCol, text).filter(col("w2").isNotNull)
     val scored = sb
-      .join(bi.hint("shuffle_hash"), Seq("sh"), "left")
-      .join(uni.hint("shuffle_hash").withColumnRenamed("w", "w1"),
-        Seq("w1"), "left")
+      .join(bi.hint("shuffle_hash"),
+        col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
+      .join(uni.hint("shuffle_hash"), col("w1") === col("w1u"), "left")
       .crossJoin(broadcast(vocab))
       // exact longs in, one correctly-rounded IEEE division out
       .withColumn("inv",
