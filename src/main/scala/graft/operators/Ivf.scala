@@ -108,6 +108,56 @@ object Ivf {
   def writeIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
+  /** The whole recall-vs-nprobe curve from ONE probe join: probe at
+    * `nprobes.max`, keep each (query, cluster) pair's probe rank, score
+    * the union of probed clusters once, then derive every sweep point
+    * inside a single window pass — for each configured `np`, a running
+    * count of rows with probe rank ≤ np (over the same total order
+    * `(cosine DESC, id ASC)` the per-np search uses) IS the row's rank
+    * within that np's candidate subset, because probe sets are NESTED
+    * under one ordering (top-1 ⊆ top-2 ⊆ ... by construction) and ids
+    * are unique per query (assign gives each vector one cluster). A row
+    * emits for np exactly when it probes within np and its running
+    * count is ≤ k — identical rows to N independent [[searchTopK]]
+    * calls (pinned by IvfSpec), for one shuffle-hash join + one window
+    * sort instead of N of each. At 100 TB this is also the honest
+    * sizing-run shape: the index is probed once at the largest budget
+    * under evaluation, not once per configuration. */
+  def searchTopKSweep(queries: DataFrame, assigned: DataFrame,
+                      centroids: DataFrame, k: Int,
+                      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must be non-empty positive, got $nprobes")
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__qd").asc, col("cluster_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qd", dist2(col("qvec"), col("centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobes.max)
+      .select(col("qid"), col("qvec"), col("cluster_id"), col("__pr"))
+    val scored = probes.join(assigned.hint("shuffle_hash"), Seq("cluster_id"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", Similarity.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Seq(col("qid"), col("cluster_id"), col("id"), col("cosine"),
+      col("__pr"))
+    val withCnt = scored.select(base ++ nprobes.map(np =>
+      sum(when(col("__pr") <= np, 1)).over(w).as(s"__c$np")): _*)
+    val entries = nprobes.map(np => struct(
+      lit(np).as("nprobe"),
+      (col("__pr") <= np && col(s"__c$np") <= k).as("__q"),
+      col(s"__c$np").cast("int").as("rank")))
+    withCnt
+      .select(col("qid"), col("cluster_id"), col("id"), col("cosine"),
+        explode(array(entries: _*)).as("__e"))
+      .filter(col("__e.__q"))
+      .select(col("__e.nprobe").as("nprobe"), col("qid"),
+        col("cluster_id"), col("id"), col("cosine"),
+        col("__e.rank").as("rank"))
+  }
+
   /** Top-k by cosine among the query's `nprobe` nearest clusters. */
   def searchTopK(queries: DataFrame, assigned: DataFrame,
                  centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {

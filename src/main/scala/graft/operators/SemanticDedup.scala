@@ -51,8 +51,14 @@ object SemanticDedup {
     * @return one row per input id:
     *         (id, cluster_id, killer_id NULLABLE, keep BOOLEAN). */
   def dedupe(corpus: DataFrame, k: Int, iters: Int,
+             minCosine: Double): DataFrame =
+    dedupe(corpus, Ivf.train(corpus, k, iters), minCosine)
+
+  /** Variant over an ALREADY-TRAINED centroid table (the index
+    * lifecycle: train once, reuse — [[Ivf.train]] is deterministic, so
+    * sharing centroids across consumers changes nothing). */
+  def dedupe(corpus: DataFrame, centroids: DataFrame,
              minCosine: Double): DataFrame = {
-    val centroids = Ivf.train(corpus, k, iters)
     val assigned = Ivf.assign(corpus, centroids)
     val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("vec").as("vec_a"))

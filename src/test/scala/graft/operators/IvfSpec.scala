@@ -53,4 +53,22 @@ class IvfSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact)
   }
+
+  test("searchTopKSweep equals an independent searchTopK per nprobe") {
+    val centroids = Ivf.train(corpus, k = 8, iters = 1)
+    val assigned = Ivf.assign(corpus, centroids)
+    val sweep = Ivf.searchTopKSweep(queries, assigned, centroids, k = 5,
+        nprobes = Seq(1, 2, 4))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getInt(5)))
+      .toSet
+    val perNp = Seq(1, 2, 4).flatMap { np =>
+      Ivf.searchTopK(queries, assigned, centroids, k = 5, nprobe = np)
+        .collect()
+        .map(r => (np, r.getLong(0), r.getLong(2), r.getInt(4)))
+    }.toSet
+    assert(sweep == perNp,
+      s"sweep-only: ${(sweep -- perNp).take(5)}; " +
+        s"perNp-only: ${(perNp -- sweep).take(5)}")
+  }
 }
