@@ -68,6 +68,19 @@ object Components {
       sym.unpersist()
       return out
     }
+    // Partitions track data (the repo-wide shuffle doctrine, applied
+    // with the measured count): after strong-threshold pair pruning the
+    // duplicate graph is typically orders of magnitude smaller than the
+    // corpus, and driving a 256-edge loop through 32-wide map stages is
+    // pure scheduling overhead (measured ~40% of the loop at sf0.1).
+    // coalesce — narrow, reads the persisted blocks — so every loop
+    // stage sizes to the graph; above ~500k rows/partition the
+    // adjacency keeps its width (the 100 TB path unchanged).
+    val loopParts = math.max(1L, math.min(
+      sym.rdd.getNumPartitions.toLong, symCount / 500000L)).toInt
+    val symLoop =
+      if (loopParts < sym.rdd.getNumPartitions) sym.coalesce(loopParts)
+      else sym
     // CRITICAL for any iterative DataFrame loop: `step` references the
     // previous labels TWICE (join side + union side), so the logical
     // plan would QUADRUPLE per round — persist() caches execution but
@@ -78,37 +91,49 @@ object Components {
     // cost. `checkpointDir` selects reliable checkpoint() when executor
     // loss must be survivable (cluster scale); default localCheckpoint
     // is cheaper and fine for local mode.
-    var labels = sym.select(col("u").as("id")).distinct()
+    var labels = symLoop.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one propagation = min over self ∪ neighbours, as ONE join + ONE
     // aggregate (a join-back formulation costs a third shuffle); THREE
-    // propagations run between convergence checks — near-dup graphs
-    // converge in 2–4 propagations, so most runs pay exactly two driver
-    // syncs (one working round + one equal-sum confirmation)
+    // propagations run between driver syncs, and the LAST one carries
+    // the previous label through the same aggregate (`old` = the self
+    // row's label; every id has exactly one self row) so the round's
+    // one action counts changed labels directly — a round with zero
+    // changes IS the fixpoint proof (min-propagation is deterministic),
+    // eliminating the old equal-checksum CONFIRMATION round. Near-dup
+    // graphs converge in 2–4 propagations, so most runs pay exactly one
+    // driver sync.
     def step(l: DataFrame): DataFrame =
-      sym.join(l.select(col("id").as("v"), col("comp")), "v")
+      symLoop.join(l.select(col("id").as("v"), col("comp")), "v")
         .select(col("u").as("id"), col("comp"))
-        .union(l)
+        .union(l.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
-    var labelSum = checksum(labels)
+    def stepDetect(l: DataFrame): DataFrame =
+      symLoop.join(l.select(col("id").as("v"), col("comp")), "v")
+        .select(col("u").as("id"), col("comp"),
+          lit(null).cast(l.schema("comp").dataType).as("old"))
+        .union(l.select(col("id"), col("comp"), col("comp").as("old")))
+        .groupBy("id").agg(min("comp").as("comp"), max("old").as("old"))
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      // lazy checkpoint: the checksum action below materializes it, so
-      // each round costs exactly ONE pipeline execution. Reliable mode
-      // additionally persists the round for the duration of that
+      // lazy checkpoint: the change-count action below materializes it,
+      // so each round costs exactly ONE pipeline execution. Reliable
+      // mode additionally persists the round for the duration of that
       // action: ReliableRDDCheckpointData RECOMPUTES the RDD when
       // writing its files unless the blocks are cached — without the
       // scratch persist every round would run twice on the very mode
       // built for cluster scale.
-      val stepped = step(step(step(labels)))
+      val stepped = stepDetect(step(step(labels)))
       val next =
         if (checkpointDir.isDefined) {
           stepped.persist(StorageLevel.MEMORY_AND_DISK)
           stepped.checkpoint(false)
         } else stepped.localCheckpoint(false)
-      val nextSum = checksum(next)
+      val changed = next.agg(
+        sum(when(col("comp") < col("old"), 1L).otherwise(0L)).as("n"))
+        .head().getLong(0)
       if (checkpointDir.isDefined) stepped.unpersist()
       // drop the previous round's cached blocks (and, in reliable mode,
       // its checkpoint files — superseded rounds are never read again)
@@ -117,8 +142,7 @@ object Components {
       // is off), so this bounds checkpoint-dir growth to one round
       unpersistLabels(labels)
       labels = next
-      done = nextSum == labelSum // labels only ever decrease; equal = fixpoint
-      labelSum = nextSum
+      done = changed == 0L // zero label decreases = fixpoint
       iter += 1
     }
     sym.unpersist()
@@ -194,12 +218,6 @@ object Components {
         }
       case _ => df.unpersist()
     }
-
-  /** Exact decimal sum of labels — monotone under propagation, so equal
-    * consecutive sums prove the fixpoint. */
-  private def checksum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
-      .head().getDecimal(0)
 
   /** Convenience: duplicate clusters with sizes and the keeper id. */
   def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =

@@ -48,7 +48,8 @@ object StreamingQueries extends QueryGroup {
   private def streamSession(spark: SparkSession): SparkSession =
     subSessions.computeIfAbsent(spark, s => {
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
       ss
     })
 
