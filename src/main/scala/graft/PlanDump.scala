@@ -31,8 +31,11 @@ object PlanDump {
       "clusters; the corpus-side join is keyed by cluster id."),
     "semantic_dedup" -> ("SemDeDup: within-cluster pair search as a " +
       "cluster-keyed shuffle equi-join."),
-    "ngram_lm_score" -> ("LM scoring: bigram/unigram count tables join " +
-      "the postings shuffle-side; the 1-row vocab aggregate broadcasts."),
+    "ngram_lm_score" -> ("LM scoring: ONE (w1, successor|NULL) pair " +
+      "aggregate carries both training distributions (unigram = " +
+      "prefix re-agg, vocab = distinct w1; consumers share the " +
+      "exchange); count tables join the postings shuffle-side; the " +
+      "1-row vocab aggregate broadcasts."),
     "dsir_weights" -> ("DSIR: the constant-B bucket stats broadcast onto " +
       "the token stream; only the per-doc aggregate shuffles."),
     "bm25_topk" -> ("BM25: query terms + 1-row (N, avgdl) stats " +
@@ -95,10 +98,14 @@ object PlanDump {
     "dedup_components_dist" -> ("Distributed connected components: " +
       "per-round min-label exchange keyed by node id; rounds track " +
       "component DIAMETER (tiny for dedup graphs), per-round cost " +
-      "is one data-linear shuffle."),
-    "simhash" -> ("SimHash: token explode + 64 per-bit conditional " +
-      "sums in ONE map-side-combinable aggregate — no per-bit " +
-      "passes, no join."),
+      "is one data-linear shuffle; the round's own aggregate counts " +
+      "label changes, so a converged round proves the fixpoint with " +
+      "no confirmation round, and the loop width tracks the MEASURED " +
+      "edge count (full width above 500k rows/partition)."),
+    "simhash" -> ("SimHash: token explode + 16 LANE-PACKED bit " +
+      "counters (each hex digit's four counters ride one long as " +
+      "16-bit lanes) in ONE map-side-combinable aggregate — the " +
+      "generated plan stays small, no per-bit passes, no join."),
     "decontaminate" -> ("Benchmark decontamination: the corpus " +
       "LEFT-ANTI joins the contaminated-id set; benchmark shingles " +
       "are the bounded side of the overlap join."),
@@ -196,9 +203,11 @@ object PlanDump {
     "rolling_median" -> ("Rolling exact median: per-(zone) window " +
       "sorts ride ONE exchange; the frame is row-bounded so state " +
       "per key is constant."),
-    "ann_probe_sweep" -> ("Recall-vs-nprobe curve: the exact top-k " +
-      "joins each probe level's ANN top-k on (query, neighbor) — " +
-      "every join keyed, candidate sets k-bounded per query."),
+    "ann_probe_sweep" -> ("Recall-vs-nprobe curve: ONE probe join at " +
+      "max nprobe + one window pass derives every curve point " +
+      "(probe sets nest under one ordering); the exact top-k joins " +
+      "the swept results on (nprobe, query, neighbor) — every join " +
+      "keyed, candidate sets k-bounded per query."),
     "ann_recall_eval" -> ("ANN recall eval: brute-force truth is " +
       "query-bounded (small query set x corpus scan), the IVF side " +
       "prunes to probed clusters; the recall join is (query, " +
@@ -234,6 +243,15 @@ object PlanDump {
       "mapPartitions over a broadcast rank table (rank-pointer " +
       "scan, no joins) — the corpus is touched exactly once, " +
       "stateless per row."),
+    "bpe_learn" -> ("BPE merge learning: the corpus is touched ONCE, " +
+      "by a single word-histogram aggregate (one exchange, " +
+      "vocabulary-sized output); every merge round then runs on the " +
+      "driver over that histogram — O(vocab · word-length) per " +
+      "round, independent of corpus row count, candidate-pool " +
+      "collect bounded (limit(pool+1), Bpe.scala). The result is a " +
+      "LocalRelation of merges; at 100 TB the histogram shrinks " +
+      "relative to the corpus (vocabulary saturates), so the " +
+      "driver loop's input is effectively constant-sized."),
     "stream_sliding_sum" -> ("Sliding-window streaming sum (dumped " +
       "plan: batch read-back of the AvailableNow drain): overlapping " +
       "windows explode per event into window-keyed partial state; " +
