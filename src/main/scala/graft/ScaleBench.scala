@@ -37,9 +37,11 @@ object ScaleBench {
   private type Cfg = Map[String, (Int, String)]
 
   private val textCfg: Cfg = Map(
-    "sf0.1" -> (32, "8g"), "sf1" -> (64, "16g"), "sf10" -> (256, "48g"))
+    "sf0.1" -> (32, "8g"), "sf1" -> (64, "16g"), "sf10" -> (256, "48g"),
+    "sf100" -> (2048, "96g"))
   private val graphCfg: Cfg = Map(
-    "sf0.1" -> (32, "8g"), "sf1" -> (256, "32g"), "sf10" -> (1024, "96g"))
+    "sf0.1" -> (32, "8g"), "sf1" -> (256, "32g"), "sf10" -> (1024, "96g"),
+    "sf100" -> (4096, "96g"))
 
   final case class Family(name: String, queries: Seq[String],
                           linear: Seq[String], cfg: Cfg)
@@ -80,8 +82,10 @@ object ScaleBench {
   private val sfDirs = Map(
     "sf0.1" -> "/root/testdata/sf0.1",
     "sf1" -> "/tmp/graft_sf1",
-    "sf10" -> "/tmp/graft_sf10")
-  private val sfFactors = Map("sf0.1" -> 1, "sf1" -> 10, "sf10" -> 100)
+    "sf10" -> "/tmp/graft_sf10",
+    "sf100" -> "/tmp/graft_sf100")
+  private val sfFactors =
+    Map("sf0.1" -> 1, "sf1" -> 10, "sf10" -> 100, "sf100" -> 1000)
 
   // same module flags build.sbt forks with — children create
   // SparkSession outside spark-submit
@@ -108,11 +112,21 @@ object ScaleBench {
     // the expected count to 0 and report false on perfectly-linear
     // data; ascending is also the canonical reporting order
     val sfs = sfsRaw.sortBy(sfFactors)
-    val fams = (if (args.length > 2)
+    val famsAll = (if (args.length > 2)
                   args(2).split(",").map(_.trim).filter(_.nonEmpty)
                     .map(n => families.find(_.name == n)
                       .getOrElse(sys.error(s"unknown family '$n'"))).toSeq
                 else families)
+    // optional 4th arg: restrict each family to the named queries (the
+    // sf100-rehearsal path — one heavy query per child so a casualty
+    // takes only its own measurement down); linearity probes restrict
+    // with it
+    val fams = (if (args.length > 3) {
+      val keep = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      famsAll.map(f => f.copy(queries = f.queries.filter(keep),
+          linear = f.linear.filter(keep)))
+        .filter(_.queries.nonEmpty)
+    } else famsAll)
 
     val logDir = java.nio.file.Paths.get("/tmp/scalebench_logs")
     java.nio.file.Files.createDirectories(logDir)
@@ -130,7 +144,7 @@ object ScaleBench {
           val log = logDir.resolve(s"${fam.name}_$sf.log")
           System.err.println(
             s"[scalebench] ${fam.name} @ $sf ($shuffle parts, $heap)")
-          runChild("graft.Bench", heap, log, Map(
+          val ok = runChild("graft.Bench", heap, log, Map(
             "SPARK_GRAFT_SF_DIR" -> sfDirs(sf),
             "SPARK_GRAFT_CPUS" -> cpus,
             "SPARK_GRAFT_SHUFFLE" -> shuffle.toString,
@@ -138,12 +152,18 @@ object ScaleBench {
             "SPARK_GRAFT_SKIP_DUCK" -> "1",
             "SPARK_GRAFT_ONLY" -> fam.queries.mkString(","),
             "SPARK_GRAFT_BENCH_OUT" -> bench.toString))
-          val parsed = MinJson.parse(
-            java.nio.file.Files.readString(bench))
-            .asInstanceOf[Map[String, Any]]
-          val seq = parsed("queries_sequential")
-            .asInstanceOf[Map[String, Any]]
-            .map { case (k, v) => k -> v.asInstanceOf[Double] }
+          // a dead child (OOM, ENOSPC — the sf100 rehearsal's expected
+          // failure modes) is a RECORDED casualty, not an abort: the
+          // family reports no numbers for this SF and the run proceeds
+          val seq =
+            if (!ok) {
+              System.err.println(
+                s"[scalebench] CHILD FAILED ${fam.name}@$sf — see $log")
+              Map.empty[String, Double]
+            } else MinJson.parse(java.nio.file.Files.readString(bench))
+              .asInstanceOf[Map[String, Any]]("queries_sequential")
+              .asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.asInstanceOf[Double] }
           java.nio.file.Files.deleteIfExists(bench)
           sf -> seq
         }.toMap
@@ -153,15 +173,17 @@ object ScaleBench {
             val (shuffle, heap) = fam.cfg(sf)
             val cf = java.nio.file.Files.createTempFile(
               s"scalecount_${fam.name}_$sf", ".json")
-            runChild("graft.ScaleBench", heap,
+            val ok = runChild("graft.ScaleBench", heap,
               logDir.resolve(s"${fam.name}_${sf}_count.log"), Map(
                 "SPARK_GRAFT_CPUS" -> cpus,
                 "SPARK_GRAFT_SHUFFLE" -> shuffle.toString,
                 "SPARK_GRAFT_COUNT_OUT" -> cf.toString),
               Seq("--count", sfDirs(sf), fam.linear.mkString(",")))
-            val m = MinJson.parse(java.nio.file.Files.readString(cf))
-              .asInstanceOf[Map[String, Any]]
-              .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+            val m =
+              if (!ok) Map.empty[String, Long]
+              else MinJson.parse(java.nio.file.Files.readString(cf))
+                .asInstanceOf[Map[String, Any]]
+                .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
             java.nio.file.Files.deleteIfExists(cf)
             sf -> m
           }.toMap
@@ -183,17 +205,18 @@ object ScaleBench {
       new java.io.File(s"$dir/$t.parquet").exists())
     if (!complete) {
       System.err.println(s"[scalebench] building $dir (factor ${sfFactors(sf)})")
-      runChild("graft.ScaleData", "16g",
+      val ok = runChild("graft.ScaleData", "16g",
         java.nio.file.Paths.get(s"/tmp/scalebench_logs/scaledata_$sf.log"),
         Map("SPARK_GRAFT_CPUS" -> cpus),
         Seq("/root/testdata/sf0.1", dir, sfFactors(sf).toString, "all"))
+      require(ok, s"ScaleData failed building $dir")
     }
   }
 
   private def runChild(mainClass: String, heap: String,
                        log: java.nio.file.Path,
                        env: Map[String, String],
-                       extraArgs: Seq[String] = Seq.empty): Unit = {
+                       extraArgs: Seq[String] = Seq.empty): Boolean = {
     val java17 = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(java17, s"-Xmx$heap") ++ jdk17AddOpens ++ Seq(
@@ -204,7 +227,8 @@ object ScaleBench {
     pb.redirectOutput(log.toFile)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val rc = pb.start().waitFor()
-    require(rc == 0, s"$mainClass exited $rc — see $log")
+    if (rc != 0) System.err.println(s"$mainClass exited $rc — see $log")
+    rc == 0
   }
 
   /** Child mode: count result rows of the named queries on `sfDir`

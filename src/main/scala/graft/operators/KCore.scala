@@ -72,9 +72,22 @@ object KCore {
     // WITHOUT materializing the pair stream — the small path is one
     // collect job, the big path never caches raw pairs.
     val edgeCols = edges.select("a", "b")
-    if (edgeCountHint.exists(n =>
-        checkpointDir.isEmpty && localThreshold > 0 && n <= localThreshold))
-      return localPeel(edgeCols, k, rounds, preDeduped)
+    edgeCountHint match {
+      case Some(n) if checkpointDir.isEmpty && localThreshold > 0 &&
+          n <= localThreshold =>
+        // the hint bounds the RAW row count (duplicates included — the
+        // Triangles.perNode contract) and is ENFORCED: collect capped
+        // at n+1 rows; overflow falls through to the distributed loop
+        // below instead of an unbounded driver collect
+        val cap = math.min(n, Int.MaxValue - 2L).toInt
+        val head = edgeCols.limit(cap + 1).collect()
+        if (head.length <= cap)
+          return localPeel(edgeCols, k, rounds, preDeduped,
+            collected = Some(head))
+        System.err.println(s"KCore.peel: edgeCountHint $n exceeded by " +
+          s"the raw pair stream — distributed peel")
+      case _ => ()
+    }
     // size the graph off ONE materialized cache of the (possibly
     // expensive) edge plan; above the threshold the cache is handed to
     // the loop's first pin and released with the other generations.
@@ -202,7 +215,18 @@ object KCore {
     // unpersisted ancestor
     if (retired.nonEmpty) {
       degs.agg(count(lit(1))).head()
-      retired.foreach(_.unpersist(false))
+      // a localCheckpoint-pinned generation caches via its backing RDD,
+      // NOT the CacheManager — Dataset.unpersist is a no-op for it
+      // (the r10 ADVICE finding); release the RDD directly, falling
+      // back to Dataset.unpersist for plain persisted frames (the same
+      // dual-release rule as Components.unpersistLabels)
+      retired.foreach { df =>
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => df.unpersist(false)
+        }
+      }
     }
     degs
       .select(col("node"), col("deg").cast("long").as("deg"),
@@ -218,13 +242,15 @@ object KCore {
     * the surviving subgraph's degrees — the distributed loop's
     * invariant, minus its per-round job. */
   private def localPeel(e: DataFrame, k: Int, rounds: Int,
-                        preDeduped: Boolean): DataFrame = {
+                        preDeduped: Boolean,
+                        collected: Option[Array[
+                          org.apache.spark.sql.Row]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
       StructType}
     val spark = e.sparkSession
     val idType = e.schema("a").dataType
-    val rows = e.collect()
+    val rows = collected.getOrElse(e.collect())
     val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Any]
     def ix(x: Any): Int = {

@@ -72,10 +72,14 @@ object Triangles {
     *              size probe). The local/distributed threshold then
     *              compares the RAW pair count — a conservative upper
     *              bound of the true edge count.
-    * @param edgeCountHint caller-known upper bound on the edge count
-    *              (e.g. from a join-free aggregate over the pair
-    *              generator — Σ C(n_group, 2) costs one tiny shuffle,
-    *              never touches the pair stream). When given, the
+    * @param edgeCountHint caller-known upper bound on the RAW pair
+    *              stream's row count, duplicates included (e.g. from a
+    *              join-free aggregate over the pair generator —
+    *              Σ C(n_group, 2) costs one tiny shuffle, never touches
+    *              the pair stream, and counts every generated pair).
+    *              Enforced, not trusted: the small path's collect is
+    *              capped at hint+1 rows and overflow falls back to the
+    *              distributed census. When given, the
     *              local/distributed choice is made WITHOUT
     *              materializing the edges: the small path collapses
     *              to a single collect job (no persist, no count), and
@@ -94,8 +98,24 @@ object Triangles {
     val raw = edges.select(col("a"), col("b"))
     edgeCountHint match {
       case Some(n) if localThreshold > 0 && n <= localThreshold =>
-        // trusted-small: ONE job (the collect) — no persist, no count
-        return localPerNode(raw, preDeduped)
+        // small-by-hint: ONE job (the collect) — no persist, no count.
+        // The hint's contract is an upper bound on the RAW pair-stream
+        // row count (the callers' join-free Σ C(n_group, 2) statistic
+        // counts generated pairs, duplicates included), and it is
+        // ENFORCED rather than trusted: the collect is capped at n+1
+        // rows, so a wrong hint costs one bounded job — the overflow
+        // falls through to the distributed census instead of an
+        // unbounded driver collect (driver memory stays ≤ n+1 rows
+        // either way).
+        val cap = math.min(n, Int.MaxValue - 2L).toInt
+        val head = raw.limit(cap + 1).collect()
+        if (head.length <= cap) return localPerNode(raw, preDeduped,
+          collected = Some(head))
+        System.err.println(s"Triangles.perNode: edgeCountHint $n " +
+          s"exceeded by the raw pair stream — distributed census")
+        return census(
+          (if (preDeduped) raw else raw.distinct())
+            .persist(StorageLevel.MEMORY_AND_DISK))
       case Some(_) =>
         // trusted-big: dedupe (if owed) straight off the stream into
         // the census's one edge cache; the raw pair stream is never
@@ -187,13 +207,15 @@ object Triangles {
     * with the id's natural order — the census is order-insensitive
     * beyond needing SOME strict total order, and the per-node counts
     * are exact integers either way). */
-  private def localPerNode(e: DataFrame, preDeduped: Boolean): DataFrame = {
+  private def localPerNode(e: DataFrame, preDeduped: Boolean,
+                           collected: Option[Array[
+                             org.apache.spark.sql.Row]] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
       StructType}
     val spark = e.sparkSession
     val idType = e.schema("a").dataType
-    val rows = e.collect()
+    val rows = collected.getOrElse(e.collect())
     // dense remap: original id -> [0, n)
     val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Any]

@@ -168,8 +168,14 @@ object AggregateQueries extends QueryGroup {
     // Bounds come from the written key range: predicates on the
     // stride column route every row, bounds only shape the split.
     val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
-    spark.read.jdbc(url, "orders_keyed", "o_orderkey",
-      bounds.getLong(0), bounds.getLong(1), 8, props)
+    // empty input leaves min/max NULL (getLong would NPE) and a
+    // single-key table makes the stride degenerate — both fall back to
+    // the plain one-cursor read, which handles them fine
+    if (bounds.isNullAt(0) || bounds.getLong(0) >= bounds.getLong(1))
+      spark.read.jdbc(url, "orders_keyed", props)
+    else
+      spark.read.jdbc(url, "orders_keyed", "o_orderkey",
+        bounds.getLong(0), bounds.getLong(1), 8, props)
   }
 
   /** The same seed→upsert→read-back contract through the reference

@@ -568,8 +568,12 @@ object VectorQueries extends QueryGroup {
     // both wedge joins — so the sf10 compare runs with the reorder
     // pass off (PREFLIGHT_DISABLED_OPTIMIZERS=join_order); at the
     // bench SFs the default plan fits and runs as-is. (dkey packs
-    // (deg, node) into one BIGINT so the wedge-pair predicate is a
-    // single int compare.)
+    // (deg, node) into one BIGINT — deg·2^32 + node — so the
+    // wedge-pair predicate is a single int compare; the pack is only
+    // order-faithful while node < 2^32 and deg < 2^31, so the final
+    // SELECT carries an error()-guard on max(node) — ids beyond the
+    // bound fail loud instead of silently corrupting the wedge join.
+    // sf100 partkey max ≈ 2·10⁸, three decades inside the bound.)
     // The relational 3-way join remains the spec-scale cross-check
     // (TrianglesSpec pins the census against the naive join in Spark).
     "triangle_count" ->
@@ -586,8 +590,8 @@ object VectorQueries extends QueryGroup {
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
         |      THEN e0.b ELSE e0.a END AS dst,
         |    CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
-        |      THEN db.deg * 1000000000 + e0.b
-        |      ELSE da.deg * 1000000000 + e0.a END AS dkey
+        |      THEN db.deg * 4294967296 + e0.b
+        |      ELSE da.deg * 4294967296 + e0.a END AS dkey
         |  FROM e0 JOIN deg da ON da.node = e0.a
         |  JOIN deg db ON db.node = e0.b),
         |t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
@@ -602,7 +606,10 @@ object VectorQueries extends QueryGroup {
         |    THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) /
         |      CAST(d.deg * (d.deg - 1) AS DOUBLE)
         |    ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
-        |FROM deg d LEFT JOIN t ON d.node = t.node""".stripMargin,
+        |FROM deg d LEFT JOIN t ON d.node = t.node
+        |WHERE (SELECT CASE WHEN max(node) < 4294967296 THEN TRUE
+        |  ELSE error('node id exceeds the dkey pack bound 2^32')
+        |  END FROM deg)""".stripMargin,
     // six peels unrolled; per-round CTEs MATERIALIZED (the iterative-
     // oracle rule: DuckDB inlines multiply-referenced stages otherwise)
     "k_core" -> {

@@ -217,6 +217,27 @@ object JdbcWritePlugin extends StepPlugin {
             cs.setShort(7, 0.toShort) // append into the fresh table
             cs.execute()
           }
+        } catch {
+          // a mid-import failure (e.g. a NaN/Infinity double — Spark's
+          // CSV writer emits 'NaN'/'Infinity', which Derby DOUBLE
+          // rejects) leaves the table PARTIALLY loaded. On overwrite
+          // the caller owns the whole table: re-create it empty and
+          // fall back to the row-based JDBC writer (which binds typed
+          // parameters, so NaN/Infinity round-trip fine). On append the
+          // pre-existing rows cannot be told apart from the partial
+          // import — no safe rollback exists, so fail LOUD with the
+          // mode documented instead of returning a half-written table.
+          case e: java.sql.SQLException if sparkMode == "overwrite" =>
+            System.err.println(s"derbyBulkWrite: import failed " +
+              s"(${e.getMessage}); re-creating $table and falling back " +
+              "to the row-based JDBC writer")
+            df.limit(0).write.mode("overwrite").jdbc(url, table, props)
+            return false
+          case e: java.sql.SQLException =>
+            throw new IllegalStateException(
+              s"derbyBulkWrite: bulk append into $table failed mid-" +
+                "import and cannot be rolled back — the table may hold " +
+                "a partial import on top of its pre-existing rows", e)
         } finally con.close()
       }
       true
