@@ -72,7 +72,21 @@ object NgramLm {
     * vocabulary — so the training corpus is tokenized and shuffled
     * once, and the three consumers share the pair-aggregate's exchange
     * (identical subplans; AQE stage reuse). The re-aggregates run over
-    * DISTINCT pairs (vocabulary-sized), not token occurrences. */
+    * DISTINCT pairs (vocabulary-sized), not token occurrences.
+    *
+    * The final per-doc aggregate needs no `docs` re-scan (r11): the
+    * NULL-successor pair rows ride through both lookups (a NULL `w2`
+    * never equi-matches `bi`) and pin every tokenizable document into
+    * the groupBy — `n_bigrams` counts non-NULL `w2` only, and
+    * `inv`/`oov` are NULL on sentinel rows so [[Exact.davg]]/`sum`
+    * skip them. The scored side tokenizes `coalesce(text, '')` so
+    * even NULL-text documents keep their output row (the LM side
+    * keeps NULL-text contributing nothing, matching occurrence
+    * counting). A hit/miss split that shuffles the pair stream only
+    * once was tried and rejected: the differing join types per branch
+    * (Inner vs LeftOuter) defeat subplan reuse and the optimizer
+    * clones the whole training subtree under the union — measured 4×
+    * slower than the straight two-lookup pipeline. */
   def score(docs: DataFrame, lmDocs: DataFrame, idCol: String,
             text: Column): DataFrame = {
     val pairCounts = pairPostings(lmDocs, idCol, text)
@@ -85,26 +99,24 @@ object NgramLm {
     // vocab size as a 1-row subplan (broadcast below) — an agg column,
     // not a collected scalar, so the whole score stays one lazy plan
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val sb = pairPostings(docs, idCol, text).filter(col("w2").isNotNull)
+    val sb = pairPostings(docs, idCol, coalesce(text, lit("")))
     val scored = sb
       .join(bi.hint("shuffle_hash"),
         col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
       .join(uni.hint("shuffle_hash"), col("w1") === col("w1u"), "left")
       .crossJoin(broadcast(vocab))
-      // exact longs in, one correctly-rounded IEEE division out
-      .withColumn("inv",
+      // exact longs in, one correctly-rounded IEEE division out;
+      // NULL on the sentinel rows so the per-doc mean skips them
+      .withColumn("inv", when(col("w2").isNotNull,
         (coalesce(col("cu"), lit(0L)) + col("v")) /
-          (coalesce(col("cb"), lit(0L)) + lit(1L)))
-      .withColumn("oov", when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
-    val agg = scored.groupBy(idCol).agg(
-      count(lit(1)).as("n_bigrams"),
-      sum(col("oov")).as("n_oov"),
-      Exact.davg(col("inv")).as("branching"))
-    // every requested doc appears, including bigram-free ones
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (coalesce(col("cb"), lit(0L)) + lit(1L))))
+      .withColumn("oov", when(col("w2").isNotNull,
+        when(col("cb").isNull, lit(1L)).otherwise(lit(0L))))
+    scored.groupBy(idCol).agg(
+        count(col("w2")).as("n_bigrams"),
+        coalesce(sum(col("oov")), lit(0L)).as("n_oov"),
+        Exact.davg(col("inv")).as("branching"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
         when(col("n_bigrams") > 0, col("n_oov") / col("n_bigrams"))
           .as("oov_rate"),
         col("branching"))
