@@ -36,6 +36,26 @@ class LmDsirSemdedupSpec extends SparkSpecBase {
     assert(out(1).getAs[Double]("branching") >= 1.0)
   }
 
+  test("NgramLm.score: NULL-text and empty-text docs keep their output row") {
+    val train = Seq((10L, "a b"), (11L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),    // one trained bigram
+      (2L, null),     // NULL text: scored side coalesces to ''
+      (3L, ""))       // empty text: single empty token, no bigrams
+      .toDF("doc_id", "text")
+    val out = NgramLm.score(docs, train, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[Long]("n_bigrams") == 0L)
+      assert(out(id).getAs[Long]("n_oov") == 0L)
+      assert(out(id).isNullAt(out(id).fieldIndex("oov_rate")))
+      assert(out(id).isNullAt(out(id).fieldIndex("branching")))
+    }
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Long]("n_oov") == 0L)
+  }
+
   test("Dsir.weights: target-like docs carry higher mean importance ratio") {
     // two disjoint vocabularies; target = the "good" one
     val good = (0 until 6).map(i =>
