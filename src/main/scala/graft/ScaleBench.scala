@@ -155,15 +155,28 @@ object ScaleBench {
           // a dead child (OOM, ENOSPC — the sf100 rehearsal's expected
           // failure modes) is a RECORDED casualty, not an abort: the
           // family reports no numbers for this SF and the run proceeds
+          // a child can die AFTER a zero exit leaves an empty/partial
+          // bench file (seen live: ENOSPC killed the executor mid-query,
+          // the suppressed finally swallowed the exit status, and the
+          // empty temp file crashed the PARENT's parse — losing every
+          // in-memory family result); any unreadable output is the same
+          // recorded casualty as a nonzero exit
           val seq =
             if (!ok) {
               System.err.println(
                 s"[scalebench] CHILD FAILED ${fam.name}@$sf — see $log")
               Map.empty[String, Double]
-            } else MinJson.parse(java.nio.file.Files.readString(bench))
-              .asInstanceOf[Map[String, Any]]("queries_sequential")
-              .asInstanceOf[Map[String, Any]]
-              .map { case (k, v) => k -> v.asInstanceOf[Double] }
+            } else try {
+              MinJson.parse(java.nio.file.Files.readString(bench))
+                .asInstanceOf[Map[String, Any]]("queries_sequential")
+                .asInstanceOf[Map[String, Any]]
+                .map { case (k, v) => k -> v.asInstanceOf[Double] }
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[scalebench] CHILD OUTPUT UNPARSEABLE " +
+                  s"${fam.name}@$sf (${e.getClass.getSimpleName}) — see $log")
+                Map.empty[String, Double]
+            }
           java.nio.file.Files.deleteIfExists(bench)
           sf -> seq
         }.toMap
@@ -181,9 +194,13 @@ object ScaleBench {
               Seq("--count", sfDirs(sf), fam.linear.mkString(",")))
             val m =
               if (!ok) Map.empty[String, Long]
-              else MinJson.parse(java.nio.file.Files.readString(cf))
-                .asInstanceOf[Map[String, Any]]
-                .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+              else try {
+                MinJson.parse(java.nio.file.Files.readString(cf))
+                  .asInstanceOf[Map[String, Any]]
+                  .map { case (k, v) => k -> v.asInstanceOf[Double].toLong }
+              } catch {
+                case _: Exception => Map.empty[String, Long]
+              }
             java.nio.file.Files.deleteIfExists(cf)
             sf -> m
           }.toMap
