@@ -238,6 +238,11 @@ object ScaleBench {
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(java17, s"-Xmx$heap") ++ jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      // zstd shuffle/spill blocks (~1.7× denser than lz4): the sf100
+      // pair-generating legs hit ENOSPC on this box's ~55 GB scratch
+      // with lz4 — measured, not theoretical; all SFs in a window share
+      // the codec so same-window ratios stay apples-to-apples
+      "-Dspark.io.compression.codec=zstd",
       "-cp", cp, mainClass) ++ extraArgs
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
