@@ -236,8 +236,18 @@ object ScaleBench {
                        extraArgs: Seq[String] = Seq.empty): Boolean = {
     val java17 = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
+    // PER-CHILD scratch root, deleted after exit: a child that dies on
+    // ENOSPC (the sf100 rehearsal's expected failure mode) leaves its
+    // spark-*/blockmgr-* litter behind — the JVM's shutdown hooks never
+    // ran — and the NEXT child then starts with a half-full disk and
+    // dies earlier than it should (measured: the cc@sf100 count probe
+    // was killed purely by the dead wall-child's ~45 GB of orphans).
+    // java.io.tmpdir is what spark.local.dir defaults to, so one flag
+    // scopes all of the child's shuffle/spill/blockmgr state.
+    val scratch = java.nio.file.Files.createTempDirectory("sb_child_")
     val cmd = Seq(java17, s"-Xmx$heap") ++ jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Djava.io.tmpdir=$scratch",
       // zstd shuffle/spill blocks (~1.7× denser than lz4): the sf100
       // pair-generating legs hit ENOSPC on this box's ~55 GB scratch
       // with lz4 — measured, not theoretical; all SFs in a window share
@@ -248,7 +258,14 @@ object ScaleBench {
     pb.redirectErrorStream(true)
     pb.redirectOutput(log.toFile)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
-    val rc = pb.start().waitFor()
+    val rc = try pb.start().waitFor()
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(scratch.toFile)
+    }
     if (rc != 0) System.err.println(s"$mainClass exited $rc — see $log")
     rc == 0
   }
@@ -285,13 +302,22 @@ object ScaleBench {
     val famJson = results.map { case (name, perSf, counts) =>
       val fam = fams.find(_.name == name).get
       val qJson = fam.queries.map { q =>
+        // Bench marks an in-child query failure as -1.0 (its own
+        // casualty sentinel); rendering that as a wall or letting it
+        // into a ratio would read as a measurement — emit an explicit
+        // "failed" marker instead and keep ratios positive-only
+        def wall(sf: String): Option[Double] =
+          perSf.get(sf).flatMap(_.get(q))
         val per = sfs.flatMap { sf =>
-          perSf.get(sf).flatMap(_.get(q)).map(s => s""""$sf":${num(s)}""")
+          wall(sf).map {
+            case s if s >= 0 => s""""$sf":${num(s)}"""
+            case _ => s""""$sf":"failed""""
+          }
         }
-        val base = perSf.get(sfs.head).flatMap(_.get(q)).getOrElse(-1.0)
+        val base = wall(sfs.head).getOrElse(-1.0)
         val ratios = sfs.tail.flatMap { sf =>
-          perSf.get(sf).flatMap(_.get(q)).collect {
-            case s if base > 0 =>
+          wall(sf).collect {
+            case s if base > 0 && s >= 0 =>
               s""""ratio_${sf}_vs_${sfs.head}":${num(s / base)}"""
           }
         }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Merge per-invocation ScaleBench JSONs into one SCALE_r{N}.json.
+
+Usage: python3 tools/merge_scale.py OUT.json IN1.json IN2.json ...
+
+Why split invocations at all: the sf100 rehearsal runs each heavy
+family (and each heavy graph query) as its OWN ScaleBench invocation so
+a casualty (OOM/ENOSPC on a 1000x corpus) costs only its own
+measurement, not the whole artifact. Cross-SF ratios stay valid because
+ScaleBench measures each query's SFs back-to-back within one
+invocation — the same-window rule — and this merge only unions the
+family maps (summing subset_total and concatenating query maps when two
+invocations split one family).
+
+Builder-side tooling only — the engine library has no Python.
+"""
+import json
+import sys
+
+
+def main(out: str, ins: list[str]) -> None:
+    merged: dict = None
+    sfs: list[str] = []
+
+    def normalize(d: dict) -> dict:
+        # JSONs written by pre-hardening ScaleBench binaries render a
+        # failed child query as wall -1.0 (and a negative ratio off
+        # it); the current binary emits "failed" — normalize old files
+        # to the new form so the merged artifact is uniform
+        for body in d.get("families", {}).values():
+            for qv in body.get("queries", {}).values():
+                for k in list(qv):
+                    if isinstance(qv[k], (int, float)) and qv[k] < 0:
+                        if k.startswith("ratio_"):
+                            del qv[k]
+                        else:
+                            qv[k] = "failed"
+        return d
+
+    for p in ins:
+        d = normalize(json.load(open(p)))
+        for sf in d.get("sfs", []):
+            if sf not in sfs:
+                sfs.append(sf)
+        if merged is None:
+            merged = d
+            continue
+        for fam, body in d["families"].items():
+            if fam not in merged["families"]:
+                merged["families"][fam] = body
+                continue
+            tgt = merged["families"][fam]
+            tgt["queries"].update(body["queries"])
+            for sf, s in body.get("subset_total", {}).items():
+                tgt.setdefault("subset_total", {})
+                tgt["subset_total"][sf] = round(
+                    tgt["subset_total"].get(sf, 0.0) + s, 3)
+            tgt.setdefault("linearity_probes", {}).update(
+                body.get("linearity_probes", {}))
+            # configs agree per SF by construction (shared Cfg tables);
+            # keep the union so every measured SF is documented
+            tgt.setdefault("config", {}).update(body.get("config", {}))
+    merged["sfs"] = sfs
+    merged["mode"] = (
+        "sequential per-query seconds, per-family config, SFs "
+        "back-to-back in one window; heavy families/queries run as "
+        "separate invocations (tools/merge_scale.py) so an sf100 "
+        "casualty is isolated")
+    json.dump(merged, open(out, "w"), indent=1)
+    print(f"merged {len(ins)} -> {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
