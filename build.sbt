@@ -15,6 +15,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract requires the program's summary JSON to be
+// the LITERAL last line of `sbt "runMain ..."` stdout: StdoutOutput
+// streams the forked JVM's stdout through unprefixed (no "[info] "),
+// and showSuccess=false drops sbt's trailing "[success] Total time"
+// epilogue that would otherwise follow the summary line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

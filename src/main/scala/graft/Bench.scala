@@ -18,6 +18,19 @@ import org.apache.spark.sql.SparkSession
   * together, so the ratio stays comparable across rounds even when the
   * box is loaded. Set SPARK_GRAFT_SKIP_DUCK=1 to omit the pairing.
   */
+/** Shared env parsing for the bench mains (Bench + ScaleBench children),
+  * so the SPARK_GRAFT_AQE knob means the same thing everywhere. */
+object BenchEnv {
+  /** Lenient boolean: 1/true/yes/on → true, 0/false/no/off → false,
+    * anything else (including garbage) → default true. Raw pass-through
+    * used to crash SparkSession construction on e.g. "1". */
+  def aqeEnabled: Boolean = sys.env.get("SPARK_GRAFT_AQE")
+    .map(_.trim.toLowerCase) match {
+    case Some("0") | Some("false") | Some("no") | Some("off") => false
+    case _ => true
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,8 +47,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", BenchEnv.aqeEnabled.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // FAIR + one pool per query: multi-stage queries (e.g. iterative
       // IVF training) would otherwise starve behind big single-stage
@@ -186,6 +198,44 @@ object Bench {
         System.err.println(s"[bench] duckdb pairing unavailable: ${e.getMessage}")
         None
       }
+    // ---- cross-window duck band (judge r11 ask #6) ----
+    // Single-window spark/duck ratios are ±0.4× noise (the measured
+    // r11 duck band was 57.7–83.9 s across three same-code windows), so
+    // every artifact carries the BAND of recent windows, not just this
+    // window's point: full-battery runs append one line to a small
+    // committed history file (bench_windows.jsonl) and the summary
+    // reports min/max duck-sequential over the last 6 entries. Filtered
+    // (SPARK_GRAFT_ONLY) and seq-only runs neither append nor band —
+    // their totals aren't comparable to full-battery windows.
+    val windowBand: Option[(Double, Double, Int)] =
+      if (only.nonEmpty || seqOnly) None
+      else duck.flatMap { case (total, _, _) =>
+        if (total <= 0) None
+        else try {
+          val histFile = new java.io.File(
+            new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+              "bench_full.json")).getAbsoluteFile.getParentFile,
+            "bench_windows.jsonl")
+          val line = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","n_queries":${tasks.size},"sequential_total_sec":$seqWall,"duck_sequential_total_sec":$total}"""
+          val w = new java.io.FileWriter(histFile, true)
+          try w.write(line + "\n") finally w.close()
+          val ducks = scala.io.Source.fromFile(histFile).getLines()
+            .flatMap { l =>
+              """"duck_sequential_total_sec":([0-9.Ee+-]+)""".r
+                .findFirstMatchIn(l).map(_.group(1).toDouble)
+            }.toSeq.takeRight(6)
+          if (ducks.isEmpty) None
+          else Some((ducks.min, ducks.max, ducks.size))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] window-band unavailable: ${e.getMessage}")
+          None
+        }
+      }
+    val bandJson = windowBand.map { case (lo, hi, n) =>
+      def r3(v: Double) = BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      s""","duck_window_band":[${r3(lo)},${r3(hi)}],"duck_window_n":$n"""
+    }.getOrElse("")
     // In sequential-only mode there IS no concurrent wall: omit the
     // concurrent fields and wall-derived ratios entirely (a -1.0
     // sentinel reads as a real number to any tooling that compares
@@ -202,7 +252,7 @@ object Bench {
     val concJson =
       if (seqOnly) ""
       else s""""sum_query_sec":$sum,"queries":${fmt(best)},"""
-    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson$bandJson,"sf":"$sfDir"}"""
     // the full distribution goes to a FILE the repo keeps: the driver
     // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
     // long line (and with it every per-query value alphabetically early)
@@ -250,7 +300,7 @@ object Bench {
       s""","duck_sequential_total_sec":${ms(total)},"duck_errors":$errs,"spark_seq_vs_duck":${ms(rs)}$rw"""
     }.getOrElse("")
     val concTail = if (seqOnly) "" else s""""sum_query_sec":${ms(sum)},"""
-    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
+    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail$bandJson,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
     println(summaryJson)
     // the summary ALSO goes to a file beside the full distribution:
     // BENCH_r09.json came back with "parsed": null because the

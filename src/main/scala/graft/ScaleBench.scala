@@ -260,8 +260,13 @@ object ScaleBench {
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val rc = try pb.start().waitFor()
     finally {
+      // symlink-safe: File.isDirectory follows links, so recursing into
+      // a symlink-to-directory would delete the TARGET's contents
+      // outside the scratch root — delete the link itself instead
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        if (f.isDirectory &&
+            !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(scratch.toFile)
@@ -280,7 +285,10 @@ object ScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // same knob as the wall children (Bench reads it too): the AQE
+      // setting must apply symmetrically or count probes and wall runs
+      // measure different plans
+      .config("spark.sql.adaptive.enabled", BenchEnv.aqeEnabled.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -324,10 +332,16 @@ object ScaleBench {
         s"${MinJson.str(q)}:{${(per ++ ratios).mkString(",")}}"
       }
       val totJson = {
-        val per = sfs.map { sf =>
-          val t = perSf.getOrElse(sf, Map.empty).values
-            .filter(_ >= 0).sum
-          s""""$sf":${num(t)}"""
+        // an SF where EVERY query failed must not render as 0.000 —
+        // a zero-second total beside per-query "failed" markers reads
+        // as a real measurement (ADVICE r11); emit "failed" when no
+        // query at the SF produced a wall, omit SFs never attempted
+        val per = sfs.flatMap { sf =>
+          perSf.get(sf).map { m =>
+            val ok = m.values.filter(_ >= 0)
+            if (ok.isEmpty) s""""$sf":"failed""""
+            else s""""$sf":${num(ok.sum)}"""
+          }
         }
         s""""subset_total":{${per.mkString(",")}}"""
       }

@@ -51,22 +51,37 @@ def main(out: str, ins: list[str]) -> None:
                 continue
             tgt = merged["families"][fam]
             tgt["queries"].update(body["queries"])
-            for sf, s in body.get("subset_total", {}).items():
-                tgt.setdefault("subset_total", {})
-                tgt["subset_total"][sf] = round(
-                    tgt["subset_total"].get(sf, 0.0) + s, 3)
             tgt.setdefault("linearity_probes", {}).update(
                 body.get("linearity_probes", {}))
             # configs agree per SF by construction (shared Cfg tables);
             # keep the union so every measured SF is documented
             tgt.setdefault("config", {}).update(body.get("config", {}))
     merged["sfs"] = sfs
+    # Recompute subset_total from the MERGED query maps rather than
+    # summing the inputs' totals: overlapping inputs (same family run
+    # twice, or an output file accidentally passed as an input) would
+    # silently double-count a summed total while queries.update() keeps
+    # only one copy of each wall (ADVICE r11). An SF where every merged
+    # query failed renders "failed"; an SF no query attempted is omitted.
+    for body in merged["families"].values():
+        totals: dict = {}
+        for sf in sfs:
+            walls = [qv[sf] for qv in body.get("queries", {}).values()
+                     if sf in qv]
+            nums = [w for w in walls if isinstance(w, (int, float))]
+            if nums:
+                totals[sf] = round(sum(nums), 3)
+            elif walls:
+                totals[sf] = "failed"
+        body["subset_total"] = totals
     merged["mode"] = (
         "sequential per-query seconds, per-family config, SFs "
         "back-to-back in one window; heavy families/queries run as "
         "separate invocations (tools/merge_scale.py) so an sf100 "
         "casualty is isolated")
-    json.dump(merged, open(out, "w"), indent=1)
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1)
+        f.write("\n")
     print(f"merged {len(ins)} -> {out}")
 
 
