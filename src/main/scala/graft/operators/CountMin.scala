@@ -39,12 +39,31 @@ object CountMin {
 
   /** Per-group sketch partials: one row per (group, h, b) counter that
     * any token of the group touched. `tokens` is one row per token
-    * occurrence. */
+    * occurrence.
+    *
+    * Hashing happens AFTER a (group, token) pre-aggregate, not per
+    * occurrence: the d md5 rows explode a vocabulary-sized frame
+    * instead of the token stream (r12 — the occurrence-side explode
+    * was count_min_merge's whole >2×-oracle gap), and the counter sums
+    * weight each distinct token by its exact occurrence count —
+    * arithmetic identical to counting occurrences directly. */
   def partials(tokens: DataFrame, grp: Column, tok: Column, d: Int = 4,
                width: Int = 256): DataFrame =
-    hashed(tokens.select(grp.as("grp"), tok.as("__w")), col("__w"), d,
-        width)
-      .groupBy("grp", "h", "b").agg(count(lit(1)).as("cnt"))
+    partialsWeighted(
+      tokens.select(grp.as("grp"), tok.as("__w"))
+        .groupBy("grp", "__w").agg(count(lit(1)).as("__c")),
+      col("grp"), col("__w"), col("__c"), d, width)
+
+  /** Partials from a pre-counted (group, token, occurrences) frame —
+    * the form a caller that already aggregated token counts (e.g. to
+    * share one corpus shuffle with an exact heavy-hitter pass) feeds
+    * directly. */
+  def partialsWeighted(tokenCounts: DataFrame, grp: Column, tok: Column,
+                       cnt: Column, d: Int = 4,
+                       width: Int = 256): DataFrame =
+    hashed(tokenCounts.select(grp.as("grp"), tok.as("__w"),
+        cnt.as("__c")), col("__w"), d, width)
+      .groupBy("grp", "h", "b").agg(sum(col("__c")).as("cnt"))
 
   /** Merge partials across groups: element-wise counter sum. ≤ d·width
     * rows out. */

@@ -89,8 +89,21 @@ object NgramLm {
     * slower than the straight two-lookup pipeline. */
   def score(docs: DataFrame, lmDocs: DataFrame, idCol: String,
             text: Column): DataFrame = {
+    // PERSISTED, not recomputed: the pair-count table has three
+    // consumers (bi lookups, the unigram re-agg, the vocab count) and
+    // Catalyst clones the whole training subtree under each — the r11
+    // plan audit measured the LM side scanned+tokenized+shuffled 3×
+    // (8 exchanges, 0 ReusedExchange; AQE stage reuse does NOT fire
+    // across the differing parent aggregates). The table is DISTINCT
+    // (w1, w2) pairs — vocabulary-sized (Heaps-law sublinear in the
+    // corpus), orders of magnitude smaller than the token stream — so
+    // MEMORY_AND_DISK is safe at any SF where the model itself fits.
+    // Spark's CacheManager plan-matches identical subtrees, so repeated
+    // score() calls over the same inputs share one materialization
+    // (same convention as the dedup battery's shingle cache).
     val pairCounts = pairPostings(lmDocs, idCol, text)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = pairCounts.groupBy("w1").agg(sum(col("c")).as("cu"))
       .select(col("w1").as("w1u"), col("cu"))
     val bi = pairCounts.filter(col("w2").isNotNull)

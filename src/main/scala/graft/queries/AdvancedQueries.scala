@@ -403,16 +403,24 @@ object AdvancedQueries extends QueryGroup {
     * contract). Output pins the sketch guarantee too: `cms_est` can
     * only overcount, so est ≥ exact row-by-row or the hash breaks. */
   def countMinMerge(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    // ONE corpus shuffle: the token stream aggregates to per-(source,
+    // token) occurrence counts immediately (map-side combinable), and
+    // BOTH consumers — the weighted sketch partials and the exact
+    // heavy-hitter counts — run over that vocabulary-sized frame. The
+    // r11 form persisted the raw occurrence stream and exploded d=4
+    // md5 rows per OCCURRENCE; that explode was the whole >2×-oracle
+    // gap (adjudicated r12: 2.3–3.2× across three clean windows).
+    // Persisted because vocabulary-sized and read twice.
+    val tokCounts = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.operators.TextStats.tokens(col("text"))).as("w"))
-      // two consumers (sketch build + exact heavy-hitter counts):
-      // persist so tokenization runs once
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = graft.operators.CountMin.merge(
-      graft.operators.CountMin.partials(tok, col("source"), col("w")))
-    val heavy = tok.groupBy(col("w").as("token"))
-      .agg(count(lit(1)).as("exact_n")).filter(col("exact_n") >= 10)
+      graft.operators.CountMin.partialsWeighted(
+        tokCounts, col("source"), col("w"), col("n")))
+    val heavy = tokCounts.groupBy(col("w").as("token"))
+      .agg(sum(col("n")).as("exact_n")).filter(col("exact_n") >= 10)
     graft.operators.CountMin.estimate(sketch, heavy, col("token"))
       .join(heavy, Seq("token"))
       .select(col("token"), col("exact_n"), col("cms_est"))
