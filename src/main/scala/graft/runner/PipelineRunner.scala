@@ -38,6 +38,13 @@ final class PipelineRunner(
     foreachParallelism: Int = 4,
     sysContext: Option[SysContext] = None) {
 
+  /** The runner's "checkout root" — what relative filesystem args in
+    * YAML steps resolve against ([[StepContext.fsPath]]): the first
+    * asset root, mirroring the reference executor's run-from-checkout
+    * convention. */
+  private[runner] def checkoutRoot: Path =
+    assetRoots.headOption.getOrElse(Paths.get("."))
+
   /** path → completed run (memoized requires_pipelines, §3.3). */
   private val memo = new ConcurrentHashMap[String, RunResult]()
   /** path → latch while a run is in flight (so concurrent requirers wait

@@ -100,6 +100,21 @@ final case class StepContext(
   /** `overwrite: false` is the reference's idempotence contract
     * (e.g. /root/reference/pipelines/cdl/download-national-30m-2008-2025.yml:22). */
   def overwrite: Boolean = argBool("overwrite", default = false)
+
+  /** Resolve a possibly-relative FILESYSTEM arg the way the reference's
+    * executor does: its cli runs from the checkout root, so YAML paths
+    * like `catalog_json: .runs/catalog/catalog.json` or
+    * `catalog_repo: ../landcore-data-catalog`
+    * (/root/reference/pipelines/tiger/county.yml:9-10) are relative to
+    * that root. Here the root is the runner's FIRST asset root
+    * (default `.` — process CWD, the drop-in equivalent). Unlike
+    * [[PipelineRunner.resolvePath]] this never requires existence: it
+    * also names WRITE targets. */
+  def fsPath(s: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(s)
+    if (p.isAbsolute) p
+    else runner.checkoutRoot.resolve(s).normalize()
+  }
 }
 
 /** Structured step result; fields are visible to later steps via

@@ -160,7 +160,10 @@ object DatasetResearchPlugin extends StepPlugin {
 object CatalogJsonUpsertPlugin extends StepPlugin {
   val name = "catalog_json_upsert"
   def run(ctx: StepContext): StepResult = {
-    val path = Paths.get(ctx.argStr("catalog_json"))
+    // checkout-relative (`catalog_json: .runs/catalog/catalog.json`,
+    // /root/reference/pipelines/tiger/county.yml:9) — may be a write
+    // target that does not exist yet, so fsPath, not resolvePath
+    val path = ctx.fsPath(ctx.argStr("catalog_json"))
     // the reference step carries no dataset_id arg
     // (/root/reference/pipelines/tiger/county.yml:66-71) — the id is
     // read from the research document it upserts
@@ -170,7 +173,7 @@ object CatalogJsonUpsertPlugin extends StepPlugin {
           "catalog_json_upsert needs dataset_id or a research_file " +
             "carrying one"))
       "(?m)^dataset_id:\\s*(\\S+)".r
-        .findFirstMatchIn(Files.readString(Paths.get(rf)))
+        .findFirstMatchIn(Files.readString(ctx.fsPath(rf)))
         .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
           s"no 'dataset_id:' line in research file $rf"))
     }
@@ -205,14 +208,16 @@ object CatalogYamlSyncPlugin extends StepPlugin {
   val name = "catalog_yaml_sync"
   def run(ctx: StepContext): StepResult = {
     val catalog = JsonUtil.parse(
-      Files.readString(Paths.get(ctx.argStr("catalog_json"))))
+      Files.readString(ctx.fsPath(ctx.argStr("catalog_json"))))
       .asInstanceOf[Map[String, Any]]
     val datasetId = ctx.argStr("dataset_id")
     val entry = catalog.getOrElse(datasetId, Map.empty)
       .asInstanceOf[Map[String, Any]]
     // reference name: catalog_repo (the checkout dir the YAML lands in,
     // /root/reference/pipelines/tiger/county.yml:77)
-    val target = Paths.get(ctx.argAnyStr("target_dir", "catalog_repo"))
+    // `catalog_repo: ../landcore-data-catalog` (county.yml:77) — the
+    // sibling checkout the YAML lands in, checkout-relative
+    val target = ctx.fsPath(ctx.argAnyStr("target_dir", "catalog_repo"))
       .resolve(s"$datasetId.yml")
     Files.createDirectories(target.getParent)
     val overwriteManaged = ctx.argBool("overwrite_managed_fields", false)

@@ -108,9 +108,17 @@ object WebDownloadPlugin extends StepPlugin {
         case l: Seq[_] => l.map(_.toString)
         case s => Seq(s.toString)
       })
-      .orElse(ctx.argOpt("urls_file").map(f =>
-        Files.readAllLines(Paths.get(f.toString)).asScala.toSeq
-          .map(_.trim).filter(_.nonEmpty)))
+      .orElse(ctx.argOpt("urls_file").map { f =>
+        // checkout-relative like every reference file arg
+        // (`urls_file: pipelines/tiger/county_urls.txt`,
+        // /root/reference/pipelines/tiger/county.yml:23): resolve
+        // sibling-of-pipeline first, then asset roots — same contract
+        // as EvidenceBundlePlugin's supplemental_urls_file
+        val p = ctx.runner.resolvePath(Paths.get(f.toString),
+          ctx.currentPipeline.map(Paths.get(_)))
+        Files.readAllLines(p).asScala.toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      })
       .getOrElse(throw new IllegalArgumentException(
         "web_download_list needs url/urls/urls_file"))
     val timeoutMs = ctx.argInt("timeout_seconds", 180) * 1000
@@ -156,7 +164,7 @@ object WebDownloadPlugin extends StepPlugin {
         return NotModified
       Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
       Fetched
-    } else {
+    } else try {
       val conn = uri.toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
@@ -184,6 +192,17 @@ object WebDownloadPlugin extends StepPlugin {
         }
         Fetched
       }
+    } catch {
+      // OFFLINE GRACE, conditional fetches only: a freshness re-check
+      // (If-Modified-Since probe) that cannot REACH the origin keeps
+      // the staged copy — equivalent to a 304 — instead of failing an
+      // otherwise-idempotent pipeline over a dead link. Scoped tight:
+      // only when the staged file exists AND the step asked for a
+      // conditional re-check; a never-staged target still fails, and a
+      // forced re-download (overwrite: true, conditional: false) still
+      // fails — the caller explicitly demanded fresh bytes.
+      case _: java.io.IOException if conditional && Files.exists(target) =>
+        NotModified
     }
   }
 }
@@ -222,7 +241,7 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
     Files.createDirectories(out)
     val matcher = FileSystems.getDefault.getPathMatcher(s"glob:$glob")
     val uri = URI.create(url)
-    var fetched, skipped = 0
+    var fetched, skipped, offlineKept = 0
 
     def stage(sourceUrl: String, rel: String): Unit = {
       val target = out.resolve(rel).normalize
@@ -233,7 +252,22 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
       Files.createDirectories(
         Option(target.getParent).getOrElse(out))
       if (!Ledger.shouldWrite(target, ctx.overwrite)) skipped += 1
-      else { doFetch(sourceUrl, target); fetched += 1 }
+      else try { doFetch(sourceUrl, target); fetched += 1 }
+      catch {
+        // OFFLINE GRACE: a mirror pass that cannot reach the origin
+        // keeps an already-staged tree (the overwrite:false
+        // idempotence contract) instead of failing the pipeline.
+        // Scoped tight: only under overwrite:false AND a non-empty
+        // mirror dir — an EMPTY mirror has nothing staged to keep and
+        // still fails. Counted separately (n_offline_kept) so a run
+        // that degraded this way is visible in the step result. A
+        // failed partial target is removed — a 0-byte file would read
+        // as materialized on the next run.
+        case _: java.io.IOException
+            if !ctx.overwrite && Ledger.materialized(out) =>
+          Files.deleteIfExists(target)
+          offlineKept += 1
+      }
     }
 
     if (uri.getScheme == "file") {
@@ -299,7 +333,7 @@ class RemoteTreeWalker(lister: RemoteTreeWalker.Lister,
         stage(url, url.split('/').last)
     }
     StepResult(Map("n_fetched" -> fetched, "n_skipped" -> skipped,
-      "out" -> out.toString))
+      "n_offline_kept" -> offlineKept, "out" -> out.toString))
   }
 }
 

@@ -22,14 +22,18 @@ import graft.runner._
   * changing only paths.
   */
 object GeoPluginUtil {
-  /** Input raster: `raster_path` (single) or `input_dir` (stack) —
-    * the two signatures of geo_clip_raster_by_polygon
-    * (/root/reference/pipelines/prism/stage-ts-ppt-day-state.yml:24-35 vs
-    * prism-mi-corn-ppt-county.yml:30-40). */
+  /** Input raster under every arg name the reference YAMLs use:
+    * `raster_path` (county_daily_aggregate_child.yml:25),
+    * `input_raster` (geo_raster_value_mask,
+    * prism-mi-corn-ppt-county.yml:43), `input_path`
+    * (geo_raster_reproject, prism-mi-corn-ppt-county.yml:52), or
+    * `input_dir` (stack form, stage-ts-ppt-day-state.yml:26). The
+    * verbatim-execution spec (ReferenceExecutionSpec) pins all four. */
   def readRaster(ctx: StepContext): DataFrame = {
-    val path = ctx.argOpt("raster_path").orElse(ctx.argOpt("input_dir"))
+    val path = ctx.argAny(
+      "raster_path", "input_raster", "input_path", "input_dir")
       .getOrElse(throw new IllegalArgumentException(
-        "need raster_path or input_dir")).toString
+        "need raster_path/input_raster/input_path/input_dir")).toString
     ctx.spark.read.parquet(path)
   }
 
@@ -53,8 +57,12 @@ object GeoPluginUtil {
     Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Polygon dimension: `selector_path` (stage-ts-ppt-day-state.yml:30)
+    * or the county aggregates' `county_path`
+    * (county_daily_aggregate_child.yml:26,
+    * prism-mi-corn-ppt-county.yml:75). */
   def selector(ctx: StepContext): DataFrame =
-    ctx.spark.read.parquet(ctx.argStr("selector_path"))
+    ctx.spark.read.parquet(ctx.argAnyStr("selector_path", "county_path"))
 
   /** Case-insensitive attribute filter: `key: STUSPS, value: MI`
     * (stage-ts-ppt-day-state.yml:31-32). */
