@@ -38,10 +38,14 @@ object ScaleBench {
 
   private val textCfg: Cfg = Map(
     "sf0.1" -> (32, "8g"), "sf1" -> (64, "16g"), "sf10" -> (256, "48g"),
-    "sf100" -> (2048, "96g"))
+    "sf30" -> (768, "64g"), "sf100" -> (2048, "96g"))
   private val graphCfg: Cfg = Map(
     "sf0.1" -> (32, "8g"), "sf1" -> (256, "32g"), "sf10" -> (1024, "96g"),
-    "sf100" -> (4096, "96g"))
+    // sf30 (r12): the half-decade point between the proven sf10 and
+    // the box-limited sf100 — partitions/heap interpolated on the
+    // partitions-track-data rule; its live working set (~1/3 of the
+    // measured 60-120 GB @ sf100) fits this box's ~55 GB scratch
+    "sf30" -> (2048, "96g"), "sf100" -> (4096, "96g"))
 
   final case class Family(name: String, queries: Seq[String],
                           linear: Seq[String], cfg: Cfg)
@@ -83,9 +87,11 @@ object ScaleBench {
     "sf0.1" -> "/root/testdata/sf0.1",
     "sf1" -> "/tmp/graft_sf1",
     "sf10" -> "/tmp/graft_sf10",
+    "sf30" -> "/tmp/graft_sf30",
     "sf100" -> "/tmp/graft_sf100")
   private val sfFactors =
-    Map("sf0.1" -> 1, "sf1" -> 10, "sf10" -> 100, "sf100" -> 1000)
+    Map("sf0.1" -> 1, "sf1" -> 10, "sf10" -> 100, "sf30" -> 300,
+      "sf100" -> 1000)
 
   // same module flags build.sbt forks with — children create
   // SparkSession outside spark-submit
