@@ -150,6 +150,16 @@ object ScaleBench {
           val log = logDir.resolve(s"${fam.name}_$sf.log")
           System.err.println(
             s"[scalebench] ${fam.name} @ $sf ($shuffle parts, $heap)")
+          // sf100 graph children run the DISK-BOUNDED peel
+          // (KCore.peel spillDir, resolved under the child's own
+          // scratch root): the persist-path working set needs ≥96 GB
+          // heap AND >100 GB scratch simultaneously (the measured r11
+          // box limit); bounded generations are the mode that can
+          // complete on 55 GB
+          val graphSpill: Map[String, String] =
+            if (fam.name == "graph" && sf == "sf100")
+              Map("SPARK_GRAFT_GRAPH_SPILL" -> "AUTO")
+            else Map.empty
           val ok = runChild("graft.Bench", heap, log, Map(
             "SPARK_GRAFT_SF_DIR" -> sfDirs(sf),
             "SPARK_GRAFT_CPUS" -> cpus,
@@ -157,7 +167,7 @@ object ScaleBench {
             "SPARK_GRAFT_SEQ_ONLY" -> "1",
             "SPARK_GRAFT_SKIP_DUCK" -> "1",
             "SPARK_GRAFT_ONLY" -> fam.queries.mkString(","),
-            "SPARK_GRAFT_BENCH_OUT" -> bench.toString))
+            "SPARK_GRAFT_BENCH_OUT" -> bench.toString) ++ graphSpill)
           // a dead child (OOM, ENOSPC — the sf100 rehearsal's expected
           // failure modes) is a RECORDED casualty, not an abort: the
           // family reports no numbers for this SF and the run proceeds

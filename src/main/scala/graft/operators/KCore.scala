@@ -50,6 +50,23 @@ object KCore {
     *         threshold — and always under `checkpointDir` (the cluster
     *         contract) — the distributed loop runs unchanged: the
     *         100 TB path. 0 forces distributed.
+    * @param spillDir DISK-BOUNDED mode (the sf100 box-limit answer):
+    *         when set, every pinned generation is written as
+    *         zstd parquet under this directory and read back — lineage
+    *         truncates to a flat file scan (same contract as
+    *         checkpointing) but NOTHING stays in the block manager, and
+    *         each retired generation's files are deleted as soon as its
+    *         successor is on disk, so live scratch is bounded by ONE
+    *         generation plus the in-flight round's shuffle (a GC nudge
+    *         per retire lets ContextCleaner reclaim the finished
+    *         round's shuffle files — on a big heap the JVM may
+    *         otherwise not GC for the whole peel and dead shuffles
+    *         accumulate unboundedly; the measured sf100 failure mode).
+    *         The caller owns the directory's lifetime: the FINAL
+    *         generation's files back the returned DataFrame and must
+    *         outlive the caller's action. Implies the distributed
+    *         path (the probe/local fast path is skipped — the mode
+    *         exists for graphs that don't fit the box).
     * @return (node, deg, in_core) for every node still carrying an
     *         edge after `rounds` peels; `deg` is the degree within the
     *         surviving subgraph, `in_core` = deg ≥ k (all true ⇔ the
@@ -58,7 +75,8 @@ object KCore {
            checkpointDir: Option[String] = None,
            localThreshold: Long = 2000000L,
            preDeduped: Boolean = true,
-           edgeCountHint: Option[Long] = None): DataFrame = {
+           edgeCountHint: Option[Long] = None,
+           spillDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // preDeduped=false accepts a raw (possibly duplicated) pair
@@ -73,8 +91,8 @@ object KCore {
     // collect job, the big path never caches raw pairs.
     val edgeCols = edges.select("a", "b")
     edgeCountHint match {
-      case Some(n) if checkpointDir.isEmpty && localThreshold > 0 &&
-          n <= localThreshold =>
+      case Some(n) if checkpointDir.isEmpty && spillDir.isEmpty &&
+          localThreshold > 0 && n <= localThreshold =>
         // the hint bounds the RAW row count (duplicates included — the
         // Triangles.perNode contract) and is ENFORCED: collect capped
         // at n+1 rows; overflow falls through to the distributed loop
@@ -93,7 +111,7 @@ object KCore {
     // the loop's first pin and released with the other generations.
     // A big hint skips the probe cache entirely.
     val sized: Option[DataFrame] =
-      if (checkpointDir.isEmpty && localThreshold > 0 &&
+      if (checkpointDir.isEmpty && spillDir.isEmpty && localThreshold > 0 &&
           edgeCountHint.isEmpty) {
         val e0 = edgeCols.persist(StorageLevel.MEMORY_AND_DISK)
         if (e0.count() <= localThreshold) {
@@ -119,13 +137,47 @@ object KCore {
     // memory holds <= rounds edge generations, each shrinking, and
     // the deferred release below frees them before the caller's
     // action. (Job count measured at sf0.1: ~18 -> ~8 for 6 rounds.)
+    // Disk-bounded path: pin = write zstd parquet + read back (eager —
+    // one write job per round; lineage truncated by the file scan, no
+    // block-manager residency), retire = delete the retired
+    // generation's files NOW (its successor is already on disk and no
+    // live plan references the old paths) + a GC nudge so
+    // ContextCleaner reclaims the finished round's shuffle files.
+    var gen = 0
+    val spillOf = new java.util.IdentityHashMap[DataFrame, java.io.File]()
+    def diskPin(e: DataFrame): DataFrame = {
+      val root = new java.io.File(spillDir.get)
+      root.mkdirs()
+      val d = new java.io.File(root, f"gen_$gen%04d"); gen += 1
+      e.write.mode("overwrite").option("compression", "zstd")
+        .parquet(d.getPath)
+      val back = e.sparkSession.read.parquet(d.getPath)
+      spillOf.put(back, d)
+      back
+    }
+    def diskRetire(frames: Seq[DataFrame]): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      frames.foreach { f =>
+        Option(spillOf.remove(f)) match {
+          case Some(d) => rm(d)
+          case None => f.unpersist() // e.g. the non-pinned degree persist
+        }
+      }
+      System.gc()
+    }
     def pin(e: DataFrame): DataFrame =
-      if (checkpointDir.isDefined)
+      if (spillDir.isDefined) diskPin(e)
+      else if (checkpointDir.isDefined)
         e.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
       else e.localCheckpoint(false)
     var retired = List.empty[DataFrame]
     def retire(frames: DataFrame*): Unit =
-      if (checkpointDir.isDefined) frames.foreach(_.unpersist())
+      if (spillDir.isDefined) diskRetire(frames)
+      else if (checkpointDir.isDefined) frames.foreach(_.unpersist())
       else retired = frames.toList ::: retired
 
     val canonical =

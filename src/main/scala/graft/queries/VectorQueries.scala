@@ -213,9 +213,24 @@ object VectorQueries extends QueryGroup {
     * sf0.001 (191→189→188 survivors, converged by round 4) while the
     * denser larger SFs stay mostly intact. Exact integer degrees
     * throughout → bit-exact cross-engine. */
-  def kCore(spark: SparkSession, dir: String): DataFrame =
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    // SPARK_GRAFT_GRAPH_SPILL (scale-proof windows only — the driver
+    // never sets it): disk-bounded peel generations (KCore.peel
+    // `spillDir`) for graphs whose persist+shuffle working set exceeds
+    // the box (the measured sf100 mode: needs ≥96 GB heap AND >100 GB
+    // scratch simultaneously on the persist path). "AUTO" resolves to
+    // a fresh directory under java.io.tmpdir — which ScaleBench points
+    // at the child's own scratch root, so the generations are swept
+    // with the child. Identical output either way (KCoreSpec pins it).
+    val spill = sys.env.get("SPARK_GRAFT_GRAPH_SPILL").map {
+      case "AUTO" => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "kcore_spill_").toString
+      case v => v
+    }
     KCore.peel(coPurchaseEdges(spark, dir), k = 65, rounds = 6,
-      preDeduped = false)
+      preDeduped = false, spillDir = spill)
+  }
 
   /** Per-label centroid outlier audit under the oracle
     * ([[graft.operators.Outliers]]): top-5 farthest vectors per label

@@ -83,4 +83,44 @@ class KCoreSpec extends SparkSpecBase {
       localThreshold = 1, preDeduped = false,
       edgeCountHint = Some(dups.size.toLong))) == clean)
   }
+
+  test("disk-bounded peel (spillDir): identical output, retired " +
+      "generations deleted, final generation survives the action") {
+    val edges = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 97 % 40
+      val v = (i * 40503L + 7) % 89 % 40
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    val dups = edges.zipWithIndex.flatMap { case (e, i) =>
+      Seq.fill(1 + (i % 3))(e)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Boolean]("in_core")))).toMap
+    val clean = toMap(KCore.peel(edges.toDF("a", "b"), k = 4, rounds = 6))
+    val spill = java.nio.file.Files.createTempDirectory("kcore_spec_spill_")
+    try {
+      val out = KCore.peel(dups.toDF("a", "b"), k = 4, rounds = 6,
+        preDeduped = false, spillDir = Some(spill.toString))
+      assert(toMap(out) == clean) // the caller's action, post-retires
+      // bounded-scratch contract: retired generations are gone from
+      // disk; only the generation(s) the returned frame reads remain
+      val gens = Option(spill.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("gen_"))
+      assert(gens.nonEmpty, "final generation must survive")
+      // 6 rounds at k=4 cascade: >2 pins happened; retirement must
+      // have deleted most of them
+      assert(gens.length <= 2,
+        s"retired generations not deleted: ${gens.map(_.getName).toSeq}")
+      // and the result is re-collectable (files truly on disk — a
+      // deleted-but-referenced generation would fail here)
+      assert(toMap(out) == clean)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(spill.toFile)
+    }
+  }
 }
