@@ -80,8 +80,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    // SPARK_GRAFT_SKIP_WARMUP=1 (sf100 scale children only — the
+    // driver never sets it): measure COLD, no warmup layer. The r11
+    // sf100 wall casualties were the warmup's shared-cache persists
+    // STACKED on the measured query's own churn (the completing
+    // count-probe path differed only by the warmup) — at the casualty
+    // decade the honest wall is the cold one that can actually finish.
+    val skipWarm = sys.env.get("SPARK_GRAFT_SKIP_WARMUP").exists(_ == "1")
     // warmup: flagship query end-to-end (JIT, codegen, parquet footers)
-    try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
+    if (!skipWarm)
+      try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
 
     // The battery runs CONCURRENTLY (bounded pool into the fair-capable
     // scheduler): the graded number is wall-clock to answer the whole
@@ -145,7 +153,8 @@ object Bench {
     // the whole REBUILD (measured: dedup_clusters 0.6 s warm vs 12 s
     // after eviction) — the pass should measure queries, not eviction
     // order
-    try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
+    if (!skipWarm)
+      try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
     val seqT0 = System.nanoTime()
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
