@@ -50,7 +50,14 @@ def main(out: str, ins: list[str]) -> None:
                 merged["families"][fam] = body
                 continue
             tgt = merged["families"][fam]
-            tgt["queries"].update(body["queries"])
+            # DEEP-merge per query: two invocations may carry the SAME
+            # query at different SFs (e.g. the sf100 point measured in
+            # its own isolated window after the ≤sf30 curve) — a dict
+            # replace would silently drop the earlier SFs' walls.
+            # Ratios stay as computed by their own invocation (they are
+            # window-scoped); on a key conflict the later input wins.
+            for q, qv in body["queries"].items():
+                tgt["queries"].setdefault(q, {}).update(qv)
             tgt.setdefault("linearity_probes", {}).update(
                 body.get("linearity_probes", {}))
             # configs agree per SF by construction (shared Cfg tables);
