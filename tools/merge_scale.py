@@ -58,8 +58,14 @@ def main(out: str, ins: list[str]) -> None:
             # window-scoped); on a key conflict the later input wins.
             for q, qv in body["queries"].items():
                 tgt["queries"].setdefault(q, {}).update(qv)
-            tgt.setdefault("linearity_probes", {}).update(
-                body.get("linearity_probes", {}))
+            # probes deep-merge the same way (counts are DATA
+            # properties — identical across windows — so unioning SF
+            # keys from different invocations is always valid); the
+            # exactly_linear flag is recomputed over the merged map
+            # below, so per-input flags are just unioned here
+            for q, pv in body.get("linearity_probes", {}).items():
+                tgt.setdefault("linearity_probes", {}) \
+                    .setdefault(q, {}).update(pv)
             # configs agree per SF by construction (shared Cfg tables);
             # keep the union so every measured SF is documented
             tgt.setdefault("config", {}).update(body.get("config", {}))
@@ -70,6 +76,21 @@ def main(out: str, ins: list[str]) -> None:
     # silently double-count a summed total while queries.update() keeps
     # only one copy of each wall (ADVICE r11). An SF where every merged
     # query failed renders "failed"; an SF no query attempted is omitted.
+    # Recompute exactly_linear across the MERGED probe map: a per-input
+    # flag only covered that invocation's SFs. Counts are deterministic
+    # data properties, so the cross-window check is exact. Factor table
+    # mirrors graft.ScaleBench.sfFactors.
+    factors = {"sf0.1": 1, "sf1": 10, "sf10": 100, "sf30": 300,
+               "sf100": 1000}
+    for body in merged["families"].values():
+        for pv in body.get("linearity_probes", {}).values():
+            pts = {sf: v for sf, v in pv.items() if sf in factors}
+            if pts:
+                base_sf = min(pts, key=lambda s: factors[s])
+                base = pts[base_sf]
+                pv["exactly_linear"] = all(
+                    v * factors[base_sf] == base * factors[sf]
+                    for sf, v in pts.items())
     for body in merged["families"].values():
         totals: dict = {}
         for sf in sfs:
