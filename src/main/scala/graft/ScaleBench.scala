@@ -342,7 +342,12 @@ object ScaleBench {
         def wall(sf: String): Option[Double] =
           perSf.get(sf).flatMap(_.get(q))
         val per = sfs.flatMap { sf =>
-          wall(sf).map {
+          // a DEAD child (ENOSPC/OOM before Bench could write output)
+          // leaves the whole SF map empty — that query was still
+          // ATTEMPTED at this SF, so it renders the same explicit
+          // "failed" as an in-child -1.0 (an empty {} would read as
+          // never-attempted in a merged artifact)
+          wall(sf).orElse(perSf.get(sf).map(_ => -1.0)).map {
             case s if s >= 0 => s""""$sf":${num(s)}"""
             case _ => s""""$sf":"failed""""
           }

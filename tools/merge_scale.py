@@ -35,6 +35,15 @@ def main(out: str, ins: list[str]) -> None:
                             del qv[k]
                         else:
                             qv[k] = "failed"
+            # pre-r12 ScaleBench rendered a DEAD child (no bench output
+            # at all) as an empty per-query map while marking the
+            # family's subset_total "failed" — lift that family-level
+            # marker back onto each attempted query so the merge can't
+            # silently turn "attempted and died" into "never attempted"
+            for sf, tot in body.get("subset_total", {}).items():
+                if tot == "failed":
+                    for qv in body.get("queries", {}).values():
+                        qv.setdefault(sf, "failed")
         return d
 
     for p in ins:
