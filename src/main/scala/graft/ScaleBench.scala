@@ -158,7 +158,14 @@ object ScaleBench {
           // complete on 55 GB
           val graphSpill: Map[String, String] =
             if (fam.name == "graph" && sf == "sf100")
-              Map("SPARK_GRAFT_GRAPH_SPILL" -> "AUTO")
+              Map("SPARK_GRAFT_GRAPH_SPILL" -> "AUTO",
+                // 16 dst-bands for the chunked triangle census: the
+                // measured dst-attach payload at sf100 is ~667 GB raw
+                // (Σ d_out² = 8.3e10 entries × 8 B), so one band's
+                // in-flight shuffle is ~42 GB raw ≈ 10-15 GB
+                // lz4-compressed on disk — inside the box's ~55 GB
+                // scratch beside the ~4 GB adjacency pin
+                "SPARK_GRAFT_TRI_CHUNKS" -> "16")
             else Map.empty
           // sf100 children measure COLD (no warmup layer): the r11
           // wall casualties were warmup cache persists stacked on the
@@ -391,11 +398,19 @@ object ScaleBench {
         }
       val cfgJson = sfs.map { sf =>
         val (sh, hp) = fam.cfg(sf)
-        // self-documenting sf100 mode markers: cold = no warmup layer,
-        // disk-spill = KCore disk-bounded generations (graph family)
+        // self-documenting sf100 mode markers: cold = no warmup layer;
+        // disk-spill names EXACTLY the queries that consume
+        // SPARK_GRAFT_GRAPH_SPILL (KCore.peel / Triangles.perNode
+        // spillDir) — the env var is set family-wide but the other
+        // queries in the subset run the normal path (ADVICE r12: the
+        // family-wide marker overstated the mode a2_weighted /
+        // w1_rollsum were measured under)
+        val spillConsumers =
+          fam.queries.filter(Set("k_core", "triangle_count"))
         val mode =
           if (sf != "sf100") ""
-          else if (name == "graph") " cold disk-spill"
+          else if (name == "graph" && spillConsumers.nonEmpty)
+            s" cold disk-spill[${spillConsumers.mkString(",")}]"
           else " cold"
         s""""$sf":"shuffle=$sh heap=$hp$mode""""
       }.mkString("{", ",", "}")

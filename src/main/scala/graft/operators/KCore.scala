@@ -54,7 +54,11 @@ object KCore {
     *         when set, every pinned generation is written as
     *         zstd parquet under this directory and read back — lineage
     *         truncates to a flat file scan (same contract as
-    *         checkpointing) but NOTHING stays in the block manager, and
+    *         checkpointing) but no EDGE generation stays in the block
+    *         manager (the non-incremental rounds still persist the
+    *         NODE-sized degree table — bounded by node count, not by
+    *         the graph's edge working set, so the scratch bound is
+    *         unaffected), and
     *         each retired generation's files are deleted as soon as its
     *         successor is on disk, so live scratch is bounded by ONE
     *         generation plus the in-flight round's shuffle (a GC nudge

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -94,8 +94,23 @@ object Triangles {
   def perNode(edges: DataFrame,
               localThreshold: Long = 2000000L,
               preDeduped: Boolean = true,
-              edgeCountHint: Option[Long] = None): DataFrame = {
+              edgeCountHint: Option[Long] = None,
+              spillDir: Option[String] = None,
+              chunks: Int = 8): DataFrame = {
     val raw = edges.select(col("a"), col("b"))
+    // DISK-BOUNDED mode (the sf100 box-limit answer — the KCore.peel
+    // `spillDir` contract): implies the distributed chunked census;
+    // the raw pair stream is never cached (dedup lands in the census's
+    // own edges pin), the local fast path is skipped — the mode exists
+    // for graphs that don't fit the box. The caller owns the
+    // directory's lifetime: the degree + partial-count files back the
+    // returned DataFrame and must outlive the caller's action.
+    spillDir match {
+      case Some(dir) =>
+        return censusChunked(if (preDeduped) raw else raw.distinct(),
+          dir, math.max(1, chunks))
+      case None => ()
+    }
     edgeCountHint match {
       case Some(n) if localThreshold > 0 && n <= localThreshold =>
         // small-by-hint: ONE job (the collect) — no persist, no count.
@@ -148,55 +163,181 @@ object Triangles {
     }
   }
 
-  /** Distributed census over a deduped, persisted edge cache. */
+  /** Distributed census over a deduped, persisted edge cache.
+    *
+    * The src side of the closure join is NOT a join at all: the
+    * adjacency table IS the oriented edge list (each out-array entry
+    * is exactly one oriented edge), so `explode(adj)` regenerates
+    * every edge WITH its src out-array already attached — one whole
+    * edge+array-payload shuffle (the old src-attach equi-join)
+    * vanishes from the plan. Only the dst attach remains a join.
+    *
+    * @param spillDir disk-bounded mode (the sf100 box-limit answer —
+    *        the same contract as [[KCore.peel]] `spillDir`): the
+    *        adjacency table is written ONCE as zstd parquet
+    *        hash-partitioned into `chunks` dst-bands, and the closure
+    *        join runs as `chunks` sequential band passes — pass i
+    *        closes exactly the oriented edges whose dst falls in band
+    *        i, writing that band's per-node partial counts to disk;
+    *        triangle counts are additive over any edge partition, so
+    *        the final result is the summed union of the partials. Live
+    *        scratch is bounded by the pinned adjacency parquet plus ONE
+    *        band's join shuffle (~1/chunks of the whole closure
+    *        shuffle, the thing that ENOSPC'd the one-shot plan at
+    *        sf100), with a GC nudge per pass so ContextCleaner
+    *        reclaims the finished band's shuffle files. The caller
+    *        owns the directory's lifetime: the degree + partial-count
+    *        files back the returned DataFrame and must outlive the
+    *        caller's action. Identical output (TrianglesSpec pins it).
+    * @param chunks number of dst hash-bands in spill mode (ignored
+    *        without `spillDir`). */
   private def census(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = degreesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
 
     // total order for orientation: (deg, id) — ties broken by id so the
-    // order is strict and every edge gets exactly one direction
-    val oriented = e
-      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
-      .select(when(col("__da") < col("__db") ||
-          (col("__da") === col("__db") && col("a") < col("b")),
-          struct(col("a").as("s"), col("b").as("d")))
-        .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("o"))
-      .select(col("o.s").as("src"), col("o.d").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // order is strict and every edge gets exactly one direction.
+    // Single consumer (the adjacency build) — no persist needed.
+    val oriented = orient(e, deg)
 
-    // sorted out-adjacency per node: NODE-sized table, arrays O(√m)
+    // sorted out-adjacency per node: NODE-sized table, arrays O(√m).
+    // Consumed twice (explode side + dst side) — both consumers sit in
+    // the one physical plan, so the aggregate's exchange is computed
+    // once and the second read is a ReusedExchange, no persist needed.
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
 
-    // close per oriented edge: w ∈ N+(u) ∩ N+(v) ⇒ triangle u→v→w;
-    // inner joins are exact (an edge whose endpoint has no out-array
-    // closes nothing). One explode attributes the triangle to all
-    // three corners: u and v each gain |C|, every closing w gains 1.
-    val perEdge = oriented
-      .join(adj.select(col("n").as("src"), col("nbrs").as("__nu")), "src")
-      .join(adj.select(col("n").as("dst"), col("nbrs").as("__nv")), "dst")
+    deg.join(closures(explodedAdj(adj), adj), Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"))
+      .withColumn("clustering_coeff", coeff)
+  }
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Orientation: every undirected edge directed from its lower-
+    * (deg, id) endpoint to the higher one. */
+  private def orient(e: DataFrame, deg: DataFrame): DataFrame = e
+    .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+    .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+    .select(when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("d")))
+      .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("o"))
+    .select(col("o.s").as("src"), col("o.d").as("dst"))
+
+  /** Oriented edges with the src out-array attached, regenerated by
+    * exploding the adjacency table (each array entry IS one oriented
+    * edge) — columns (src, __nu, dst). */
+  private def explodedAdj(adj: DataFrame): DataFrame =
+    adj.select(col("n").as("src"), col("nbrs").as("__nu"),
+      explode(col("nbrs")).as("dst"))
+
+  /** Per-node triangle (partial) counts: attach the dst out-array to
+    * each (src, __nu, dst) oriented-edge row by equi-join, close per
+    * edge as the sorted-array intersection, attribute each triangle to
+    * its three corners (u and v gain |C|, every closing w gains 1).
+    * Inner join is exact: an edge whose dst has no out-array closes
+    * nothing. */
+  private def closures(withSrc: DataFrame, adjRight: DataFrame): DataFrame = {
+    val perEdge = withSrc
+      .join(adjRight.select(col("n").as("dst"), col("nbrs").as("__nv")),
+        "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("__nu"), col("__nv")).as("__c"))
       .filter(size(col("__c")) > 0)
-    val triCounts = perEdge
+    perEdge
       .select(explode(concat(
         array(struct(col("src").as("node"), size(col("__c")).cast("long").as("cnt")),
           struct(col("dst").as("node"), size(col("__c")).cast("long").as("cnt"))),
         transform(col("__c"),
           w => struct(w.as("node"), lit(1L).as("cnt"))))).as("x"))
       .groupBy(col("x.node").as("node")).agg(sum(col("x.cnt")).as("n_tri"))
+  }
 
+  private def coeff: Column =
+    when(col("deg") >= 2,
+      (col("n_tri") * 2).cast("double") /
+        (col("deg") * (col("deg") - 1)).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Disk-bounded chunked census — see `census` scaladoc. Owns the
+    * whole disk lifecycle: pins the (already deduped, uncached) edge
+    * plan to parquet first, derives degree + banded adjacency pins
+    * from it, deletes each pin the moment nothing references it.
+    * NOTHING stays in the block manager — the sf100 contract is that
+    * heap and scratch are not consumed by the same operator at once. */
+  private def censusChunked(eRaw: DataFrame, dir: String,
+                            chunks: Int): DataFrame = {
+    val spark = eRaw.sparkSession
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    def rm(name: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(go))
+        f.delete()
+      }
+      go(new java.io.File(root, name))
+    }
+    def pin(df: DataFrame, name: String,
+            partitionCols: Seq[String] = Nil): DataFrame = {
+      val d = new java.io.File(root, name)
+      val w = df.write.mode("overwrite").option("compression", "zstd")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(d.getPath)
+      spark.read.parquet(d.getPath)
+    }
+    // the (possibly expensive) edge plan materializes exactly once, to
+    // disk; degrees and adjacency both derive from the flat file scan
+    val e = pin(eRaw, "edges")
+    // degree table: node-sized, read by the orientation and the final
+    // join — pinned so neither re-aggregates the edge plan
+    val deg = pin(degreesOf(e), "deg")
+    // adjacency, hash-banded by node id and PARTITIONED on the band:
+    // pass i's dst-side read is a partition-pruned scan of band i only
+    val adj = pin(
+      orient(e, deg).groupBy(col("src").as("n"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .withColumn("__band", pmod(xxhash64(col("n")), lit(chunks))),
+      "adj", Seq("__band"))
+    rm("edges") // deg + adj hold everything the passes need
+    System.gc()
+    (0 until chunks).foreach { i =>
+      // src side: ALL oriented edges whose dst lands in band i. The
+      // band predicate applies to the EXPLODED value, so every pass
+      // scans the whole adjacency pin — CPU-cheap; the array is
+      // filtered BEFORE the explode (HOF filter) so only band-i rows
+      // are ever generated, and the shuffle this side feeds is the
+      // 1/chunks slice that makes the pass fit the box.
+      val withSrc = adj.select(col("n").as("src"), col("nbrs").as("__nu"),
+        explode(filter(col("nbrs"),
+          d => pmod(xxhash64(d), lit(chunks)) === lit(i))).as("dst"))
+      // shuffle-hash: sort-merge would sort the src-array payload —
+      // the one column that makes this join's rows wide
+      val partial = closures(withSrc,
+        adj.filter(col("__band") === i).hint("shuffle_hash"))
+      partial.write.mode("overwrite").option("compression", "zstd")
+        .parquet(new java.io.File(root, f"tri_$i%04d").getPath)
+      // the finished band's shuffle files are dead the moment its
+      // partial is on disk — nudge the driver GC so ContextCleaner
+      // reclaims them before the next band piles on (the KCore.peel
+      // disk-bounded contract; on a big heap the JVM may otherwise
+      // not GC for the whole census)
+      System.gc()
+    }
+    // the adjacency pin is dead once every band's partial is on disk
+    rm("adj")
+    val partials = spark.read.parquet(
+      (0 until chunks).map(i =>
+        new java.io.File(root, f"tri_$i%04d").getPath): _*)
+    val triCounts = partials.groupBy("node").agg(sum("n_tri").as("n_tri"))
     deg.join(triCounts, Seq("node"), "left")
       .select(col("node"), col("deg").cast("long").as("deg"),
         coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"))
-      .withColumn("clustering_coeff",
-        when(col("deg") >= 2,
-          (col("n_tri") * 2).cast("double") /
-            (col("deg") * (col("deg") - 1)).cast("double"))
-          .otherwise(lit(0.0)))
+      .withColumn("clustering_coeff", coeff)
   }
 
   /** Driver-local census over a collected (bounded — see

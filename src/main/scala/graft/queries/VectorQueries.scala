@@ -198,6 +198,38 @@ object VectorQueries extends QueryGroup {
       .select("a", "b")
   }
 
+  /** SPARK_GRAFT_GRAPH_SPILL (scale-proof windows only — the driver
+    * never sets it): disk-bounded graph-operator scratch
+    * ([[KCore.peel]] / [[Triangles.perNode]] `spillDir`) for graphs
+    * whose persist+shuffle working set exceeds the box (the measured
+    * sf100 mode: needs ≥96 GB heap AND >100 GB scratch simultaneously
+    * on the persist path). "AUTO" resolves to a fresh directory under
+    * java.io.tmpdir — which ScaleBench points at the child's own
+    * scratch root, so the generations are swept with the child; a JVM
+    * shutdown hook also removes it, so a NON-ScaleBench caller setting
+    * the env var cannot leak a generation-sized directory (in-query
+    * deletion is impossible while the final generation backs the
+    * returned DataFrame). Identical output either way (KCoreSpec /
+    * TrianglesSpec pin it). */
+  private def graphSpillDir(op: String): Option[String] =
+    sys.env.get("SPARK_GRAFT_GRAPH_SPILL").map {
+      case "AUTO" =>
+        val d = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+          s"${op}_spill_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory &&
+                !java.nio.file.Files.isSymbolicLink(f.toPath))
+              Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(d.toFile)
+        }))
+        d.toString
+      case v => v
+    }
+
   /* A join-free Σ C(n_order, 2) aggregate could hand the operators an
    * `edgeCountHint` (never materialize the pair stream to size it —
    * the true-100 TB contract, spec-pinned on both operators); at the
@@ -206,31 +238,19 @@ object VectorQueries extends QueryGroup {
    * count off the already-needed cache), so these queries take the
    * probe flow and leave the hint to genuinely huge callers. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
-    Triangles.perNode(coPurchaseEdges(spark, dir), preDeduped = false)
+    Triangles.perNode(coPurchaseEdges(spark, dir), preDeduped = false,
+      spillDir = graphSpillDir("tri"),
+      chunks = sys.env.get("SPARK_GRAFT_TRI_CHUNKS")
+        .flatMap(_.toIntOption).getOrElse(8))
 
   /** k-core of the co-purchase graph ([[graft.operators.KCore]]):
     * six peels at k=65 — sized so the cascade actually iterates at
     * sf0.001 (191→189→188 survivors, converged by round 4) while the
     * denser larger SFs stay mostly intact. Exact integer degrees
     * throughout → bit-exact cross-engine. */
-  def kCore(spark: SparkSession, dir: String): DataFrame = {
-    // SPARK_GRAFT_GRAPH_SPILL (scale-proof windows only — the driver
-    // never sets it): disk-bounded peel generations (KCore.peel
-    // `spillDir`) for graphs whose persist+shuffle working set exceeds
-    // the box (the measured sf100 mode: needs ≥96 GB heap AND >100 GB
-    // scratch simultaneously on the persist path). "AUTO" resolves to
-    // a fresh directory under java.io.tmpdir — which ScaleBench points
-    // at the child's own scratch root, so the generations are swept
-    // with the child. Identical output either way (KCoreSpec pins it).
-    val spill = sys.env.get("SPARK_GRAFT_GRAPH_SPILL").map {
-      case "AUTO" => java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "kcore_spill_").toString
-      case v => v
-    }
+  def kCore(spark: SparkSession, dir: String): DataFrame =
     KCore.peel(coPurchaseEdges(spark, dir), k = 65, rounds = 6,
-      preDeduped = false, spillDir = spill)
-  }
+      preDeduped = false, spillDir = graphSpillDir("kcore"))
 
   /** Per-label centroid outlier audit under the oracle
     * ([[graft.operators.Outliers]]): top-5 farthest vectors per label

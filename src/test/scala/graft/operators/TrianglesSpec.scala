@@ -92,6 +92,40 @@ class TrianglesSpec extends SparkSpecBase {
     }
   }
 
+  test("disk-bounded chunked census == default census, bit-exact") {
+    // hub-skewed pseudo-random graph, duplicated pair stream (the
+    // coPurchaseEdges shape) — the spillDir mode must reproduce the
+    // default census to the last double through its banded passes,
+    // including bands that close zero triangles
+    val edges = (0 until 400).map { i =>
+      val u = (i * 2654435761L) % 97 % 40
+      val v = (i * 40503L + 7) % 89 % 40
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    val default = toMap(Triangles.perNode(edges.toDF("a", "b"),
+      preDeduped = false))
+    val dir = java.nio.file.Files.createTempDirectory("tri_spill_")
+    try {
+      val chunked = toMap(Triangles.perNode(edges.toDF("a", "b"),
+        preDeduped = false, spillDir = Some(dir.toString), chunks = 3))
+      assert(chunked == default)
+      // ...and a single-band run (the degenerate chunking) agrees too
+      val one = toMap(Triangles.perNode(edges.toDF("a", "b"),
+        preDeduped = false, spillDir = Some(dir.toString), chunks = 1))
+      assert(one == default)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("driver-local census == distributed census, bit-exact") {
     // same hub-skewed pseudo-random graph; default threshold takes the
     // local path, localThreshold = 0 forces the distributed one — the

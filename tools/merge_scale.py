@@ -92,14 +92,31 @@ def main(out: str, ins: list[str]) -> None:
     factors = {"sf0.1": 1, "sf1": 10, "sf10": 100, "sf30": 300,
                "sf100": 1000}
     for body in merged["families"].values():
-        for pv in body.get("linearity_probes", {}).values():
+        for q, pv in body.get("linearity_probes", {}).items():
+            # SF keys the factor table doesn't know CANNOT be silently
+            # skipped (ADVICE r12: a future sf300 point would be
+            # ignored and the flag would read true while an unchecked
+            # point is nonlinear) — an unknown key is a hard error so
+            # whoever adds the SF also extends this table (and
+            # graft.ScaleBench.sfFactors, which it mirrors)
+            unknown = [sf for sf in pv
+                       if sf.startswith("sf") and sf not in factors]
+            if unknown:
+                raise SystemExit(
+                    f"merge_scale: probe '{q}' carries SF keys "
+                    f"{unknown} absent from the factors table — extend "
+                    "factors (and ScaleBench.sfFactors) before merging")
             pts = {sf: v for sf, v in pv.items() if sf in factors}
-            if pts:
+            if len(pts) >= 2:
                 base_sf = min(pts, key=lambda s: factors[s])
                 base = pts[base_sf]
                 pv["exactly_linear"] = all(
                     v * factors[base_sf] == base * factors[sf]
                     for sf, v in pts.items())
+            elif pts:
+                # one point proves nothing about linearity — say so
+                # instead of emitting a vacuous True (ADVICE r12)
+                pv["exactly_linear"] = None
     for body in merged["families"].values():
         totals: dict = {}
         for sf in sfs:

@@ -359,7 +359,97 @@ def bench_delta_gate(cur_path: str, prev_path: str,
     Queries new in the current round have no baseline — ceiling only.
     """
     cur = json.loads(Path(cur_path).read_text())
-    prev = json.loads(Path(prev_path).read_text())
+    # NEAREST-DUCK WINDOW PAIRING (judge r12 ask #4): `prev_path` may
+    # be a comma-separated list of candidate baseline artifacts — the
+    # gate pairs the current window against the candidate whose
+    # in-window DuckDB sequential total is CLOSEST to the current
+    # one's, because the duck total is the window's machine-state
+    # fingerprint (same battery, same engine, single-process: it moves
+    # only with box load). Pairings across window classes are REFUSED:
+    #   - cold (window_state=="cold" / SKIP_WARMUP) vs warmed, either
+    #     direction;
+    #   - a failed warmup on either side (warmup_ok false — the class
+    #     is unknown);
+    #   - nearest duck total still >1.35x apart (the measured same-code
+    #     cross-window duck band is ~±18%/side — beyond that the two
+    #     windows did not see comparable machines and every per-query
+    #     ratio would be window state, not code).
+    # The chosen pairing is NAMED in the output, with both windows'
+    # position in the bench_windows.jsonl band when that history sits
+    # beside the current artifact.
+    candidates = [p for p in prev_path.split(",") if p.strip()]
+    cur_duck = cur.get("duck_sequential_total_sec") or -1.0
+    cur_cold = cur.get("window_state") == "cold"
+    if cur.get("warmup_ok") is False:
+        print(f"bench-delta: REFUSED — current window {cur_path} "
+              f"reports warmup_ok=false (window class unknown)")
+        return 2
+    scored = []
+    for cand in candidates:
+        try:
+            c = json.loads(Path(cand).read_text())
+        except Exception as e:
+            print(f"bench-delta: skipping unreadable candidate {cand} "
+                  f"({e.__class__.__name__})")
+            continue
+        d = c.get("duck_sequential_total_sec") or -1.0
+        cold = c.get("window_state") == "cold"
+        if c.get("warmup_ok") is False:
+            print(f"bench-delta: skipping {cand} — warmup_ok=false "
+                  f"(window class unknown)")
+            continue
+        if cold != cur_cold:
+            print(f"bench-delta: skipping {cand} — "
+                  f"{'cold' if cold else 'warmed'} window cannot pair "
+                  f"against a {'cold' if cur_cold else 'warmed'} one")
+            continue
+        if d <= 0 or cur_duck <= 0:
+            # no duck fingerprint on one side: only usable when it is
+            # the sole candidate (legacy single-baseline behavior)
+            scored.append((float("inf"), cand, c, d))
+            continue
+        scored.append((max(d, cur_duck) / min(d, cur_duck), cand, c, d))
+    if not scored:
+        print("bench-delta: REFUSED — no pairable baseline window "
+              f"among {len(candidates)} candidate(s)")
+        return 2
+    scored.sort(key=lambda t: t[0])
+    spread, prev_name, prev, prev_duck = scored[0]
+    if spread != float("inf") and spread > 1.35:
+        print(f"bench-delta: REFUSED — nearest baseline window "
+              f"{prev_name} has duck total {prev_duck:.1f}s vs current "
+              f"{cur_duck:.1f}s ({spread:.2f}x apart > 1.35x): the "
+              f"windows did not see comparable machines")
+        return 2
+    band_note = ""
+    hist = Path(cur_path).resolve().parent / "bench_windows.jsonl"
+    if hist.exists() and cur_duck > 0:
+        ducks = []
+        for line in hist.read_text().splitlines():
+            try:
+                v = json.loads(line).get("duck_sequential_total_sec")
+                if isinstance(v, (int, float)) and v > 0:
+                    ducks.append(v)
+            except Exception:
+                pass
+        ducks = ducks[-6:]
+        if len(ducks) >= 2:
+            lo, hi = min(ducks), max(ducks)
+            def pos(v):
+                if hi == lo:
+                    return "mid"
+                f = (v - lo) / (hi - lo)
+                return ("bottom" if f <= 0.25 else
+                        "top" if f >= 0.75 else "mid")
+            band_note = (f"; duck band [{lo:.1f},{hi:.1f}] over "
+                         f"{len(ducks)} windows — current at "
+                         f"{pos(cur_duck)}" +
+                         (f", baseline at {pos(prev_duck)}"
+                          if prev_duck > 0 else ""))
+    print(f"bench-delta: paired against {prev_name} "
+          f"(duck {prev_duck:.1f}s vs current {cur_duck:.1f}s, "
+          f"{('%.2fx apart' % spread) if spread != float('inf') else 'no duck fingerprint'})"
+          f"{band_note}")
     cs, cd = cur.get("queries_sequential") or {}, cur.get("queries_duck") or {}
     ps, pd_ = prev.get("queries_sequential") or {}, prev.get("queries_duck") or {}
     if not cd or not pd_:
