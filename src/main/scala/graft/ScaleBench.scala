@@ -57,7 +57,10 @@ object ScaleBench {
         "ngram_lm_score", "winnow_fingerprint", "dup_coverage",
         "source_overlap", "sparse_cosine_pairs", "minhash_lsh_candidates",
         "dedup_jaccard", "bpe_segment", "tfidf_topk", "simhash",
-        "quality_filter", "dsir_weights"),
+        "quality_filter", "dsir_weights",
+        // corpus-assembly chain representatives (r12 ask #5): both
+        // single-exchange shapes, measured at sf100 in r13
+        "token_budget_cap"),
       linear = Seq("dedup_jaccard"), textCfg),
     Family("cc",
       Seq("dedup_components", "dedup_best_keeper", "dedup_clusters",

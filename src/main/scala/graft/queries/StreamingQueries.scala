@@ -53,12 +53,12 @@ object StreamingQueries extends QueryGroup {
       // SPARK_GRAFT_STREAM_STATESTORE (experiment knob, r12 ask #3):
       // "rocksdb" swaps the per-partition state store for the RocksDB
       // provider; anything else is passed through as a provider class
-      // name. Measured on the 12-drain battery at sf0.1 (see PLANS.md
-      // r13 entry): RocksDB is ~0.15-0.2 s SLOWER per stateful drain
-      // at this state size — its instance open/close + changelog sync
-      // outweigh the HDFS provider's in-memory map for KB-scale state;
-      // the knob stays for genuinely large state (the 100 TB shape,
-      // where the HDFS provider's full-snapshot uploads lose).
+      // name. Measured on the 18-drain battery at sf0.1, alternating
+      // runs (see PLANS.md r13 entry): HDFS 34.7/44.6 s vs RocksDB
+      // 43.8/39.4 s — indistinguishable inside the window band at
+      // KB-scale state, so the default stays HDFS; the knob remains
+      // for genuinely large state (the 100 TB shape, where the HDFS
+      // provider's full-snapshot uploads lose to RocksDB changelogs).
       sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").foreach { v =>
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           if (v == "rocksdb")

@@ -81,7 +81,53 @@ def main() -> int:
     assert rc == 0 and "WARN" not in buf.getvalue(), \
         "sub-delta growth must not warn"
 
-    print("test_preflight_gate: 6/6 assertions green")
+    # 7. NEAREST-DUCK PAIRING (r12 ask #4): among two candidates the
+    #    gate must pick the one whose duck total is closest to the
+    #    current window's, and NAME it
+    def art_tot(path: Path, spark: dict, duck: dict, tot: float,
+                **extra) -> str:
+        body = {"queries_sequential": spark, "queries_duck": duck,
+                "duck_sequential_total_sec": tot}
+        body.update(extra)
+        path.write_text(json.dumps(body))
+        return str(path)
+    cur_w = art_tot(tmp / "cur_w.json", {"q_big": 3.0}, {"q_big": 1.0}, 80.0)
+    near = art_tot(tmp / "near.json", {"q_big": 3.0}, {"q_big": 1.0}, 84.0)
+    far = art_tot(tmp / "far.json", {"q_big": 0.5}, {"q_big": 1.0}, 60.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_w, f"{far},{near}")
+    assert rc == 0 and "paired against" in buf.getvalue() \
+        and "near.json" in buf.getvalue().splitlines()[0], \
+        f"nearest-duck candidate must win, got: {buf.getvalue()!r}"
+
+    # 8. cold-vs-warmed pairing refused (exit 2), window class named
+    cold = art_tot(tmp / "cold.json", {"q_big": 3.0}, {"q_big": 1.0},
+                   80.0, window_state="cold")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_w, cold)
+    assert rc == 2 and "cold" in buf.getvalue(), \
+        f"cold pairing must refuse, got: {buf.getvalue()!r}"
+
+    # 9. windows >1.35x apart refused even as the only candidate
+    vfar = art_tot(tmp / "vfar.json", {"q_big": 3.0}, {"q_big": 1.0}, 200.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_w, vfar)
+    assert rc == 2 and "REFUSED" in buf.getvalue(), \
+        f"far window must refuse, got: {buf.getvalue()!r}"
+
+    # 10. warmup_ok=false on the baseline side is skipped (unknown class)
+    badw = art_tot(tmp / "badw.json", {"q_big": 3.0}, {"q_big": 1.0},
+                   80.0, warmup_ok=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_w, badw)
+    assert rc == 2 and "warmup_ok=false" in buf.getvalue(), \
+        f"unknown-class window must be skipped, got: {buf.getvalue()!r}"
+
+    print("test_preflight_gate: 10/10 assertions green")
     return 0
 
 
