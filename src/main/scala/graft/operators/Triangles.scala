@@ -200,11 +200,16 @@ object Triangles {
     val oriented = orient(e, deg)
 
     // sorted out-adjacency per node: NODE-sized table, arrays O(√m).
-    // Consumed twice (explode side + dst side) — both consumers sit in
-    // the one physical plan, so the aggregate's exchange is computed
-    // once and the second read is a ReusedExchange, no persist needed.
+    // Consumed twice (explode side + dst side) — PERSISTED, because
+    // relying on ReusedExchange for the second consumer is fragile
+    // under AQE (measured at sf1/sf10 in the scale-child configs: the
+    // un-persisted form re-ran the whole orientation+aggregate subtree
+    // for the dst side — 20 → 57 s at sf1, 377 → 687 s at sf10; the
+    // persist restores the single computation the old oriented-persist
+    // plan had, while keeping the src-attach join removed).
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     deg.join(closures(explodedAdj(adj), adj), Seq("node"), "left")
       .select(col("node"), col("deg").cast("long").as("deg"),
