@@ -70,10 +70,12 @@ object PlanDump {
     "rolling_actives" -> ("Rolling WAU: explode-to-report-day then one " +
       "two-level exact distinct; no per-day self-join of the log."),
     "triangle_count" -> ("Triangle census: degree-oriented sorted " +
-      "out-adjacency arrays (length O(sqrt m)); closure per oriented " +
-      "edge is an in-task array_intersect — node-sized adjacency " +
-      "exchanges replace the wedge-sized shuffle; equi-joins " +
-      "throughout."),
+      "out-adjacency arrays (length O(sqrt m)); oriented edges " +
+      "regenerate from explode(adjacency) with the src array attached " +
+      "free (r13 — the src-attach equi-join is gone), closure per " +
+      "edge is an in-task array_intersect, one dst equi-join. Disk-" +
+      "bounded spillDir mode chunks the closure into dst hash-bands " +
+      "(additive partials) — the sf100 shape."),
     "token_budget_cap" -> ("Per-source token budget: the sequence_pack " +
       "two-pass prefix shape — (source, bucket) exchanges, broadcast " +
       "offsets, no per-source window."),

@@ -30,13 +30,19 @@ import org.apache.spark.storage.StorageLevel
   * triangle. Same O(m^{3/2}) work bound, a fraction of the bytes
   * moved. (Measured at sf10: 1256 s → see BASELINE.md.)
   *
-  * Shuffle inventory (the whole op): degree aggregate, two joins
-  * attaching degrees, one groupBy building adjacency arrays, two
-  * equi-joins attaching the (node-sized) adjacency table to the edge
-  * list, final per-node aggregate with map-side partials — all
+  * Shuffle inventory (the whole op, r13 form): degree aggregate, two
+  * joins attaching degrees, one groupBy building adjacency arrays
+  * (persisted — its two consumers must not recompute the orientation
+  * subtree), ONE equi-join attaching the adjacency to the dst side —
+  * the src side is not a join at all: `explode(adj)` regenerates
+  * every oriented edge with its src out-array already attached — and
+  * the final per-node aggregate with map-side partials. All
   * hash-partitioned, no broadcast of anything data-sized, no cross
-  * join (pinned in PlanShapeSpec). Hot dst keys in the attach joins
+  * join (pinned in PlanShapeSpec). Hot dst keys in the attach join
   * are AQE skew-split; the arrays they replicate are O(√m) bounded.
+  * For graphs whose dst-attach payload (Σ d_out²) exceeds local
+  * scratch, `spillDir` runs the same closure as sequential dst
+  * hash-band passes with additive partials — the sf100 mode.
   */
 object Triangles {
 
