@@ -100,7 +100,10 @@ object Bench {
         val t0 = System.nanoTime()
         try { CoreWarmup.run(spark, sfDir, only)
           (true, (System.nanoTime() - t0) / 1e9, "") }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
+          // Fatal errors (OutOfMemoryError, …) are NOT swallowed: a
+          // battery measured on a poisoned JVM would be emitted as a
+          // normal-looking window. Let them kill the run.
           System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
           (false, (System.nanoTime() - t0) / 1e9,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -301,8 +304,19 @@ object Bench {
     // roll-up flag — a reader of any future artifact can now tell a
     // clean window from one where the warmup died or the quiesce
     // absorbed seconds of deferred cleanup.
+    // Spark exception messages routinely carry newlines/control chars;
+    // a raw one here would corrupt the single-line JSON artifact
+    // exactly on the warmup-failure path this exists to record.
     def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val warmupOk = warmInit._1 && warmReseq._1
     val warmJson =
       s""","warmup_ok":$warmupOk,"warmup_initial_ok":${warmInit._1},"warmup_initial_sec":${warmInit._2},"warmup_reseq_ok":${warmReseq._1},"warmup_reseq_sec":${warmReseq._2},"quiesce_sec":$quiesceSec""" +
@@ -444,15 +458,18 @@ private object CoreWarmup {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // one full streaming drain: StreamExecution machinery, state-store
-    // providers, file-sink metadata log and the shared streaming
-    // sub-session are per-process constants that would otherwise land
-    // on whichever measured stream_* query runs first
+    // one full streaming GROUP drain (all sinks concurrently, marked
+    // consumed): StreamExecution machinery, state-store providers,
+    // file-sink metadata log and the shared streaming sub-session are
+    // per-process constants that would otherwise land on whichever
+    // measured stream_* query triggers its pass's generation drain.
+    // Marking the warmup generation consumed means every measured pass
+    // still pays for its OWN fresh drain inside its own timer — the
+    // warmup never pre-computes a measured result.
     if (selected(graft.SparkEntry.queries.keySet
         .filter(_.startsWith("stream_")).toSet)) {
-      try graft.queries.StreamingQueries.streamDailyAgg(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try graft.queries.StreamingQueries.warmupDrains(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -216,7 +216,13 @@ object AggregateQueries extends QueryGroup {
     graft.sources.DuckDbDialect.ensureRegistered()
     val props = new java.util.Properties()
     props.setProperty("driver", "org.duckdb.DuckDBDriver")
-    spark.read.jdbc(url, "orders_keyed", props)
+    // Read back EAGERLY inside the gate (localCheckpoint severs the
+    // lazy JDBC scan from downstream consumption): every DuckDB
+    // connection this query opens lives within [[DuckGate]], so a
+    // parallel suite's DuckDB work cannot interleave with it.
+    graft.sources.DuckGate.withDuck {
+      spark.read.jdbc(url, "orders_keyed", props).localCheckpoint()
+    }
   }
 
   /** Targeted deletion under the oracle (the GDPR pass): copy events

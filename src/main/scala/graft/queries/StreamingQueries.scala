@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.{QueryGroup, Tables}
 import graft.functions.Exact
@@ -24,6 +25,29 @@ import graft.streaming.StreamOps
   * minus delay; delay 0 here) passes its end, so the day containing
   * max(ts) stays in state when the drain finishes and is absent from the
   * sink. The oracle applies the same cutoff (`day < day-of-max-ts`).
+  *
+  * == One multi-sink drain per generation (r13 judge ask #1) ==
+  *
+  * Every stream query keeps its OWN source→sink→checkpoint pipeline and
+  * its own hash-checked oracle, but the drains run as ONE group: the
+  * first member invoked in a "generation" stages the shared source
+  * tables once, STARTS all members' streaming queries concurrently
+  * (concurrent streams on one session are first-class — each has its
+  * own run id, state stores and checkpoint), and awaits them together.
+  * Subsequent members of the same generation read back their
+  * already-committed sinks. Re-invoking a member that already consumed
+  * its generation starts a FRESH generation (new scratch roots, clean
+  * checkpoints — the same per-invocation re-drain contract the
+  * individual queries had). The micro-batch machinery that dominates a
+  * KB-state drain — state-store load+commit per partition, the
+  * watermark-flush no-data batch, the file-sink metadata log — is pure
+  * latency at this state size, so 18 drains in flight cost barely more
+  * wall-clock than one (measured: ~23.5 s of serial drains → one group
+  * drain; see BASELINE.md r14). Results are bit-identical by
+  * construction: each member's plan, input, checkpoint and sink are
+  * exactly what its standalone drain used — only the SCHEDULING of the
+  * 18 independent queries changed, and the concurrent-battery pass has
+  * always run them overlapped.
   */
 object StreamingQueries extends QueryGroup {
 
@@ -45,7 +69,36 @@ object StreamingQueries extends QueryGroup {
     * partition count up like any shuffle. */
   private val subSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // experiment knob (r14): SPARK_GRAFT_STREAM_SESSION=per gives every
+  // drain-group launch thread its own sub-session (isolated SQLConf +
+  // SessionState) instead of one shared one — probes whether the
+  // group drain's concurrency is limited by shared-session contention
   private def streamSession(spark: SparkSession): SparkSession =
+    if (sys.env.get("SPARK_GRAFT_STREAM_SESSION").contains("per"))
+      perThreadSession(spark)
+    else sharedSession(spark)
+  private val perThreadSessions = new ThreadLocal[SparkSession]()
+  private def perThreadSession(spark: SparkSession): SparkSession = {
+    val cur = perThreadSessions.get()
+    if (cur != null) cur
+    else {
+      val ss = configured(spark.newSession())
+      perThreadSessions.set(ss)
+      ss
+    }
+  }
+  private def configured(ss: SparkSession): SparkSession = {
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+    sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").foreach { v =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (v == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else v)
+    }
+    ss
+  }
+  private def sharedSession(spark: SparkSession): SparkSession =
     subSessions.computeIfAbsent(spark, s => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions",
@@ -68,37 +121,23 @@ object StreamingQueries extends QueryGroup {
       ss
     })
 
-  /** Scratch roots are per-(app, sfDir) and wiped per invocation: the
-    * drain must re-run from a clean checkpoint each time or
-    * AvailableNow would correctly resume-and-skip (the idempotence the
-    * sink guarantees, but not what a fresh correctness run wants to
-    * measure). The application id keeps concurrent JVMs on the same
-    * dataset from wiping each other's in-flight drains. */
-  private def scratch(spark: SparkSession, dir: String,
-                      name: String): java.nio.file.Path = {
-    val safe = spark.sparkContext.applicationId + "_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_${name}_$safe")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(p.toFile)
-    java.nio.file.Files.createDirectories(p)
-    p
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
   }
 
-  /** Stage a table's data files into `root/in` for a file-stream
-    * source (the source watches a DIRECTORY — exactly the reference's
+  /** Stage a table's data files into `stage` for a file-stream source
+    * (the source watches a DIRECTORY — exactly the reference's
     * staged-download-dir shape: a file "arrives", the drain picks it
     * up). The table may be a single parquet file (driver testdata) or
     * a directory of part files (any real lake layout, incl.
     * ScaleData's scaled corpora) — every data file is staged either
-    * way. */
+    * way. Staged ONCE per generation and shared by every member
+    * watching that table: a file-stream source dir is read-only input,
+    * and each member's checkpoint tracks its own offsets into it. */
   private def stageTable(dir: String, table: String,
-                         root: java.nio.file.Path): java.nio.file.Path = {
-    val stage = root.resolve("in")
+                         stage: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(stage)
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
@@ -110,42 +149,534 @@ object StreamingQueries extends QueryGroup {
     } else {
       java.nio.file.Files.copy(src, stage.resolve(s"$table.parquet"))
     }
-    stage
   }
 
   /** The staged event stream, normalized: ns-timestamp → TimestampType
     * (same as Tables.events) and `value` pre-cast to decimal(30,10) so
     * the streamed sums are order-independent ([[Exact]]). */
-  private def stagedEventStream(spark: SparkSession, dir: String,
-                                root: java.nio.file.Path): DataFrame = {
-    val stage = stageTable(dir, "events", root)
+  private def eventStream(spark: SparkSession,
+                          base: java.nio.file.Path): DataFrame = {
     val ss = streamSession(spark)
     // file-source streams cannot infer schemas: reuse the batch read's
     // — resolved on the OUTER session (Tables.load caches per session;
     // keying on the sub-session would re-read footers per table)
-    val schema = Tables.load(spark, dir, "events").schema
-    val raw = StreamOps.fileStream(ss, stage.toString, schema)
+    val schema = eventSchemas.get(spark)
+    val raw = StreamOps.fileStream(ss, base.resolve("in_events").toString,
+      schema)
     Tables.normalizeEventTs(raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
   }
+  // batch-read schemas resolved once per (session) on the outer session
+  // BEFORE the parallel launches (avoids hammering Tables.load's cache
+  // lock from 18 threads at once)
+  private val eventSchemas =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.types.StructType]()
+  private val docSchemas =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.sql.types.StructType]()
+
+  private def docStream(spark: SparkSession,
+                        base: java.nio.file.Path): DataFrame = {
+    val ss = streamSession(spark)
+    StreamOps.fileStream(ss, base.resolve("in_documents").toString,
+      docSchemas.get(spark))
+  }
+
+  /** One streaming correctness pipeline: which shared staged tables it
+    * reads, how to build its drain, how to read its sink back.
+    *
+    * `launch` runs the member's PREP — static-side batch work (bloom
+    * bits, IVF centroid training, the CDC seed write) plus building the
+    * streaming DataFrame — and returns a thunk that `.start()`s the
+    * drain. Two phases matter: prep jobs that run concurrently with 17
+    * already-started drains queue behind their micro-batches (measured:
+    * IVF's train took 7.3 s on the drain's critical path vs ~1 s with
+    * the box to itself), so the group runs every prep first, THEN
+    * starts all drains together. */
+  private final case class Member(
+      name: String,
+      tables: Set[String],
+      launch: (SparkSession, String, java.nio.file.Path)
+        => () => StreamingQuery,
+      read: (SparkSession, java.nio.file.Path) => DataFrame) {
+    def out(base: java.nio.file.Path): String =
+      base.resolve(name).resolve("out").toString
+    def ckpt(base: java.nio.file.Path): String =
+      base.resolve(name).resolve("ckpt").toString
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Members. Each launch/read pair is the exact pipeline the former  //
+  //  standalone query ran; scaladocs preserved on the public defs.    //
+  // ---------------------------------------------------------------- //
+
+  private val memDaily: Member = Member("stream_daily_agg", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
+        watermark = "0 seconds")
+      () => StreamOps.startParquetSink(agg, memDaily.out(base), memDaily.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memDaily.out(base))
+        .select(to_date(col("day_start")).as("day"), col("event_type"),
+          col("n"),
+          col("total").cast("double").as("total"),
+          (col("total").cast("double") / col("n")).as("mean")))
+
+  private val memSliding: Member = Member("stream_sliding_sum", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val agg = StreamOps.slidingSum(evs, "ts", "event_type", "value",
+        windowDays = 7, watermark = "0 seconds")
+      () => StreamOps.startParquetSink(agg, memSliding.out(base),
+        memSliding.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memSliding.out(base))
+        .select(to_date(col("window_start")).as("window_start"),
+          to_date(col("window_end")).as("window_end"), col("event_type"),
+          col("total").cast("double").as("total")))
+
+  private val memSession: Member = Member("stream_session_agg", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val agg = StreamOps.sessionAgg(evs, "ts", "user_id", "value",
+        gap = "30 minutes", watermark = "0 seconds")
+      () => StreamOps.startParquetSink(agg, memSession.out(base),
+        memSession.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memSession.out(base))
+        .select(col("user_id"),
+          expr("unix_micros(session_start) div 1000").as("start_ms"),
+          expr("unix_micros(session_end) div 1000").as("end_ms"),
+          col("n"),
+          col("total").cast("double").as("total")))
+
+  private def joinSides(spark: SparkSession, base: java.nio.file.Path)
+      : (DataFrame, DataFrame) = {
+    val evs = eventStream(spark, base)
+    def side(t: String) = evs.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    (side("click"), side("purchase"))
+  }
+
+  private val memIJoin: Member = Member("stream_interval_join",
+    Set("events"),
+    launch = (spark, dir, base) => {
+      val (c, p) = joinSides(spark, base)
+      val joined = StreamOps.intervalJoin(c, p,
+        "user_id", "ts", "ts", maxDelay = "1 hour")
+      val out = joined.select(col("user_id"),
+        col("event_id").as("click_id"),
+        expr("unix_micros(ts) div 1000").as("click_ms"),
+        col("r_event_id").as("purchase_id"),
+        expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+      () => StreamOps.startParquetSink(out, memIJoin.out(base), memIJoin.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memIJoin.out(base)))
+
+  private val memOJoin: Member = Member("stream_outer_join", Set("events"),
+    launch = (spark, dir, base) => {
+      val (c, p) = joinSides(spark, base)
+      val joined = StreamOps.intervalJoin(c, p,
+        "user_id", "ts", "ts", maxDelay = "1 hour",
+        watermark = "0 seconds", joinType = "left_outer")
+      val out = joined.select(col("user_id"),
+        col("event_id").as("click_id"),
+        expr("unix_micros(ts) div 1000").as("click_ms"),
+        col("r_event_id").as("purchase_id"),
+        expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+      () => StreamOps.startParquetSink(out, memOJoin.out(base), memOJoin.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memOJoin.out(base)))
+
+  private val memFOJoin: Member = Member("stream_full_outer_join",
+    Set("events"),
+    launch = (spark, dir, base) => {
+      val (c, p) = joinSides(spark, base)
+      val joined = StreamOps.intervalJoin(c, p,
+        "user_id", "ts", "ts", maxDelay = "1 hour",
+        watermark = "0 seconds", joinType = "full_outer")
+      val out = joined.select(
+        coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+        col("event_id").as("click_id"),
+        expr("unix_micros(ts) div 1000").as("click_ms"),
+        col("r_event_id").as("purchase_id"),
+        expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
+      () => StreamOps.startParquetSink(out, memFOJoin.out(base),
+        memFOJoin.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memFOJoin.out(base)))
+
+  private val memDedup: Member = Member("stream_dedup_keys", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val deduped = StreamOps.dedupedStream(
+        evs.select(col("ts"), col("user_id"), col("event_type")),
+        "ts", idCol = "user_id", watermark = "1 day")
+      () => StreamOps.startParquetSink(deduped.select(col("user_id")),
+        memDedup.out(base), memDedup.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memDedup.out(base)))
+
+  private val memQuality: Member = Member("stream_quality_filter",
+    Set("documents"),
+    launch = (spark, dir, base) => {
+      val docs = docStream(spark, base)
+      val scored = TextQueries.qualityVerdict(docs)
+      () => StreamOps.startParquetSink(scored, memQuality.out(base),
+        memQuality.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memQuality.out(base)))
+
+  private val memBloom: Member = Member("stream_bloom_probe",
+    Set("documents"),
+    launch = (spark, dir, base) => {
+      val ss = streamSession(spark)
+      // bounded collect: a build() result is ≤ m = 4096 position ints
+      val bits = graft.operators.Bloom.build(
+          ss.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 19 === 0), col("text"), k = 4, m = 4096)
+        .collect().map(_.getInt(0)).toSeq
+      val docs = docStream(spark, base)
+      val out = docs.select(col("doc_id"),
+        graft.operators.Bloom.memberExpr(col("text"), bits, k = 4, m = 4096)
+          .cast("int").as("maybe_member"))
+      () => StreamOps.startParquetSink(out, memBloom.out(base), memBloom.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memBloom.out(base)))
+
+  private val memGSample: Member = Member("stream_group_sample",
+    Set("documents"),
+    launch = (spark, dir, base) => {
+      val ss = streamSession(spark)
+      val docs = docStream(spark, base)
+      val agg = StreamOps.boundedGroupSample(ss, docs, "source", "doc_id",
+        k = 20)
+      () => StreamOps.startParquetSinkUpdates(agg, memGSample.out(base),
+        memGSample.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memGSample.out(base))
+        .groupBy("source")
+        .agg(max_by(col("ids"), col("n_seen")).as("ids"))
+        .select(col("source"),
+          posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("doc_id"), col("source"),
+          (col("pos") + 1).cast("int").as("sample_rank")))
+
+  private val memCorpusDedup: Member = Member("stream_corpus_dedup",
+    Set("documents"),
+    launch = (spark, dir, base) => {
+      val ss = streamSession(spark)
+      val docs = docStream(spark, base)
+      val hist = ss.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 7 === 0)
+      val fresh = StreamOps.dedupAgainstCorpus(docs, hist)
+        .select("doc_id", "source")
+      () => StreamOps.startParquetSink(fresh, memCorpusDedup.out(base),
+        memCorpusDedup.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memCorpusDedup.out(base)))
+
+  private val memManifest: Member = Member("stream_shard_manifest",
+    Set("documents"),
+    launch = (spark, dir, base) => {
+      val docs = docStream(spark, base)
+      val agg = docs.filter(col("doc_id").isNotNull)
+        .select(
+          graft.operators.Shard.shardOf(col("doc_id"), 8).as("shard"),
+          size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).cast("long")
+            .as("n_tok"),
+          col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+      () => StreamOps.startParquetSinkUpdates(agg, memManifest.out(base),
+        memManifest.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memManifest.out(base))
+        .groupBy("shard")
+        .agg(max(struct(col("n_docs"), col("n_tokens"), col("n_chars")))
+          .as("m"))
+        .select(col("shard"), col("m.n_docs").as("n_docs"),
+          col("m.n_tokens").as("n_tokens"), col("m.n_chars").as("n_chars")))
+
+  private val memIvf: Member = Member("stream_ivf_ingest",
+    Set("embeddings"),
+    launch = (spark, dir, base) => {
+      val ss = streamSession(spark)
+      val hist = ss.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
+      val cents = graft.operators.Ivf.train(hist, k = 8, iters = 1)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val schema = Tables.load(spark, dir, "embeddings").schema
+      val vecs = StreamOps.fileStream(ss,
+          base.resolve("in_embeddings").toString, schema)
+        .select(col("vec_id").as("id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
+      val assigned = StreamOps.ivfIngest(vecs, cents)
+      () => StreamOps.startParquetSink(assigned, memIvf.out(base),
+        memIvf.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memIvf.out(base)))
+
+  private val memEnrich: Member = Member("stream_enrich_join", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val ss = evs.sparkSession
+      val dim = ss.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val enriched = evs
+        .join(dim, evs("user_id") === dim("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"),
+          // the event stream pre-casts value to the exact-sum decimal;
+          // this join aggregates nothing, so hand back the source double
+          col("value").cast("double").as("value"))
+      () => StreamOps.startParquetSink(enriched, memEnrich.out(base),
+        memEnrich.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memEnrich.out(base)))
+
+  private val memTotals: Member = Member("stream_running_totals",
+    Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val totals = StreamOps.runningTotals(evs.sparkSession, evs,
+        "user_id", "value")
+      () => StreamOps.startParquetSinkUpdates(totals, memTotals.out(base),
+        memTotals.ckpt(base))
+    },
+    read = (spark, base) =>
+      spark.read.parquet(memTotals.out(base))
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_value").cast("double").as("total_value")))
+
+  private val memAlerts: Member = Member("stream_threshold_alerts",
+    Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+        .filter(col("value") >= 0)
+      val alerts = StreamOps.thresholdAlerts(evs.sparkSession, evs,
+        "user_id", "value", threshold = 500.0)
+      () => StreamOps.startParquetSink(alerts, memAlerts.out(base),
+        memAlerts.ckpt(base))
+    },
+    read = (spark, base) => spark.read.parquet(memAlerts.out(base)))
+
+  private val memCdc: Member = Member("stream_cdc_merge", Set.empty,
+    launch = (spark, dir, base) => {
+      val root = base.resolve("stream_cdc_merge")
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val target = root.resolve("target").toString
+      orders.filter(col("o_orderkey") % 2 === 0).write.parquet(target)
+      val stage = root.resolve("in").toString
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .write.parquet(stage)
+      val ss = streamSession(spark)
+      val changelog = StreamOps.fileStream(ss, stage, orders.schema)
+      () => StreamOps.startForeachBatchMerge(changelog, target, memCdc.ckpt(base),
+        keys = Seq("o_orderkey"))
+    },
+    read = (spark, base) => spark.read.parquet(
+      base.resolve("stream_cdc_merge").resolve("target").toString))
+
+  private val memScd2: Member = Member("stream_scd2", Set("events"),
+    launch = (spark, dir, base) => {
+      val evs = eventStream(spark, base)
+      val prepared = evs.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      val changes = StreamOps.scd2Changes(evs.sparkSession, prepared,
+        "user_id", "event_type", "us", "event_id")
+      () => StreamOps.startParquetSink(changes, memScd2.out(base),
+        memScd2.ckpt(base))
+    },
+    read = (spark, base) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      spark.read.parquet(memScd2.out(base))
+        .withColumn("__next", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("attr"),
+          expr("us div 1000").as("eff_from_ms"),
+          coalesce(expr("__next div 1000"), lit(-1L)).as("eff_to_ms"),
+          when(col("__next").isNull, 1).otherwise(0).cast("int")
+            .as("is_current"))
+    })
+
+  private val members: Seq[Member] = Seq(memDaily, memSliding, memSession,
+    memIJoin, memOJoin, memFOJoin, memDedup, memQuality, memBloom,
+    memGSample, memCorpusDedup, memManifest, memIvf, memEnrich, memTotals,
+    memAlerts, memCdc, memScd2)
+  private val byName: Map[String, Member] =
+    members.map(m => m.name -> m).toMap
+
+  /** The generation registry. All group state is guarded by one lock:
+    * drains are serialized anyway (a drain IS the expensive section),
+    * and concurrent first-callers of one generation simply block until
+    * the drain commits, then read back. */
+  private object DrainGroup {
+    private final class St(val gen: Long, val base: java.nio.file.Path,
+                           val prevBase: Option[java.nio.file.Path]) {
+      val consumed = scala.collection.mutable.Set[String]()
+    }
+    private val lock = new Object
+    private val states =
+      scala.collection.mutable.Map[(SparkSession, String), St]()
+    // observability for the spec: total group drains this JVM
+    private[queries] val drains = new java.util.concurrent.atomic.AtomicLong
+
+    /** The member subset this JVM's battery runs: a filtered battery
+      * (SPARK_GRAFT_ONLY — Bench/Verify iteration aid, ScaleBench
+      * per-family children) must not drain 17 siblings nobody will
+      * read. The requested member is always included. */
+    private def scoped(requested: Option[String]): Seq[Member] = {
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      only match {
+        case None => members
+        case Some(names) =>
+          members.filter(m => names.contains(m.name) ||
+            requested.contains(m.name))
+      }
+    }
+
+    def resultFor(name: String, spark: SparkSession,
+                  dir: String): DataFrame = {
+      val m = byName(name)
+      val base = lock.synchronized {
+        val key = (spark, dir)
+        val st = states.get(key) match {
+          case Some(s) if !s.consumed(name) &&
+              java.nio.file.Files.exists(s.base.resolve(name)) => s
+          case prev => newGeneration(spark, dir, prev, Some(name))
+        }
+        st.consumed += name
+        st.base
+      }
+      m.read(spark, base)
+    }
+
+    /** Drain a full generation and mark EVERY member consumed: the
+      * warmup shape. The next battery pass then pays for its own
+      * fresh-generation drain inside its own timer — the warmup only
+      * absorbs the per-process constants (StreamExecution machinery,
+      * state-store providers, file-sink metadata log, codegen). */
+    def warmupAll(spark: SparkSession, dir: String): Unit =
+      lock.synchronized {
+        val key = (spark, dir)
+        val st = newGeneration(spark, dir, states.get(key), None)
+        st.consumed ++= scoped(None).map(_.name)
+      }
+
+    /** Stage shared sources once, start every scoped member's drain,
+      * await them all. Keeps the PREVIOUS generation's files on disk
+      * (a caller may still be materializing a DataFrame read from
+      * them) and wipes the one before that. */
+    private def newGeneration(spark: SparkSession, dir: String,
+                              prev: Option[St],
+                              requested: Option[String]): St = {
+      val gen = prev.map(_.gen + 1).getOrElse(1L)
+      prev.flatMap(_.prevBase).foreach(p => rmTree(p.toFile))
+      val safe = spark.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_streams_g${gen}_$safe")
+      rmTree(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val ms = scoped(requested)
+      // resolve batch schemas BEFORE the parallel launches
+      eventSchemas.computeIfAbsent(spark,
+        s => Tables.load(s, dir, "events").schema)
+      docSchemas.computeIfAbsent(spark,
+        s => Tables.load(s, dir, "documents").schema)
+      ms.flatMap(_.tables).distinct.foreach {
+        case "events" => stageTable(dir, "events", base.resolve("in_events"))
+        case "documents" =>
+          stageTable(dir, "documents", base.resolve("in_documents"))
+        case "embeddings" =>
+          stageTable(dir, "embeddings", base.resolve("in_embeddings"))
+      }
+      ms.foreach(m =>
+        java.nio.file.Files.createDirectories(base.resolve(m.name)))
+      // launch in parallel: a launch does its member's static prep
+      // (bloom build, IVF train, CDC seed) and .start()s the drain
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ms.size, 8))
+      val started =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[StreamingQuery]()
+      try {
+        import scala.jdk.CollectionConverters._
+        val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+        val t0 = System.nanoTime()
+        def el = f"${(System.nanoTime() - t0) / 1e9}%.2f"
+        // phase 1: every member's prep (static batch work + plan
+        // building), with the box to itself
+        val prepFuts = pool.invokeAll(ms.map(m =>
+          new java.util.concurrent.Callable[(String, () => StreamingQuery)] {
+            def call(): (String, () => StreamingQuery) = {
+              val l0 = System.nanoTime()
+              val th = m.launch(spark, dir, base)
+              if (dbg) System.err.println(f"[drain] ${m.name} prepped " +
+                f"in ${(System.nanoTime() - l0) / 1e9}%.2f s (t=$el)")
+              (m.name, th)
+            }
+          }).asJava)
+        // surface the FIRST prep failure (get() rethrows)
+        val thunks = prepFuts.asScala.map(_.get()).toSeq
+        // phase 2: start all drains together, then await them all
+        val startFuts = pool.invokeAll(thunks.map { case (n, th) =>
+          new java.util.concurrent.Callable[(String, StreamingQuery)] {
+            def call(): (String, StreamingQuery) = {
+              val q = th()
+              started.add(q)
+              if (dbg) System.err.println(s"[drain] $n started (t=$el)")
+              (n, q)
+            }
+          }
+        }.asJava)
+        val queries = startFuts.asScala.map(_.get()).toSeq
+        queries.foreach { case (n, q) =>
+          q.awaitTermination()
+          if (dbg) System.err.println(s"[drain] $n terminated (t=$el)")
+        }
+      } catch {
+        case e: Throwable =>
+          started.forEach(q => try q.stop() catch { case _: Exception => () })
+          throw e
+      } finally pool.shutdown()
+      drains.incrementAndGet()
+      val st = new St(gen, base, prev.map(_.base))
+      states((spark, dir)) = st
+      st
+    }
+  }
+
+  /** Pre-drain one full generation and mark it consumed — the Bench
+    * warmup hook (see [[DrainGroup.warmupAll]]). */
+  def warmupDrains(spark: SparkSession, dir: String): Unit =
+    DrainGroup.warmupAll(spark, dir)
+
+  private[queries] def drainCount: Long = DrainGroup.drains.get()
 
   /** Tumbling per-day aggregate per event_type, streamed: readStream →
     * [[StreamOps.tumblingDailyAgg]] → checkpointed parquet sink
     * (AvailableNow) → read back. Mean is derived from the exact sum at
     * read-back with one double division, matching the oracle's davg
     * form. */
-  def streamDailyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_daily")
-    val evs = stagedEventStream(spark, dir, root)
-    val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
-      watermark = "0 seconds")
-    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .select(to_date(col("day_start")).as("day"), col("event_type"),
-        col("n"),
-        col("total").cast("double").as("total"),
-        (col("total").cast("double") / col("n")).as("mean"))
-  }
+  def streamDailyAgg(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_daily_agg", spark, dir)
 
   /** Sliding 7-day/1-day window sums, streamed — the streaming form of
     * W1's trailing rolling sums, under the same AvailableNow drain
@@ -153,17 +684,8 @@ object StreamingQueries extends QueryGroup {
     * beyond the final watermark; the oracle regenerates the slide grid
     * (epoch-aligned daily starts, 7 per event) and applies the same
     * end-≤-max-day cutoff. */
-  def streamSlidingSum(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_sliding")
-    val evs = stagedEventStream(spark, dir, root)
-    val agg = StreamOps.slidingSum(evs, "ts", "event_type", "value",
-      windowDays = 7, watermark = "0 seconds")
-    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .select(to_date(col("window_start")).as("window_start"),
-        to_date(col("window_end")).as("window_end"), col("event_type"),
-        col("total").cast("double").as("total"))
-  }
+  def streamSlidingSum(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_sliding_sum", spark, dir)
 
   /** Session windows, streamed — the third windowed form under the
     * drain harness. Spark merges two events into one session iff their
@@ -172,19 +694,8 @@ object StreamingQueries extends QueryGroup {
     * gaps-and-islands uses the same strict rule and the same
     * end-≤-max-event cutoff for append emission. Timestamps emitted as
     * epoch ms (never raw ts — ns/µs mismatch across engines). */
-  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_session")
-    val evs = stagedEventStream(spark, dir, root)
-    val agg = StreamOps.sessionAgg(evs, "ts", "user_id", "value",
-      gap = "30 minutes", watermark = "0 seconds")
-    StreamOps.toParquetSink(agg, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .select(col("user_id"),
-        expr("unix_micros(session_start) div 1000").as("start_ms"),
-        expr("unix_micros(session_end) div 1000").as("end_ms"),
-        col("n"),
-        col("total").cast("double").as("total"))
-  }
+  def streamSessionAgg(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_session_agg", spark, dir)
 
   /** Watermarked stream-stream interval join (the attribution shape:
     * purchase ≤ 1 h after a same-user click), drained. A streaming
@@ -192,21 +703,8 @@ object StreamingQueries extends QueryGroup {
     * watermarks only bound retained state, never hold back matches —
     * so a full AvailableNow drain equals the batch join exactly and
     * the oracle is the plain interval-join SQL, no cutoff needed. */
-  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_ijoin")
-    val evs = stagedEventStream(spark, dir, root)
-    def side(t: String) = evs.filter(col("event_type") === t)
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
-      "user_id", "ts", "ts", maxDelay = "1 hour")
-    val out = joined.select(col("user_id"),
-      col("event_id").as("click_id"),
-      expr("unix_micros(ts) div 1000").as("click_ms"),
-      col("r_event_id").as("purchase_id"),
-      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
-    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_interval_join", spark, dir)
 
   /** Watermarked stream-stream LEFT OUTER interval join, drained: the
     * attribution shape again, but clicks with NO purchase within the
@@ -221,22 +719,8 @@ object StreamingQueries extends QueryGroup {
     * Spark tracks it in WHOLE MILLISECONDS — and the oracle reproduces
     * exactly it: matched rows unconditionally, unmatched clicks iff
     * click_ms + 1 h < watermark_ms. */
-  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_ojoin")
-    val evs = stagedEventStream(spark, dir, root)
-    def side(t: String) = evs.filter(col("event_type") === t)
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
-      "user_id", "ts", "ts", maxDelay = "1 hour",
-      watermark = "0 seconds", joinType = "left_outer")
-    val out = joined.select(col("user_id"),
-      col("event_id").as("click_id"),
-      expr("unix_micros(ts) div 1000").as("click_ms"),
-      col("r_event_id").as("purchase_id"),
-      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
-    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_outer_join", spark, dir)
 
   /** FULL OUTER stream-stream interval join, drained: both unmatched
     * sides surface — clicks that never converted AND purchases with no
@@ -247,23 +731,8 @@ object StreamingQueries extends QueryGroup {
     * only match clicks in [p − 1 h, p], so its state expires once the
     * watermark passes p). Same millisecond-floored min-of-sides final
     * watermark; both gates reproduced in the oracle. */
-  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_fojoin")
-    val evs = stagedEventStream(spark, dir, root)
-    def side(t: String) = evs.filter(col("event_type") === t)
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val joined = StreamOps.intervalJoin(side("click"), side("purchase"),
-      "user_id", "ts", "ts", maxDelay = "1 hour",
-      watermark = "0 seconds", joinType = "full_outer")
-    val out = joined.select(
-      coalesce(col("user_id"), col("r_user_id")).as("user_id"),
-      col("event_id").as("click_id"),
-      expr("unix_micros(ts) div 1000").as("click_ms"),
-      col("r_event_id").as("purchase_id"),
-      expr("unix_micros(r_ts) div 1000").as("purchase_ms"))
-    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_full_outer_join", spark, dir)
 
   /** Streaming duplicate suppression, drained: WHICH physical row
     * survives a duplicate group is arrival-order-dependent (not
@@ -275,16 +744,8 @@ object StreamingQueries extends QueryGroup {
     * drains as a single micro-batch (watermark advances only BETWEEN
     * batches), so the dedup horizon deterministically spans the whole
     * input regardless of the watermark delay. */
-  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_dedup")
-    val evs = stagedEventStream(spark, dir, root)
-    val deduped = StreamOps.dedupedStream(
-      evs.select(col("ts"), col("user_id"), col("event_type")),
-      "ts", idCol = "user_id", watermark = "1 day")
-    StreamOps.toParquetSink(deduped.select(col("user_id")),
-      s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_dedup_keys", spark, dir)
 
   /** The corpus-cleaning battery run INCREMENTALLY: documents arrive as
     * a file stream (the staged-download shape a crawling pipeline
@@ -295,16 +756,8 @@ object StreamingQueries extends QueryGroup {
     * immediately, so the drain equals the batch query exactly and the
     * oracle is quality_filter's own SQL. This is the shape a 100 TB/day
     * ingest actually runs: clean-on-arrival, not clean-after-landing. */
-  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_quality")
-    val stage = stageTable(dir, "documents", root)
-    val ss = streamSession(spark)
-    val schema = Tables.load(spark, dir, "documents").schema
-    val docs = StreamOps.fileStream(ss, stage.toString, schema)
-    val scored = TextQueries.qualityVerdict(docs)
-    StreamOps.toParquetSink(scored, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_quality_filter", spark, dir)
 
   /** Bloom decontamination ON ARRIVAL: the filter built batch-side
     * over the benchmark slice collapses to a literal position set
@@ -317,23 +770,8 @@ object StreamingQueries extends QueryGroup {
     * oracle is bloom_membership's SQL verbatim. This is the shape a
     * 100 TB/day ingest runs: the benchmark filter ships to the edge,
     * contaminated docs are flagged before they ever land. */
-  def streamBloomProbe(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_bloom")
-    val stage = stageTable(dir, "documents", root)
-    val ss = streamSession(spark)
-    val schema = Tables.load(spark, dir, "documents").schema
-    // bounded collect: a build() result is ≤ m = 4096 position ints
-    val bits = graft.operators.Bloom.build(
-        ss.read.parquet(s"$dir/documents.parquet")
-          .filter(col("doc_id") % 19 === 0), col("text"), k = 4, m = 4096)
-      .collect().map(_.getInt(0)).toSeq
-    val docs = StreamOps.fileStream(ss, stage.toString, schema)
-    val out = docs.select(col("doc_id"),
-      graft.operators.Bloom.memberExpr(col("text"), bits, k = 4, m = 4096)
-        .cast("int").as("maybe_member"))
-    StreamOps.toParquetSink(out, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamBloomProbe(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_bloom_probe", spark, dir)
 
   /** Bounded-state k-per-group sampling run INCREMENTALLY
     * ([[StreamOps.boundedGroupSample]]): documents arrive as a file
@@ -345,22 +783,8 @@ object StreamingQueries extends QueryGroup {
     * is group_sample's SQL verbatim. Update-mode drain; read-back
     * recovers each group's final sample via max_by(ids, n_seen), then
     * ranks by array position (the ids are emitted in rank order). */
-  def streamGroupSample(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_gsample")
-    val stage = stageTable(dir, "documents", root)
-    val ss = streamSession(spark)
-    val schema = Tables.load(spark, dir, "documents").schema
-    val docs = StreamOps.fileStream(ss, stage.toString, schema)
-    val agg = StreamOps.boundedGroupSample(ss, docs, "source", "doc_id",
-      k = 20)
-    StreamOps.toParquetSinkUpdates(agg, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .groupBy("source")
-      .agg(max_by(col("ids"), col("n_seen")).as("ids"))
-      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
-      .select(col("doc_id"), col("source"),
-        (col("pos") + 1).cast("int").as("sample_rank"))
-  }
+  def streamGroupSample(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_group_sample", spark, dir)
 
   /** Continuous-ingest dedup against a historical corpus
     * ([[StreamOps.dedupAgainstCorpus]]): documents arrive as a file
@@ -370,19 +794,8 @@ object StreamingQueries extends QueryGroup {
     * append mode, no state store — so the drained sink equals the batch
     * anti-join verbatim; the corpus's real exact-dup texts make the
     * filter bite beyond the carved slice itself. */
-  def streamCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_corpus_dedup")
-    val stage = stageTable(dir, "documents", root)
-    val ss = streamSession(spark)
-    val schema = Tables.load(spark, dir, "documents").schema
-    val docs = StreamOps.fileStream(ss, stage.toString, schema)
-    val hist = ss.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 7 === 0)
-    val fresh = StreamOps.dedupAgainstCorpus(docs, hist)
-      .select("doc_id", "source")
-    StreamOps.toParquetSink(fresh, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamCorpusDedup(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_corpus_dedup", spark, dir)
 
   /** Incremental shard manifest ([[graft.operators.Shard]] columns
     * under a streaming aggregate): as documents arrive, the per-shard
@@ -392,29 +805,8 @@ object StreamingQueries extends QueryGroup {
     * stateless, so the drained final state equals the batch
     * [[CorpusQueries.shardManifest]] bit-for-bit (same oracle verbatim);
     * Update-mode drain recovered via the monotone-n_docs struct max. */
-  def streamShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_manifest")
-    val stage = stageTable(dir, "documents", root)
-    val ss = streamSession(spark)
-    val schema = Tables.load(spark, dir, "documents").schema
-    val docs = StreamOps.fileStream(ss, stage.toString, schema)
-    val agg = docs.filter(col("doc_id").isNotNull)
-      .select(
-        graft.operators.Shard.shardOf(col("doc_id"), 8).as("shard"),
-        size(split(trim(lower(col("text"))), "[ \\t\\n\\r]+")).cast("long")
-          .as("n_tok"),
-        col("n_chars"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
-        sum("n_chars").as("n_chars"))
-    StreamOps.toParquetSinkUpdates(agg, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .groupBy("shard")
-      .agg(max(struct(col("n_docs"), col("n_tokens"), col("n_chars")))
-        .as("m"))
-      .select(col("shard"), col("m.n_docs").as("n_docs"),
-        col("m.n_tokens").as("n_tokens"), col("m.n_chars").as("n_chars"))
-  }
+  def streamShardManifest(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_shard_manifest", spark, dir)
 
   /** Stateless streaming IVF-index ingest
     * ([[StreamOps.ivfIngest]]): embeddings arrive as a file stream and
@@ -425,25 +817,8 @@ object StreamingQueries extends QueryGroup {
     * vector, so the drain equals the batch assignment however the
     * input was micro-batched; the oracle re-derives the train-slice
     * k-means in SQL and assigns every vector against it. */
-  def streamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_ivf")
-    val stage = stageTable(dir, "embeddings", root)
-    val ss = streamSession(spark)
-    val hist = ss.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("id"),
-        graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
-    val cents = graft.operators.Ivf.train(hist, k = 8, iters = 1)
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val schema = Tables.load(spark, dir, "embeddings").schema
-    val vecs = StreamOps.fileStream(ss, stage.toString, schema)
-      .select(col("vec_id").as("id"),
-        graft.operators.Similarity.asDouble(col("embedding")).as("vec"))
-    val assigned = StreamOps.ivfIngest(vecs, cents)
-    StreamOps.toParquetSink(assigned, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamIvfIngest(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_ivf_ingest", spark, dir)
 
   /** Stream-STATIC enrichment join — the remaining join mode of the
     * streaming surface (stream-stream is `stream_interval_join`): each
@@ -453,22 +828,8 @@ object StreamingQueries extends QueryGroup {
     * match immediately, so the drain equals the batch join and the
     * oracle is plain SQL. This is the canonical 100 TB ingest-enrich
     * shape: facts stream in, dimensions sit still. */
-  def streamEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_enrich")
-    val evs = stagedEventStream(spark, dir, root)
-    val ss = evs.sparkSession
-    val dim = ss.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    val enriched = evs
-      .join(dim, evs("user_id") === dim("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("c_name"),
-        col("c_mktsegment"),
-        // stagedEventStream pre-casts value to the exact-sum decimal;
-        // this join aggregates nothing, so hand back the source double
-        col("value").cast("double").as("value"))
-    StreamOps.toParquetSink(enriched, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamEnrichJoin(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_enrich_join", spark, dir)
 
   /** Keyed running totals (mapGroupsWithState), drained: the custom-
     * state surface under the oracle. The state sums are exact decimal
@@ -476,18 +837,8 @@ object StreamingQueries extends QueryGroup {
     * batch GROUP BY bit-for-bit; Update-mode drains append one row per
     * (key, batch), and the monotone event count picks the final one via
     * max(struct(n, total)) — replay/duplicate-safe. */
-  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_totals")
-    val evs = stagedEventStream(spark, dir, root)
-    val totals = StreamOps.runningTotals(evs.sparkSession, evs,
-      "user_id", "value")
-    StreamOps.toParquetSinkUpdates(totals, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        col("m.total_value").cast("double").as("total_value"))
-  }
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_running_totals", spark, dir)
 
   /** Threshold-crossing alerts (flatMapGroupsWithState), drained: the
     * 0..n-output custom-state surface under the oracle. With the
@@ -497,15 +848,8 @@ object StreamingQueries extends QueryGroup {
     * what makes the alert SET a cross-engine contract
     * ([[StreamOps.thresholdAlerts]] computes floor on the double cast of
     * the exact decimal total, the same IEEE ops the oracle runs). */
-  def streamThresholdAlerts(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_alerts")
-    val evs = stagedEventStream(spark, dir, root)
-      .filter(col("value") >= 0)
-    val alerts = StreamOps.thresholdAlerts(evs.sparkSession, evs,
-      "user_id", "value", threshold = 500.0)
-    StreamOps.toParquetSink(alerts, s"$root/out", s"$root/ckpt")
-    spark.read.parquet(s"$root/out")
-  }
+  def streamThresholdAlerts(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_threshold_alerts", spark, dir)
 
   /** CDC changelog → keyed-dataset merge (foreachBatch), driver-
     * verified: seed a keyed parquet snapshot (even order keys at their
@@ -515,22 +859,8 @@ object StreamingQueries extends QueryGroup {
     * changelog row, untouched seed keys survive, new keys append —
     * the streaming form of the O8 catalog upsert
     * (/root/reference/pipelines/tiger/county.yml:65-72). */
-  def streamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_cdc")
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val target = s"$root/target"
-    orders.filter(col("o_orderkey") % 2 === 0).write.parquet(target)
-    val stage = root.resolve("in").toString
-    orders.filter(col("o_orderkey") % 3 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-      .write.parquet(stage)
-    val ss = streamSession(spark)
-    val changelog = StreamOps.fileStream(ss, stage, orders.schema)
-    StreamOps.foreachBatchMerge(changelog, target, s"$root/ckpt",
-      keys = Seq("o_orderkey"))
-    spark.read.parquet(target)
-  }
+  def streamCdcMerge(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_cdc_merge", spark, dir)
 
   /** Incremental SCD2 dimension maintenance, streamed
     * ([[StreamOps.scd2Changes]]): the change-point rows are detected
@@ -542,24 +872,8 @@ object StreamingQueries extends QueryGroup {
     * batch, so per-key arrival order is the sorted (us, id) order and
     * the committed set equals the batch change-point set: the oracle is
     * scd2_build's own SQL, verbatim. */
-  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratch(spark, dir, "stream_scd2")
-    val evs = stagedEventStream(spark, dir, root)
-    val prepared = evs.select(col("user_id"), col("event_type"),
-      expr("unix_micros(ts)").as("us"), col("event_id"))
-    val changes = StreamOps.scd2Changes(evs.sparkSession, prepared,
-      "user_id", "event_type", "us", "event_id")
-    StreamOps.toParquetSink(changes, s"$root/out", s"$root/ckpt")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("us", "event_id")
-    spark.read.parquet(s"$root/out")
-      .withColumn("__next", lead(col("us"), 1).over(w))
-      .select(col("user_id"), col("event_type").as("attr"),
-        expr("us div 1000").as("eff_from_ms"),
-        coalesce(expr("__next div 1000"), lit(-1L)).as("eff_to_ms"),
-        when(col("__next").isNull, 1).otherwise(0).cast("int")
-          .as("is_current"))
-  }
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+    DrainGroup.resultFor("stream_scd2", spark, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_scd2" -> (streamScd2 _),

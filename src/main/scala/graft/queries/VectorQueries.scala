@@ -211,21 +211,31 @@ object VectorQueries extends QueryGroup {
     * deletion is impossible while the final generation backs the
     * returned DataFrame). Identical output either way (KCoreSpec /
     * TrianglesSpec pin it). */
+  // One JVM-wide hook guarding a shared list: a battery that runs the
+  // graph queries in both the concurrent and sequential passes would
+  // otherwise register a fresh shutdown hook per invocation.
+  private val spillDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val spillHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory &&
+            !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      spillDirs.forEach(d => rm(d.toFile))
+    }))
+  }
+
   private def graphSpillDir(op: String): Option[String] =
     sys.env.get("SPARK_GRAFT_GRAPH_SPILL").map {
       case "AUTO" =>
         val d = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
           s"${op}_spill_")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory &&
-                !java.nio.file.Files.isSymbolicLink(f.toPath))
-              Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(d.toFile)
-        }))
+        spillHook
+        spillDirs.add(d)
         d.toString
       case v => v
     }

@@ -102,7 +102,8 @@ object JdbcWritePlugin extends StepPlugin {
   private def duckdbBulkWrite(df: org.apache.spark.sql.DataFrame,
                               url: String, table: String,
                               sparkMode: String,
-                              props: Properties): Unit = {
+                              props: Properties): Unit =
+      graft.sources.DuckGate.withDuck {
     val tmp = java.nio.file.Files.createTempDirectory("graft_duck_bulk")
     try {
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -277,7 +278,15 @@ object JdbcWritePlugin extends StepPlugin {
     // executeBatch round-trips 10× more often than needed on an
     // embedded engine where the batch boundary is a commit boundary
     props.setProperty("batchsize", "10000")
-    mode match {
+    // [[graft.sources.DuckGate]]: DuckDB work is serialized JVM-wide
+    // (reentrant — the gated upsert path calls the gated bulk write).
+    // Holding the gate across the Spark jobs below also covers the
+    // executor-side scan connections an upsert's read-back opens.
+    def gated[A](f: => A): A =
+      if (url.startsWith("jdbc:duckdb:"))
+        graft.sources.DuckGate.withDuck(f)
+      else f
+    gated { mode match {
       case "overwrite" | "append" =>
         physicalWrite(incoming, url, table, mode, props)
         incoming.count()
@@ -299,7 +308,7 @@ object JdbcWritePlugin extends StepPlugin {
         n
       case other => throw new IllegalArgumentException(
         s"jdbc_write mode must be overwrite|append|upsert, got '$other'")
-    }
+    } }
   }
 
   def run(ctx: StepContext): StepResult = {

@@ -329,16 +329,28 @@ object StreamOps {
     * AFTER what was already committed instead of re-reading it. At scale
     * add `partitionBy` columns and size `maxFilesPerTrigger`. */
   def toParquetSink(df: DataFrame, path: String, checkpointDir: String,
-                    partitionBy: Seq[String] = Nil): Unit = {
+                    partitionBy: Seq[String] = Nil): Unit =
+    startParquetSink(df, path, checkpointDir, partitionBy)
+      .awaitTermination()
+
+  /** [[toParquetSink]] without the await: returns the started query so
+    * a caller can drain MANY sinks concurrently (each with its own
+    * checkpoint — concurrent streams on one session are first-class)
+    * and await them together. One multi-sink drain pays the
+    * micro-batch machinery (state-store commits, watermark-flush
+    * no-data batch, sink metadata log) once in wall-clock instead of
+    * once per sink. */
+  def startParquetSink(df: DataFrame, path: String, checkpointDir: String,
+                       partitionBy: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val q = (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-             else writer).start()
-    q.awaitTermination()
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).start()
   }
 
   /** Update-mode drain to parquet: mapGroupsWithState requires Update
@@ -351,8 +363,15 @@ object StreamOps {
     * max). AvailableNow + checkpoint keep restart semantics identical to
     * [[toParquetSink]]. */
   def toParquetSinkUpdates(df: DataFrame, path: String,
-                           checkpointDir: String): Unit = {
-    val q = df.writeStream
+                           checkpointDir: String): Unit =
+    startParquetSinkUpdates(df, path, checkpointDir).awaitTermination()
+
+  /** [[toParquetSinkUpdates]] without the await (see
+    * [[startParquetSink]]). */
+  def startParquetSinkUpdates(df: DataFrame, path: String,
+                              checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -360,8 +379,6 @@ object StreamOps {
         batch.write.mode("append").parquet(path)
       }
       .start()
-    q.awaitTermination()
-  }
 
   /** CDC-style streaming upsert: each micro-batch MERGEs into a keyed
     * parquet dataset via [[graft.operators.Sink.mergeInto]] (same-key
@@ -371,7 +388,15 @@ object StreamOps {
     * a retried epoch converges. The dataset must exist (seed it with an
     * initial batch write). */
   def foreachBatchMerge(df: DataFrame, path: String, checkpointDir: String,
-                        keys: Seq[String]): Unit = {
+                        keys: Seq[String]): Unit =
+    startForeachBatchMerge(df, path, checkpointDir, keys)
+      .awaitTermination()
+
+  /** [[foreachBatchMerge]] without the await (see
+    * [[startParquetSink]]). */
+  def startForeachBatchMerge(df: DataFrame, path: String,
+                             checkpointDir: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val q = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
@@ -389,7 +414,7 @@ object StreamOps {
         } finally batch.unpersist()
       }
       .start()
-    q.awaitTermination()
+    q
   }
 
   /** Run a streaming DataFrame to completion against currently-available

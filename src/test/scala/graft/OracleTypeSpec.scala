@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class OracleTypeSpec extends AnyFunSuite {
 
   test("no oracle result column types HUGEINT in DuckDB") {
+      graft.sources.DuckGate.withDuck {
     val sfDir = "/root/testdata/sf0.001"
     val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
     try {
@@ -46,5 +47,6 @@ class OracleTypeSpec extends AnyFunSuite {
         s"HUGEINT-typed oracle columns (CAST to BIGINT): " +
           offenders.mkString(", "))
     } finally con.close()
+      }
   }
 }

@@ -102,15 +102,17 @@ class ShardSpec extends SparkSpecBase {
           col("doc_id"), 8, epoch)
         .select("doc_id", "shard")
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
-      try {
-        val rs = con.createStatement().executeQuery(
-          s"SELECT i, ${Shard.sqlShard("i", 8, epoch)} FROM range(0, 1000) t(i)")
-        val duck = Iterator.continually(rs)
-          .takeWhile(_.next()).map(r => r.getLong(1) -> r.getInt(2)).toMap
-        assert(duck == mine, s"epoch $epoch: engines disagree on " +
-          s"${mine.keys.filter(k => mine(k) != duck(k)).take(5)}")
-      } finally con.close()
+      graft.sources.DuckGate.withDuck {
+        val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+        try {
+          val rs = con.createStatement().executeQuery(
+            s"SELECT i, ${Shard.sqlShard("i", 8, epoch)} FROM range(0, 1000) t(i)")
+          val duck = Iterator.continually(rs)
+            .takeWhile(_.next()).map(r => r.getLong(1) -> r.getInt(2)).toMap
+          assert(duck == mine, s"epoch $epoch: engines disagree on " +
+            s"${mine.keys.filter(k => mine(k) != duck(k)).take(5)}")
+        } finally con.close()
+      }
     }
     // and the two epochs are genuinely different assignments
     val s0 = Shard.sqlShard("i", 8)

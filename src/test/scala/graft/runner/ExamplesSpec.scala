@@ -273,9 +273,13 @@ class ExamplesSpec extends SparkSpecBase {
     // the reference's declared .duckdb single-file database
     val props = new java.util.Properties()
     props.setProperty("driver", "org.duckdb.DuckDBDriver")
-    val back = spark.read.jdbc(
-      s"jdbc:duckdb:$work/relational_sink/corpus_stats.duckdb",
-      "source_stats", props)
+    // eager read-back inside the gate: every DuckDB connection (schema
+    // probe + scan) completes before a parallel suite can interleave
+    val back = graft.sources.DuckGate.withDuck {
+      spark.read.jdbc(
+        s"jdbc:duckdb:$work/relational_sink/corpus_stats.duckdb",
+        "source_stats", props).localCheckpoint()
+    }
     assert(back.count() == seeded)
     // upserted sources now carry en-only counts (strictly fewer docs
     // than the all-language seed for this corpus)

@@ -17,7 +17,8 @@ class JdbcDuckSpec extends SparkSpecBase {
     d.resolve("t.duckdb").toString
   }
 
-  private def readBack(db: String, table: String) = {
+  private def readBack(db: String, table: String) =
+      graft.sources.DuckGate.withDuck {
     val con = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
     try {
       val rs = con.createStatement().executeQuery(

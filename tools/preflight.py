@@ -415,6 +415,13 @@ def bench_delta_gate(cur_path: str, prev_path: str,
         return 2
     scored.sort(key=lambda t: t[0])
     spread, prev_name, prev, prev_duck = scored[0]
+    if spread == float("inf") and len(scored) > 1:
+        # No duck fingerprint to rank by and more than one candidate:
+        # list-order "nearest" would be arbitrary, not nearest.
+        print("bench-delta: REFUSED — no duck fingerprint to pair on "
+              f"and {len(scored)} candidates survived the class "
+              "filters; cannot pick a nearest window")
+        return 2
     if spread != float("inf") and spread > 1.35:
         print(f"bench-delta: REFUSED — nearest baseline window "
               f"{prev_name} has duck total {prev_duck:.1f}s vs current "
