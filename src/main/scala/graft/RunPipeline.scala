@@ -62,8 +62,13 @@ object RunPipeline {
     lazy val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-pipeline")
+      // partitions track the data (BASELINE.md rule): default to the
+      // core count for test-scale runs, SPARK_GRAFT_SHUFFLE for scaled
+      // corpora (the ScaleBench family configs name the measured-in
+      // values, e.g. 256 at sf10)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
