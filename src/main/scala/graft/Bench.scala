@@ -194,7 +194,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val seqT0 = System.nanoTime()
-    val seq = tasks.map(t => t.call()).toMap
+    // Stream-family attribution (r14 judge ask #3): under the group
+    // drain, the first stream_* member hit in this pass absorbs the
+    // whole generation's drain machinery while 17 siblings read
+    // committed sinks — so cross-round per-query comparison for the
+    // family was structurally broken. The sequential pass is serial,
+    // so sampling the DrainGroup's cumulative in-drain seconds around
+    // each query partitions the drain cost EXACTLY: it is subtracted
+    // from the absorber's per-query entry and reported as its own
+    // field (stream_generation_sec). sequential_total_sec still
+    // includes it — it is real battery work; only the per-query
+    // attribution moves. Non-stream queries never drain (resultFor is
+    // only reachable from stream_* queries), so the guard below is a
+    // name check, not a timing heuristic.
+    var streamGenSec = 0.0
+    val seq = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val g0 = graft.queries.StreamingQueries.drainSecondsTotal
+        val t = materialize(name, fn)
+        val dg = graft.queries.StreamingQueries.drainSecondsTotal - g0
+        if (name.startsWith("stream_") && dg > 0 && t >= 0) {
+          streamGenSec += dg
+          name -> math.max(0.0, t - dg)
+        } else name -> t
+      }.toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
     // ---- in-window DuckDB pairing (the self-calibrating baseline) ----
     // Cross-window wall-clock ratios on a shared box are ±40% noise
@@ -207,9 +231,14 @@ object Bench {
     // analog of the noop sink). duck_seq beside sequential_total_sec
     // makes every bench artifact self-normalizing: contention inflates
     // both engines together and the ratio survives.
+    // The whole open→use→close region runs inside DuckGate (the
+    // JVM-wide DuckDB serialization lock): Bench is single-threaded
+    // here today, but the gate's invariant is that EVERY DuckDB
+    // region serializes through it — uniformity keeps the invariant
+    // literally true rather than one refactor away from false.
     val duck: Option[(Double, Map[String, Double], Int)] =
       if (sys.env.get("SPARK_GRAFT_SKIP_DUCK").exists(_ == "1")) None
-      else try {
+      else graft.sources.DuckGate.withDuck { try {
         val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
         try {
           val st = con.createStatement()
@@ -244,7 +273,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] duckdb pairing unavailable: ${e.getMessage}")
         None
-      }
+      } }
     // ---- cross-window duck band (judge r11 ask #6) ----
     // Single-window spark/duck ratios are ±0.4× noise (the measured
     // r11 duck band was 57.7–83.9 s across three same-code windows), so
@@ -325,7 +354,10 @@ object Bench {
       (if (warmReseq._3.nonEmpty && warmReseq._3 != "skipped")
         s""","warmup_reseq_err":"${esc(warmReseq._3)}"""" else "") +
       (if (skipWarm) s""","window_state":"cold"""" else "")
-    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$duckJson$bandJson$warmJson,"sf":"$sfDir"}"""
+    val streamGenJson =
+      if (streamGenSec > 0) s""","stream_generation_sec":$streamGenSec"""
+      else ""
+    val fullJson = s"""{"metric":"total","value":$headline,"unit":"sec","mode":"$mode",$concJson"sequential_total_sec":$seqWall,"queries_sequential":${fmt(seq)}$streamGenJson$duckJson$bandJson$warmJson,"sf":"$sfDir"}"""
     // the full distribution goes to a FILE the repo keeps: the driver
     // tail-captures stdout, and BENCH_r04/r06 both lost the head of the
     // long line (and with it every per-query value alphabetically early)
@@ -375,7 +407,11 @@ object Bench {
     val concTail = if (seqOnly) "" else s""""sum_query_sec":${ms(sum)},"""
     val warmTail = s""","warmup_ok":$warmupOk,"quiesce_sec":${ms(quiesceSec)}""" +
       (if (skipWarm) s""","window_state":"cold"""" else "")
-    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$duckTail$bandJson$warmTail,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
+    val streamGenTail =
+      if (streamGenSec > 0)
+        s""","stream_generation_sec":${ms(streamGenSec)}"""
+      else ""
+    val summaryJson = s"""{"metric":"total","value":${ms(headline)},"unit":"sec","mode":"$mode","n_queries":${tasks.size},$concTail"sequential_total_sec":${ms(seqWall)}$streamGenTail$duckTail$bandJson$warmTail,"queries":$topQ,"queries_omitted":$omitted,"full_distribution":"$outFile","sf":$sfNum}"""
     println(summaryJson)
     // the summary ALSO goes to a file beside the full distribution:
     // BENCH_r09.json came back with "parsed": null because the

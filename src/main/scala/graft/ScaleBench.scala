@@ -152,13 +152,29 @@ object ScaleBench {
     val results: Seq[(String, Map[String, Map[String, Double]],
         Map[String, Map[String, Long]])] =
       fams.map { fam =>
+        // Stream-family members drain as ONE generation group when they
+        // share a child (the first member's wall absorbs every sibling's
+        // drain — at sf10+ that is minutes of real drain work, not the
+        // KB-latency the sf0.1 bench adjudicated), so at scale each
+        // stream_* query gets its OWN child (SPARK_GRAFT_ONLY=itself →
+        // DrainGroup.scoped drains just that member): per-query scale
+        // walls measure the query again, not scheduling order.
+        val childSets: Seq[Seq[String]] =
+          if (fam.name == "stream")
+            fam.queries.map(Seq(_))
+          else Seq(fam.queries)
         val perSf: Map[String, Map[String, Double]] = sfs.map { sf =>
           val (shuffle, heap) = fam.cfg(sf)
+          val seq: Map[String, Double] = childSets.zipWithIndex.flatMap {
+            case (childQs, ci) =>
+          val tag = if (childSets.size == 1) fam.name
+                    else s"${fam.name}_c$ci"
           val bench = java.nio.file.Files.createTempFile(
-            s"scalebench_${fam.name}_$sf", ".json")
-          val log = logDir.resolve(s"${fam.name}_$sf.log")
+            s"scalebench_${tag}_$sf", ".json")
+          val log = logDir.resolve(s"${tag}_$sf.log")
           System.err.println(
-            s"[scalebench] ${fam.name} @ $sf ($shuffle parts, $heap)")
+            s"[scalebench] $tag @ $sf ($shuffle parts, $heap): " +
+              childQs.mkString(","))
           // sf100 graph children run the DISK-BOUNDED peel
           // (KCore.peel spillDir, resolved under the child's own
           // scratch root): the persist-path working set needs ≥96 GB
@@ -190,7 +206,7 @@ object ScaleBench {
             "SPARK_GRAFT_SHUFFLE" -> shuffle.toString,
             "SPARK_GRAFT_SEQ_ONLY" -> "1",
             "SPARK_GRAFT_SKIP_DUCK" -> "1",
-            "SPARK_GRAFT_ONLY" -> fam.queries.mkString(","),
+            "SPARK_GRAFT_ONLY" -> childQs.mkString(","),
             "SPARK_GRAFT_BENCH_OUT" -> bench.toString)
             ++ graphSpill ++ coldAtSf100)
           // a dead child (OOM, ENOSPC — the sf100 rehearsal's expected
@@ -202,10 +218,10 @@ object ScaleBench {
           // empty temp file crashed the PARENT's parse — losing every
           // in-memory family result); any unreadable output is the same
           // recorded casualty as a nonzero exit
-          val seq =
+          val childSeq =
             if (!ok) {
               System.err.println(
-                s"[scalebench] CHILD FAILED ${fam.name}@$sf — see $log")
+                s"[scalebench] CHILD FAILED $tag@$sf — see $log")
               Map.empty[String, Double]
             } else try {
               MinJson.parse(java.nio.file.Files.readString(bench))
@@ -215,10 +231,12 @@ object ScaleBench {
             } catch {
               case e: Exception =>
                 System.err.println(s"[scalebench] CHILD OUTPUT UNPARSEABLE " +
-                  s"${fam.name}@$sf (${e.getClass.getSimpleName}) — see $log")
+                  s"$tag@$sf (${e.getClass.getSimpleName}) — see $log")
                 Map.empty[String, Double]
             }
           java.nio.file.Files.deleteIfExists(bench)
+          childSeq
+          }.toMap
           sf -> seq
         }.toMap
         val counts: Map[String, Map[String, Long]] =

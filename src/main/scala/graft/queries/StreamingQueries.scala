@@ -154,33 +154,26 @@ object StreamingQueries extends QueryGroup {
   /** The staged event stream, normalized: ns-timestamp → TimestampType
     * (same as Tables.events) and `value` pre-cast to decimal(30,10) so
     * the streamed sums are order-independent ([[Exact]]). */
-  private def eventStream(spark: SparkSession,
+  private def eventStream(spark: SparkSession, dir: String,
                           base: java.nio.file.Path): DataFrame = {
     val ss = streamSession(spark)
     // file-source streams cannot infer schemas: reuse the batch read's
-    // — resolved on the OUTER session (Tables.load caches per session;
-    // keying on the sub-session would re-read footers per table)
-    val schema = eventSchemas.get(spark)
+    // — resolved on the OUTER session via Tables.load, whose cache is
+    // keyed (session, path) and therefore DIR-correct: a second corpus
+    // on the same session resolves its own schema, not the first
+    // one's (keying on the sub-session would re-read footers per table)
+    val schema = Tables.load(spark, dir, "events").schema
     val raw = StreamOps.fileStream(ss, base.resolve("in_events").toString,
       schema)
     Tables.normalizeEventTs(raw)
       .withColumn("value", col("value").cast(Exact.DecimalT))
   }
-  // batch-read schemas resolved once per (session) on the outer session
-  // BEFORE the parallel launches (avoids hammering Tables.load's cache
-  // lock from 18 threads at once)
-  private val eventSchemas =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      org.apache.spark.sql.types.StructType]()
-  private val docSchemas =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      org.apache.spark.sql.types.StructType]()
 
-  private def docStream(spark: SparkSession,
+  private def docStream(spark: SparkSession, dir: String,
                         base: java.nio.file.Path): DataFrame = {
     val ss = streamSession(spark)
     StreamOps.fileStream(ss, base.resolve("in_documents").toString,
-      docSchemas.get(spark))
+      Tables.load(spark, dir, "documents").schema)
   }
 
   /** One streaming correctness pipeline: which shared staged tables it
@@ -213,7 +206,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memDaily: Member = Member("stream_daily_agg", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val agg = StreamOps.tumblingDailyAgg(evs, "ts", "event_type", "value",
         watermark = "0 seconds")
       () => StreamOps.startParquetSink(agg, memDaily.out(base), memDaily.ckpt(base))
@@ -227,7 +220,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memSliding: Member = Member("stream_sliding_sum", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val agg = StreamOps.slidingSum(evs, "ts", "event_type", "value",
         windowDays = 7, watermark = "0 seconds")
       () => StreamOps.startParquetSink(agg, memSliding.out(base),
@@ -241,7 +234,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memSession: Member = Member("stream_session_agg", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val agg = StreamOps.sessionAgg(evs, "ts", "user_id", "value",
         gap = "30 minutes", watermark = "0 seconds")
       () => StreamOps.startParquetSink(agg, memSession.out(base),
@@ -255,9 +248,10 @@ object StreamingQueries extends QueryGroup {
           col("n"),
           col("total").cast("double").as("total")))
 
-  private def joinSides(spark: SparkSession, base: java.nio.file.Path)
+  private def joinSides(spark: SparkSession, dir: String,
+                        base: java.nio.file.Path)
       : (DataFrame, DataFrame) = {
-    val evs = eventStream(spark, base)
+    val evs = eventStream(spark, dir, base)
     def side(t: String) = evs.filter(col("event_type") === t)
       .select(col("user_id"), col("event_id"), col("ts"))
     (side("click"), side("purchase"))
@@ -266,7 +260,7 @@ object StreamingQueries extends QueryGroup {
   private val memIJoin: Member = Member("stream_interval_join",
     Set("events"),
     launch = (spark, dir, base) => {
-      val (c, p) = joinSides(spark, base)
+      val (c, p) = joinSides(spark, dir, base)
       val joined = StreamOps.intervalJoin(c, p,
         "user_id", "ts", "ts", maxDelay = "1 hour")
       val out = joined.select(col("user_id"),
@@ -280,7 +274,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memOJoin: Member = Member("stream_outer_join", Set("events"),
     launch = (spark, dir, base) => {
-      val (c, p) = joinSides(spark, base)
+      val (c, p) = joinSides(spark, dir, base)
       val joined = StreamOps.intervalJoin(c, p,
         "user_id", "ts", "ts", maxDelay = "1 hour",
         watermark = "0 seconds", joinType = "left_outer")
@@ -296,7 +290,7 @@ object StreamingQueries extends QueryGroup {
   private val memFOJoin: Member = Member("stream_full_outer_join",
     Set("events"),
     launch = (spark, dir, base) => {
-      val (c, p) = joinSides(spark, base)
+      val (c, p) = joinSides(spark, dir, base)
       val joined = StreamOps.intervalJoin(c, p,
         "user_id", "ts", "ts", maxDelay = "1 hour",
         watermark = "0 seconds", joinType = "full_outer")
@@ -313,7 +307,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memDedup: Member = Member("stream_dedup_keys", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val deduped = StreamOps.dedupedStream(
         evs.select(col("ts"), col("user_id"), col("event_type")),
         "ts", idCol = "user_id", watermark = "1 day")
@@ -325,7 +319,7 @@ object StreamingQueries extends QueryGroup {
   private val memQuality: Member = Member("stream_quality_filter",
     Set("documents"),
     launch = (spark, dir, base) => {
-      val docs = docStream(spark, base)
+      val docs = docStream(spark, dir, base)
       val scored = TextQueries.qualityVerdict(docs)
       () => StreamOps.startParquetSink(scored, memQuality.out(base),
         memQuality.ckpt(base))
@@ -341,7 +335,7 @@ object StreamingQueries extends QueryGroup {
           ss.read.parquet(s"$dir/documents.parquet")
             .filter(col("doc_id") % 19 === 0), col("text"), k = 4, m = 4096)
         .collect().map(_.getInt(0)).toSeq
-      val docs = docStream(spark, base)
+      val docs = docStream(spark, dir, base)
       val out = docs.select(col("doc_id"),
         graft.operators.Bloom.memberExpr(col("text"), bits, k = 4, m = 4096)
           .cast("int").as("maybe_member"))
@@ -353,7 +347,7 @@ object StreamingQueries extends QueryGroup {
     Set("documents"),
     launch = (spark, dir, base) => {
       val ss = streamSession(spark)
-      val docs = docStream(spark, base)
+      val docs = docStream(spark, dir, base)
       val agg = StreamOps.boundedGroupSample(ss, docs, "source", "doc_id",
         k = 20)
       () => StreamOps.startParquetSinkUpdates(agg, memGSample.out(base),
@@ -372,7 +366,7 @@ object StreamingQueries extends QueryGroup {
     Set("documents"),
     launch = (spark, dir, base) => {
       val ss = streamSession(spark)
-      val docs = docStream(spark, base)
+      val docs = docStream(spark, dir, base)
       val hist = ss.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 7 === 0)
       val fresh = StreamOps.dedupAgainstCorpus(docs, hist)
@@ -385,7 +379,7 @@ object StreamingQueries extends QueryGroup {
   private val memManifest: Member = Member("stream_shard_manifest",
     Set("documents"),
     launch = (spark, dir, base) => {
-      val docs = docStream(spark, base)
+      val docs = docStream(spark, dir, base)
       val agg = docs.filter(col("doc_id").isNotNull)
         .select(
           graft.operators.Shard.shardOf(col("doc_id"), 8).as("shard"),
@@ -430,7 +424,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memEnrich: Member = Member("stream_enrich_join", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val ss = evs.sparkSession
       val dim = ss.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -449,7 +443,7 @@ object StreamingQueries extends QueryGroup {
   private val memTotals: Member = Member("stream_running_totals",
     Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val totals = StreamOps.runningTotals(evs.sparkSession, evs,
         "user_id", "value")
       () => StreamOps.startParquetSinkUpdates(totals, memTotals.out(base),
@@ -465,7 +459,7 @@ object StreamingQueries extends QueryGroup {
   private val memAlerts: Member = Member("stream_threshold_alerts",
     Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
         .filter(col("value") >= 0)
       val alerts = StreamOps.thresholdAlerts(evs.sparkSession, evs,
         "user_id", "value", threshold = 500.0)
@@ -495,7 +489,7 @@ object StreamingQueries extends QueryGroup {
 
   private val memScd2: Member = Member("stream_scd2", Set("events"),
     launch = (spark, dir, base) => {
-      val evs = eventStream(spark, base)
+      val evs = eventStream(spark, dir, base)
       val prepared = evs.select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"), col("event_id"))
       val changes = StreamOps.scd2Changes(evs.sparkSession, prepared,
@@ -536,6 +530,12 @@ object StreamingQueries extends QueryGroup {
       scala.collection.mutable.Map[(SparkSession, String), St]()
     // observability for the spec: total group drains this JVM
     private[queries] val drains = new java.util.concurrent.atomic.AtomicLong
+    // cumulative wall nanos spent INSIDE generation drains this JVM:
+    // Bench samples this around each measured query to attribute the
+    // group-drain cost to its own artifact field (stream_generation_sec)
+    // instead of leaving it on whichever member a pass hits first
+    private[queries] val drainNanos =
+      new java.util.concurrent.atomic.AtomicLong
 
     /** The member subset this JVM's battery runs: a filtered battery
       * (SPARK_GRAFT_ONLY — Bench/Verify iteration aid, ScaleBench
@@ -552,6 +552,15 @@ object StreamingQueries extends QueryGroup {
       }
     }
 
+    /** CALLER CONTRACT (generation retention): the returned DataFrame
+      * is LAZY and reads this generation's committed sink files. Those
+      * files survive exactly ONE subsequent generation (newGeneration
+      * keeps the previous base for in-flight readers and wipes the one
+      * before that), so a caller must materialize a result before
+      * re-invoking consumed members twice — every in-repo caller
+      * (Verify's parquet write, Bench's noop sink, the specs' collects)
+      * materializes immediately. Holding a lazy result across two
+      * fresh generations reads deleted paths. */
     def resultFor(name: String, spark: SparkSession,
                   dir: String): DataFrame = {
       val m = byName(name)
@@ -587,6 +596,7 @@ object StreamingQueries extends QueryGroup {
     private def newGeneration(spark: SparkSession, dir: String,
                               prev: Option[St],
                               requested: Option[String]): St = {
+      val gen0 = System.nanoTime()
       val gen = prev.map(_.gen + 1).getOrElse(1L)
       prev.flatMap(_.prevBase).foreach(p => rmTree(p.toFile))
       val safe = spark.sparkContext.applicationId + "_" +
@@ -596,11 +606,10 @@ object StreamingQueries extends QueryGroup {
       rmTree(base.toFile)
       java.nio.file.Files.createDirectories(base)
       val ms = scoped(requested)
-      // resolve batch schemas BEFORE the parallel launches
-      eventSchemas.computeIfAbsent(spark,
-        s => Tables.load(s, dir, "events").schema)
-      docSchemas.computeIfAbsent(spark,
-        s => Tables.load(s, dir, "documents").schema)
+      // resolve batch schemas BEFORE the parallel launches: Tables.load
+      // caches per (session, path) — dir-correct by construction — and
+      // warming it here keeps 18 launch threads off its cache lock
+      Seq("events", "documents").foreach(t => Tables.load(spark, dir, t))
       ms.flatMap(_.tables).distinct.foreach {
         case "events" => stageTable(dir, "events", base.resolve("in_events"))
         case "documents" =>
@@ -657,6 +666,7 @@ object StreamingQueries extends QueryGroup {
           throw e
       } finally pool.shutdown()
       drains.incrementAndGet()
+      drainNanos.addAndGet(System.nanoTime() - gen0)
       val st = new St(gen, base, prev.map(_.base))
       states((spark, dir)) = st
       st
@@ -669,6 +679,10 @@ object StreamingQueries extends QueryGroup {
     DrainGroup.warmupAll(spark, dir)
 
   private[queries] def drainCount: Long = DrainGroup.drains.get()
+
+  /** Cumulative seconds this JVM has spent inside generation drains —
+    * the attribution hook for Bench's `stream_generation_sec` field. */
+  def drainSecondsTotal: Double = DrainGroup.drainNanos.get() / 1e9
 
   /** Tumbling per-day aggregate per event_type, streamed: readStream →
     * [[StreamOps.tumblingDailyAgg]] → checkpointed parquet sink

@@ -127,7 +127,37 @@ def main() -> int:
     assert rc == 2 and "warmup_ok=false" in buf.getvalue(), \
         f"unknown-class window must be skipped, got: {buf.getvalue()!r}"
 
-    print("test_preflight_gate: 10/10 assertions green")
+    # 11. STREAM FAMILY AS ONE UNIT (r14 ask #3): pre-r15 attribution
+    #     (whole drain on the absorber) and r15+ attribution (drain in
+    #     stream_generation_sec, absorber near-zero) must pair as the
+    #     SAME family total — no flag, no warn — and per-member entries
+    #     must not be ratio-paired individually (the absorber's 7.3->0.2
+    #     would otherwise read as a huge per-query move).
+    prev_st = art_tot(tmp / "prev_st.json",
+                      {"stream_a": 7.3, "stream_b": 0.2, "q_big": 3.0},
+                      {"stream_a": 0.5, "stream_b": 0.5, "q_big": 1.0},
+                      80.0)
+    cur_st = art_tot(tmp / "cur_st.json",
+                     {"stream_a": 0.2, "stream_b": 0.3, "q_big": 3.0},
+                     {"stream_a": 0.5, "stream_b": 0.5, "q_big": 1.0},
+                     82.0, stream_generation_sec=7.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_st, prev_st)
+    out = buf.getvalue()
+    assert rc == 0 and "FLAG" not in out and "WARN" not in out         and "2 ratio-paired" in out,         f"stream family must collapse to one stable unit, got: {out!r}"
+
+    # 12. a real family-level regression still flags through the unit
+    cur_bad = art_tot(tmp / "cur_bad.json",
+                      {"stream_a": 3.0, "stream_b": 3.0, "q_big": 3.0},
+                      {"stream_a": 0.5, "stream_b": 0.5, "q_big": 1.0},
+                      82.0, stream_generation_sec=14.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_delta_gate(cur_bad, prev_st)
+    assert rc == 1 and "stream_family" in buf.getvalue(),         f"family-level regression must flag, got: {buf.getvalue()!r}"
+
+    print("test_preflight_gate: 12/12 assertions green")
     return 0
 
 
