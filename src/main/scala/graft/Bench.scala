@@ -64,11 +64,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_MATERIALIZE=rdd (builder A/B experiments only — the
+    // driver never sets it): materialize through the optimized plan's
+    // own RDD (toRdd + executor-side foreach) instead of the V2 noop
+    // writer. Both shapes execute the COMPLETE plan with every output
+    // column on the executors and discard rows at zero sink cost; the
+    // writer additionally re-runs analysis+optimization over the
+    // write-wrapped tree (a second Catalyst pass per query) — this
+    // knob measures what that second pass costs across the battery.
+    val matMode = sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "noop")
     def materialize(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        if (matMode == "rdd") df.queryExecution.toRdd.foreach(_ => ())
+        else df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
@@ -193,6 +205,16 @@ object Bench {
       System.gc()
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_SEQ_TRACE=1 (builder experiments only — the driver
+    // never sets it): decompose each sequential query's wall into
+    // (build: DataFrame construction = plan assembly on the driver),
+    // (plan: analysis+optimization+physical planning of the read plan,
+    // forced via executedPlan), and (exec: the noop write, which pays
+    // its OWN Catalyst pass over the write-wrapped plan plus job
+    // dispatch + execution). Summed over the battery this names where
+    // the per-query machinery floor actually lives (r14 judge ask #2).
+    val seqTrace = sys.env.get("SPARK_GRAFT_SEQ_TRACE").exists(_ == "1")
+    var trBuild = 0.0; var trPlan = 0.0
     val seqT0 = System.nanoTime()
     // Stream-family attribution (r14 judge ask #3): under the group
     // drain, the first stream_* member hit in this pass absorbs the
@@ -212,7 +234,26 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val g0 = graft.queries.StreamingQueries.drainSecondsTotal
-        val t = materialize(name, fn)
+        val t =
+          if (!seqTrace) materialize(name, fn)
+          else {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            val b0 = System.nanoTime()
+            try {
+              val df = fn(spark, sfDir)
+              val b1 = System.nanoTime()
+              df.queryExecution.executedPlan
+              val p1 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              val e1 = System.nanoTime()
+              trBuild += (b1 - b0) / 1e9; trPlan += (p1 - b1) / 1e9
+              System.err.println(f"[seqtrace] $name build=${(b1 - b0) / 1e9}%.3f plan=${(p1 - b1) / 1e9}%.3f exec=${(e1 - p1) / 1e9}%.3f")
+              (e1 - b0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+            }
+          }
         val dg = graft.queries.StreamingQueries.drainSecondsTotal - g0
         if (name.startsWith("stream_") && dg > 0 && t >= 0) {
           streamGenSec += dg
@@ -220,6 +261,8 @@ object Bench {
         } else name -> t
       }.toMap
     val seqWall = (System.nanoTime() - seqT0) / 1e9
+    if (seqTrace) System.err.println(
+      f"[seqtrace] TOTAL build=$trBuild%.2f plan=$trPlan%.2f of seq_wall=$seqWall%.2f")
     // ---- in-window DuckDB pairing (the self-calibrating baseline) ----
     // Cross-window wall-clock ratios on a shared box are ±40% noise
     // (BASELINE.md measurement rules), so the only DuckDB number

@@ -51,6 +51,15 @@ def main():
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     names = sorted(oracle)
+    # SF10_EXCLUDE=a,b: keep named queries OUT of the worker farm (they
+    # run solo with their own memory/band budget — e.g. triangle_count
+    # banded — and their PREFLIGHT_JSON verdicts are merged into the
+    # artifact afterwards by the caller)
+    excl = {q.strip() for q in os.environ.get("SF10_EXCLUDE", "").split(",")
+            if q.strip()}
+    if excl:
+        print(f"farm excludes (run solo, merge later): {sorted(excl)}")
+        names = [n for n in names if n not in excl]
     # cost prior: sf0.1 duck costs from the committed full distribution
     try:
         costs = json.loads((REPO / "bench_full.json").read_text())\
