@@ -224,10 +224,25 @@ object ScaleBench {
                 s"[scalebench] CHILD FAILED $tag@$sf — see $log")
               Map.empty[String, Double]
             } else try {
-              MinJson.parse(java.nio.file.Files.readString(bench))
-                .asInstanceOf[Map[String, Any]]("queries_sequential")
+              val parsed = MinJson.parse(
+                java.nio.file.Files.readString(bench))
+                .asInstanceOf[Map[String, Any]]
+              val qs = parsed("queries_sequential")
                 .asInstanceOf[Map[String, Any]]
                 .map { case (k, v) => k -> v.asInstanceOf[Double] }
+              // Bench attributes the generation-drain cost to its own
+              // field (stream_generation_sec) and subtracts it from the
+              // absorber's per-query entry. In a ONE-stream-query child
+              // the drain IS that query's work — re-attach it so the
+              // scale wall measures the query end to end.
+              parsed.get("stream_generation_sec") match {
+                case Some(g: Double)
+                    if childQs.size == 1 &&
+                      childQs.head.startsWith("stream_") &&
+                      qs.get(childQs.head).exists(_ >= 0) =>
+                  qs.updated(childQs.head, qs(childQs.head) + g)
+                case _ => qs
+              }
             } catch {
               case e: Exception =>
                 System.err.println(s"[scalebench] CHILD OUTPUT UNPARSEABLE " +
