@@ -161,17 +161,23 @@ final class PipelineRunner(
       }
     }
 
-    // 3. execute steps in file order; async children merge at the end
+    // 3. execute steps in file order; async children merge at the end.
+    // Steps marked `retention: scratch` get their outputs dropped as
+    // soon as their last in-pipeline consumer completes (Retention) —
+    // nothing is dropped on the failure path (afterStep is skipped).
+    val retention = Retention.plan(p, scope)
     val asyncRuns = new AsyncRuns(Some(asyncPool))
     val results = List.newBuilder[StepResult]
     try {
       p.steps.zipWithIndex.foreach { case (step, i) =>
         val stepScope = scope.withStep(i + 1)
-        val result = runStep(step, stepScope, p.sourcePath, asyncRuns)
+        val result = runStep(step, i, stepScope, p.sourcePath, asyncRuns,
+          retention)
         results += result
         step.outputVar.foreach { name =>
           scope = scope.withOutput(name, result.fields)
         }
+        retention.foreach(_.afterStep(i))
       }
     } catch {
       case t: Throwable =>
@@ -189,20 +195,28 @@ final class PipelineRunner(
     asyncRuns.drain().foreach { case (label, r) =>
       results += r.copy(fields = r.fields + ("async_child" -> label))
     }
+    retention.foreach(_.afterRun())
     RunResult(p, scope, results.result())
   }
 
-  private def runStep(step: Step, scope: Scope,
+  private def runStep(step: Step, idx: Int, scope: Scope,
                       sourcePath: Option[String],
-                      asyncRuns: AsyncRuns): StepResult = {
+                      asyncRuns: AsyncRuns,
+                      retention: Option[Retention.State]): StepResult = {
     val plugin = registry.resolve(step.plugin)
 
     def invoke(itemScope: Scope): StepResult = {
       val args = Interpolator.resolve(step.args, itemScope)
         .asInstanceOf[Map[String, Any]]
       val overwrite = args.get("overwrite").exists(_.toString.toBoolean)
-      if (Ledger.stepSkippable(args, overwrite)) StepResult(skipped = true)
+      // tombstone-aware skip: a dropped intermediate counts as
+      // materialized only while every transitive consumer also skips —
+      // a missing downstream output re-runs the chain back to here
+      if (Ledger.stepSkippable(args, overwrite) ||
+          retention.exists(_.tombstoneSkippable(idx, args, overwrite)))
+        StepResult(skipped = true)
       else withResources(step) {
+        retention.foreach(_.stepRan(args)) // re-materializing: clear tombstones
         plugin.run(StepContext(args, itemScope, sparkProvider, this,
           sourcePath, asyncRuns))
       }

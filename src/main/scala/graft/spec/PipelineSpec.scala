@@ -34,7 +34,15 @@ final case class Step(
     sequentialForeach: Option[String],
     parallelWith: Option[String],
     outputVar: Option[String],
-    resources: Map[String, Any])
+    resources: Map[String, Any],
+    /** Engine-level retention class for the step's declared outputs
+      * (an extension beyond the reference DSL — SURVEY §4):
+      * `scratch` marks the output an intermediate the runner may DROP
+      * once its last in-pipeline consumer has completed
+      * ([[graft.runner.Retention]]). Interpolated at run start, so
+      * `retention: "{scratch_mode}"` gates the behavior on a var. Any
+      * other value (or absence) keeps the output — the default. */
+    retention: Option[String] = None)
 
 object Pipeline {
   /** Build from the untyped YAML tree ([[Yaml.load]]). */
@@ -62,7 +70,8 @@ object Pipeline {
       sequentialForeach = m.get("sequential_foreach").map(_.toString),
       parallelWith = m.get("parallel_with").map(_.toString),
       outputVar = m.get("output_var").map(_.toString),
-      resources = asMap(m.getOrElse("resources", Map.empty)))
+      resources = asMap(m.getOrElse("resources", Map.empty)),
+      retention = m.get("retention").map(_.toString))
   }
 
   /** Null-safe coercions for the YAML tree (empty map/list on null —

@@ -228,6 +228,68 @@ class ExamplesSpec extends SparkSpecBase {
     } finally stream.close()
   }
 
+  test("training_cut.yml scratch_mode=scratch: intermediates dropped " +
+    "after last consumer, re-run ledger-skips via tombstones, missing " +
+    "final recomputes exactly the needed sub-chain") {
+    val work = Files.createTempDirectory("graft_examples_scratch")
+    val runner = makeRunner(work)
+    val path = Paths.get("examples/training_cut.yml").toAbsolutePath
+    val ov = Map[String, Any]("scratch_mode" -> "scratch")
+
+    val res = runner.runFile(path, ov)
+    assert(res.results.size == 10)
+    // the row flow is the keep-mode flow — retention only changes
+    // what survives on disk, never what is computed
+    val nOut = res.results(4).fields("n_out").asInstanceOf[Long]
+    assert(nOut > 580L && nOut < 700L)
+
+    import scala.jdk.CollectionConverters._
+    val outdir = {
+      val s = Files.list(work.resolve("training_cut"))
+      try s.iterator().asScala.next() finally s.close()
+    }
+    val dropped = Seq("scrubbed.parquet", "deduped.parquet",
+      "benchmark.parquet", "clean.parquet")
+    dropped.foreach { f =>
+      assert(!Files.exists(outdir.resolve(f)), s"$f must be dropped")
+      assert(Files.exists(outdir.resolve(f + ".tombstone")),
+        s"$f.tombstone must mark the drop")
+    }
+    // finals + audit artifacts stay
+    Seq("mixture.parquet", "packed.parquet", "shards", "shards_epoch1",
+      "manifest_epoch0.parquet", "manifest_epoch1.parquet",
+      "leak_flags.parquet").foreach(f =>
+      assert(Files.exists(outdir.resolve(f)), s"$f must be kept"))
+
+    // re-run: every step skips — tombstones count as materialized
+    // while every transitive consumer also skips
+    val res2 = runner.runFile(path, ov)
+    assert(res2.results.forall(_.skipped),
+      s"re-run must skip 10/10, got ${res2.results.map(_.skipped)}")
+
+    // delete a FINAL output: the chain re-runs exactly the sub-chain
+    // that feeds it (scrub → dedup → benchmark → decontaminate →
+    // resample) and leaves the later, still-materialized steps skipped
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
+    rmTree(outdir.resolve("mixture.parquet"))
+    val res3 = runner.runFile(path, ov)
+    val ran = res3.results.map(!_.skipped)
+    assert(ran == List(true, true, true, true, true,
+      false, false, false, false, false),
+      s"recompute must cover steps 1-5 only, got $ran")
+    assert(Files.exists(outdir.resolve("mixture.parquet")))
+    // and the recomputed intermediates are dropped again
+    dropped.foreach { f =>
+      assert(!Files.exists(outdir.resolve(f)), s"$f must be re-dropped")
+      assert(Files.exists(outdir.resolve(f + ".tombstone")))
+    }
+  }
+
   test("near_dup_audit re-run is ledger-skipped (idempotent steps)") {
     val work = Files.createTempDirectory("graft_examples_rerun")
     val runner = makeRunner(work)

@@ -966,4 +966,33 @@ class RunnerSpec extends SparkSpecBase {
     assert(Files.readString(root.resolve("extract/inner/a.txt")) == "alpha")
     assert(Files.readString(root.resolve("extract/t.txt")) == "zipped")
   }
+
+  test("retention: scratch output with no in-pipeline consumer drops at " +
+    "end of run and tombstone-skips the re-run") {
+    val root = tmpDir()
+    import spark.implicits._
+    val data = s"$root/docs"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(data)
+    val p = write(root, "scratch.yml",
+      s"""steps:
+         |  - plugin: sql_transform
+         |    args:
+         |      tables:
+         |        d: "$data"
+         |      query: "SELECT doc_id FROM d"
+         |      output_path: "$root/ids.parquet"
+         |    retention: scratch
+         |  - plugin: count_runs
+         |""".stripMargin)
+    val r = runner(root)
+    val res1 = r.runFile(p)
+    assert(!res1.results(0).skipped)
+    assert(!Files.exists(Paths.get(s"$root/ids.parquet")),
+      "no-consumer scratch must be dropped after the run")
+    assert(Files.exists(Paths.get(s"$root/ids.parquet.tombstone")))
+    val res2 = r.runFile(p)
+    assert(res2.results(0).skipped,
+      "tombstone with no consumers must ledger-skip the producer")
+  }
 }
