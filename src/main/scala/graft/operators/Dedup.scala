@@ -50,10 +50,25 @@ object Dedup {
     * BEFORE the cap so Jaccard denominators stay exact; pairs whose ONLY
     * shared shingles are capped are missed — at a sane cap those pairs
     * are far below any useful `minJaccard` anyway. `None` = exact.
+    *
+    * At `minJaccard` ≥ [[PrefixFilterThreshold]] (and no cap) the
+    * all-postings self-join is replaced by LOSSLESS prefix filtering
+    * (Bayardo/Ma/Srikant WWW'07 "Scaling Up All Pairs Similarity
+    * Search"; Xiao et al. PPJoin): under any global total order over
+    * shingles, a pair with J ≥ t shares its SMALLEST common shingle
+    * within each side's first `|d| − ⌈t·|d|⌉ + 1` shingles — so only
+    * those prefixes are indexed and joined, and the (far smaller)
+    * candidate set is verified exactly against the full per-doc shingle
+    * arrays. Σ postings² over prefixes is ~(1−t)² of the full join's —
+    * at t = 0.8 a ~25× candidate-volume cut — and the verification is a
+    * codegen `array_intersect` per candidate. Same output, bit for bit:
+    * distinct-shingle overlap counts and identical Jaccard arithmetic.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
                         n: Int = 3, minJaccard: Double = 0.05,
                         maxDocFreq: Option[Int] = None): DataFrame = {
+    if (maxDocFreq.isEmpty && minJaccard >= PrefixFilterThreshold)
+      return prefixFilteredPairs(df, idCol, text, n, minJaccard)
     // The shingle table feeds THREE branches (sizes, left, right) and
     // Catalyst does not CSE across them — persist so shingling runs once.
     val sh = Fingerprint.explodedShingleHashes(df, idCol, text, n)
@@ -81,6 +96,76 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Thresholds at/above which [[ngramJaccardPairs]] switches to prefix
+    * filtering: below it the prefix covers most of each doc and the
+    * extra verification joins stop paying for themselves. */
+  val PrefixFilterThreshold = 0.4
+
+  /** The prefix-filtered exact-Jaccard path ([[ngramJaccardPairs]] doc).
+    * The global order is ascending shingle-hash value (validity needs
+    * only SOME total order; hash order is free — the per-doc array is
+    * sorted once. The AllPairs df-ascending order was tried and
+    * MEASURED SLOWER end to end here: joining df back onto 26M postings
+    * costs two extra shingle-keyed exchanges, more than the candidate
+    * cut returns — PLANS.md r15). Candidate generation joins only
+    * per-doc PREFIXES; prefix length `|d| − ⌈t·|d|⌉ + 1` is the tight
+    * pigeonhole bound for overlap ≥ ⌈t·|d|⌉ (J ≥ t ⇒ |A∩B| ≥
+    * t·max(|A|,|B|)). Candidates are further pruned POSITIONALLY
+    * (PPJoin, Xiao et al.): a match at 1-based positions (i, j) of the
+    * sorted arrays bounds the overlap by min(|A|−i, |B|−j)+1 — valid
+    * for the pair's smallest common shingle, whose row is always
+    * present (the prefix theorem), so keeping a pair only when the MAX
+    * bound over its matching rows reaches ⌈t/(1+t)·(|A|+|B|)⌉ is
+    * lossless, and the max-agg replaces the candidate `distinct` on the
+    * same shuffle key (zero extra exchanges). Every ⌈·⌉ carries a −1e-9
+    * bias so double rounding can only widen a bound (more candidates,
+    * never a missed pair); same for the size-ratio filter (|B| ≥
+    * t·|A|). */
+  private def prefixFilteredPairs(df: DataFrame, idCol: String,
+                                  text: Column, n: Int,
+                                  t: Double): DataFrame = {
+    val sh = Fingerprint.explodedShingleHashes(df, idCol, text, n)
+    // per-doc sorted distinct shingle array: the shingle rows arrive
+    // hash-partitioned by id (the window's exchange), so this aggregate
+    // adds NO shuffle; the array table is the verification side too
+    val arrs = sh.groupBy(idCol)
+      .agg(sort_array(collect_list(col("sh"))).as("__arr"))
+      .select(col(idCol), col("__arr"),
+        size(col("__arr")).cast("long").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("__n") -
+      ceil(col("__n") * lit(t) - lit(1e-9)) + lit(1)).cast("int")
+    val pre = arrs.select(col(idCol), col("__n"),
+      posexplode(slice(col("__arr"), lit(1), prefixLen))
+        .as(Seq("__pos0", "sh")))
+    val a = pre.select(col(idCol).as("doc_a"), col("__n").as("n_a"),
+      (col("__pos0") + 1).as("__i"), col("sh"))
+    val b = pre.select(col(idCol).as("doc_b"), col("__n").as("n_b"),
+      (col("__pos0") + 1).as("__j"), col("sh"))
+    val candidates = a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      // size-ratio pruning: J ≥ t forces |A|,|B| within a factor t
+      .filter(col("n_b") >= col("n_a") * lit(t) - lit(1e-9) &&
+        col("n_a") >= col("n_b") * lit(t) - lit(1e-9))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(max(least(col("n_a") - col("__i"), col("n_b") - col("__j")))
+        .as("__ub"))
+      .filter(col("__ub") + 1 >=
+        ceil(lit(t / (1 + t)) * (col("n_a") + col("n_b")) - lit(1e-9)))
+      .select("doc_a", "doc_b")
+    candidates
+      .join(arrs.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__n").as("n_a")), "doc_a")
+      .join(arrs.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__n").as("n_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 

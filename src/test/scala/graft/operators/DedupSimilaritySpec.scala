@@ -30,6 +30,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("ngramJaccardPairs prefix-filter path is bit-identical to the " +
+    "posting-join path at J >= 0.4 (lossless by the prefix theorem)") {
+    // real corpus, both thresholds that route to the prefix path; the
+    // posting path is forced with a no-op df cap (cap >= any df leaves
+    // postings untouched, so it computes the legacy full join exactly)
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairs(corpus, "doc_id", col("text"),
+        n = 3, minJaccard = t)
+      val full = Dedup.ngramJaccardPairs(corpus, "doc_id", col("text"),
+        n = 3, minJaccard = t, maxDocFreq = Some(Int.MaxValue))
+      assert(fast.schema == full.schema, s"t=$t schemas differ")
+      val extra = fast.exceptAll(full).count()
+      val missing = full.exceptAll(fast).count()
+      assert(extra == 0 && missing == 0,
+        s"t=$t prefix path diverges: extra=$extra missing=$missing")
+      assert(fast.count() > 0, s"t=$t degenerate test: no pairs at all")
+    }
+  }
+
   test("MinHash: identical docs share signatures; LSH finds the dup pairs") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"))
     val byId = sigs.collect()
