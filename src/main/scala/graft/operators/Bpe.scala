@@ -256,9 +256,13 @@ object Bpe {
                     merges: Seq[(String, String)]): DataFrame = {
     if (merges.length > maxChainMerges)
       return encodeCounts(docs, id, text, merges)
-    var d = docs
+    // Spread.up: the char-split + R-deep replace chain is the CPU
+    // kernel here; on a one-file scan it would otherwise run as a
+    // single task (guide §2.5). Hash on id — the doc-keyed aggregate
+    // below re-shuffles only its map-side partials either way.
+    var d = Spread.up(docs
       .select(id.as("id"), explode(TextStats.tokens(text)).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= ""), col("id"))
       .withColumn("seg",
         concat(lit("  "),
           concat_ws("  ", filter(split(col("w"), ""), s => s =!= "")),
@@ -289,9 +293,11 @@ object Bpe {
     val rank: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val mergeArr = merges.toIndexedSeq
-    val words = docs
+    // Spread.up: same single-task-scan rationale as [[segmentCounts]]
+    // — the rank-pointer encoder is pure per-row CPU.
+    val words = Spread.up(docs
       .select(id.as("id"), explode(TextStats.tokens(text)).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= ""), col("id"))
     val outSchema = StructType(Seq(
       words.schema("id"),
       StructField("n_syms", LongType, nullable = false)))

@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** `javax.imageio` defaults to a DISK-backed stream cache: every
+    * `ImageIO.read(InputStream)` / `ImageIO.write(..., OutputStream)`
+    * spools the stream through a fresh temp FILE
+    * (FileCacheImageInput/OutputStream) — three file create/write/
+    * delete cycles per media row on this pipeline's encode→decode
+    * round trips, pure overhead for in-memory byte arrays and a
+    * disk-contention coupling between concurrent queries (guide §1:
+    * the measured sf0.1 multimodal walls swung 1.5→5.3 s with battery
+    * disk pressure). In-memory caching is semantically identical —
+    * decoded pixels/bytes are unchanged. JVM-global, idempotent;
+    * executors hit it on first use of any codec entry point below
+    * (same JVM in local mode; object init per executor JVM on a
+    * cluster). */
+  private val _imageioMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Spread a small proxy-row frame across the session's cores before
+    * a per-row codec kernel — see [[Spread.up]] (the rows here are
+    * tiny id/dimension proxies; the heavy bytes are synthesized or
+    * decoded AFTER the exchange). */
+  def spreadForKernel(df: DataFrame): DataFrame = Spread.up(df)
+
   case class MediaRow(media_id: Long, content: Array[Byte], kind: String)
   case class MediaMeta(media_id: Long, kind: String, byte_len: Long,
                        width: Int, height: Int, n_frames: Int,
@@ -81,11 +103,16 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val feat = new Array[Float](4)
       val counts = new Array[Int](4)
+      // bulk getRGB: one color-model conversion pass into an int[]
+      // instead of w*h per-pixel getRGB calls (each of which pays a
+      // ColorModel lookup + bounds checks); identical ARGB values.
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var y = 0
       while (y < h) {
+        val rowOff = y * w
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = px(rowOff + x)
           val lum = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
           val bucket = x * 4 / w
           feat(bucket) += lum / 255.0f
@@ -109,16 +136,20 @@ object Multimodal {
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB (one raster store instead of w*h per-pixel calls);
+    // pixel values unchanged.
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val g = ((x * 31 + y * 17 + seed) % 255).toInt & 0xff
-        img.setRGB(x, y, g * 0x010101)
+        px(y * width + x) = g * 0x010101
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -159,18 +190,23 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
         g.drawImage(img, 0, 0, nw, nh, null)
         g.dispose()
+        // bulk getRGB on both rasters (same per-pixel values as the
+        // old getRGB(x, y) calls, one conversion pass each) — the
+        // verification loop then runs over plain int arrays.
+        val srcPx = img.getRGB(0, 0, w, h, null, 0, w)
+        val outPx = out.getRGB(0, 0, nw, nh, null, 0, nw)
         var ok = true
         var y = 0
         while (y < nh && ok) {
           var x = 0
           while (x < nw && ok) {
-            val p = out.getRGB(x, y) & 0xffffff
+            val p = outPx(y * nw + x) & 0xffffff
             var found = false
             var sy = 2 * y
             while (sy <= math.min(2 * y + 1, h - 1) && !found) {
               var sx = 2 * x
               while (sx <= math.min(2 * x + 1, w - 1) && !found) {
-                found = (img.getRGB(sx, sy) & 0xffffff) == p
+                found = (srcPx(sy * w + sx) & 0xffffff) == p
                 sx += 1
               }
               sy += 1
@@ -195,6 +231,37 @@ object Multimodal {
     * (same contract as [[ImageIoDecoder]]). Video stays behind the
     * [[Decoder]] SPI stub: the JDK ships no video codec. */
   object WavCodec {
+    /** The JDK's audio file reader/writer SPI instances, resolved ONCE
+      * per JVM. `AudioSystem.getAudioFileFormat`/`write` re-run the
+      * provider lookup on EVERY call through a synchronized registry —
+      * measured at sf0.1: 32 cores gave ~zero speedup over one core on
+      * this kernel (every task serialized on the registry lock), while
+      * the image path (no such per-call lookup) scaled ~13×. Caching
+      * the provider list is guide §4.5 (heavyweight state once per
+      * JVM, not per row); the parsing still runs through the same
+      * platform `javax.sound.sampled.spi` implementations, tried in
+      * provider order exactly like AudioSystem does. */
+    private lazy val fileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      // The Gervill MIDI reader is probed LAST: its probe re-scans the
+      // MIDI provider registry through a JVM-GLOBAL synchronized class
+      // lock on EVERY call (jstack during the 32-thread kernel: 31
+      // threads waiting on JSSecurityManager via SoftMidiAudioFileReader
+      // → MidiSystem.getMidiFileReaders → JDK13Services.getProviders).
+      // Each reader accepts only its own container magic (RIFF/.snd/
+      // FORM/MThd), so probe order cannot change WHICH reader parses a
+      // given input — only what a rejection costs.
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toSeq
+        .sortBy(_.getClass.getName.toLowerCase.contains("midi"))
+    }
+    private lazy val fileWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.toSeq
+    }
     /** Deterministic 16-bit mono PCM WAV fixture: `nFrames` samples of
       * a seed-keyed integer waveform, containerized by the JDK's WAVE
       * writer. Decoded header fields are encoder-independent. */
@@ -212,20 +279,33 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      // first provider supporting WAVE — AudioSystem.write's own rule,
+      // minus its per-call registry scan (see fileWriters)
+      fileWriters.find(_.isFileTypeSupported(wave, ais)) match {
+        case Some(w) => w.write(ais, wave, bos)
+        case None => // no platform WAVE writer: fall back to the registry
+          javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+      }
       bos.toByteArray
     }
 
     def decode(mediaId: Long, bytes: Array[Byte]): AudioMeta = {
-      val aff = try javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          throw new IllegalArgumentException(
-            s"media_id=$mediaId: bytes are not a decodable audio " +
-              s"container", e)
+      // same first-provider-that-parses rule as AudioSystem
+      // .getAudioFileFormat, with the provider list cached (fileReaders)
+      var aff: javax.sound.sampled.AudioFileFormat = null
+      val it = fileReaders.iterator
+      while (aff == null && it.hasNext) {
+        try aff = it.next().getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
       }
+      if (aff == null)
+        throw new IllegalArgumentException(
+          s"media_id=$mediaId: bytes are not a decodable audio " +
+            s"container")
       val fmt = aff.getFormat
       val rate = fmt.getSampleRate.toInt
       val frames = aff.getFrameLength.toLong

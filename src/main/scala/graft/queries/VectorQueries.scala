@@ -347,10 +347,15 @@ object VectorQueries extends QueryGroup {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val media = Tables.documents(spark, dir)
+    // spreadForKernel: the (id, w, h) proxy rows repartition across the
+    // session's cores BEFORE the encode→decode kernel — a single small
+    // parquet file otherwise scans as one task and the codec runs
+    // single-threaded (guide §2.5); the exchange moves ~16-byte rows,
+    // the image bytes are synthesized after it (guide §2.3/§8).
+    val media = Multimodal.spreadForKernel(Tables.documents(spark, dir)
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
-        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h"))
+        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h")))
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>
         Multimodal.MediaRow(id, Multimodal.encodePng(w, h, id), "image")
@@ -367,10 +372,11 @@ object VectorQueries extends QueryGroup {
     * contract + literal true). */
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.documents(spark, dir)
+    // same spreadForKernel rationale as [[multimodalMeta]]
+    val media = Multimodal.spreadForKernel(Tables.documents(spark, dir)
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
-        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h"))
+        (pmod(col("doc_id") * 31, lit(48)) + 1).cast("int").as("h")))
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>
         Multimodal.MediaRow(id, Multimodal.encodePng(w, h, id), "image")
@@ -387,9 +393,10 @@ object VectorQueries extends QueryGroup {
     * doc_id arithmetic if the encode→decode round trip preserved them. */
   def audioMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // same spreadForKernel rationale as [[multimodalMeta]]
+    Multimodal.spreadForKernel(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        (pmod(col("doc_id") * 7, lit(900)) + 100).cast("int").as("frames"))
+        (pmod(col("doc_id") * 7, lit(900)) + 100).cast("int").as("frames")))
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, frames) =>
         Multimodal.WavCodec.decode(id,
