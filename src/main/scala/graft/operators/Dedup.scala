@@ -314,7 +314,10 @@ object Dedup {
     * aggregation with 64 conditional sums, reassembled with shifts.
     */
   def simhash64(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextStats.tokens(text)).as("tok"))
+    // Spread.up: tokenize + 64 conditional partial sums are the CPU
+    // kernel; a one-split scan would run them single-threaded
+    val toks = Spread.up(df.select(col(idCol), text.as("__t")), col(idCol))
+      .select(col(idCol), explode(TextStats.tokens(col("__t"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = Seq.tabulate(64) { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
@@ -365,7 +368,10 @@ object Dedup {
       element_at(lut, instr(lit("0123456789abcdef"),
         substring(col("__h"), 1 + i, 1)).cast("int")).as(s"__p$i")
     }
-    val toks = df.select(col(idCol), explode(TextStats.tokens(text)).as("tok"))
+    // Spread.up: md5-per-token + 16 lane-packed partial sums are the
+    // CPU kernel — same one-split-scan rationale as [[simhash64]]
+    val toks = Spread.up(df.select(col(idCol), text.as("__t")), col(idCol))
+      .select(col(idCol), explode(TextStats.tokens(col("__t"))).as("tok"))
       .withColumn("__h", md5(col("tok")))
       .select(col(idCol) +: packed: _*)
     val sums = Seq.tabulate(16)(i => sum(col(s"__p$i")).as(s"__s$i"))

@@ -36,7 +36,10 @@ object Drift {
                 topK: Int = 50): DataFrame = {
     require(topK >= 1)
     def counts(df: DataFrame, as: String) =
-      df.select(explode(TextStats.tokens(text)).as("term"))
+      // Spread.up: tokenize+explode+partial-agg single-threaded on a
+      // one-split scan otherwise (guide §2.5)
+      Spread.up(df.select(text.as("__t")))
+        .select(explode(TextStats.tokens(col("__t"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("term").agg(count(lit(1)).as(as))
     // vocabulary-sized; feeds the totals aggregate AND the final
@@ -74,13 +77,15 @@ object Drift {
     * @return (source, n_tokens, n_oov, oov_rate) */
   def oovRate(newDf: DataFrame, refDf: DataFrame, text: Column,
               source: Column): DataFrame = {
-    val refVocab = refDf
-      .select(explode(TextStats.tokens(text)).as("term"))
+    // Spread.up ×2: same one-split-scan rationale as [[termDrift]]
+    val refVocab = Spread.up(refDf.select(text.as("__t")))
+      .select(explode(TextStats.tokens(col("__t"))).as("term"))
       .filter(length(col("term")) > 0)
       .distinct()
       .withColumn("__in_ref", lit(1))
-    newDf.select(source.as("source"),
-        explode(TextStats.tokens(text)).as("term"))
+    Spread.up(newDf.select(source.as("source"), text.as("__t")))
+      .select(col("source"),
+        explode(TextStats.tokens(col("__t"))).as("term"))
       .filter(length(col("term")) > 0)
       .join(refVocab.hint("shuffle_hash"), Seq("term"), "left")
       .groupBy("source")

@@ -48,8 +48,11 @@ object Dsir {
     * Consumers must count `w`, not rows. */
   private def tokenBuckets(df: DataFrame, idCol: String, text: Column,
                            b: Int): DataFrame =
-    df.select(col(idCol),
-        explode_outer(TextStats.tokens(text)).as("w"))
+    // Spread.up: tokenize + md5-bucket per token is the kernel stage —
+    // single-threaded on a one-split scan otherwise (guide §2.5)
+    Spread.up(df.select(col(idCol), text.as("__t")), col(idCol))
+      .select(col(idCol),
+        explode_outer(TextStats.tokens(col("__t"))).as("w"))
       .withColumn("f", bucketOf(col("w"), b))
 
   /** Importance weights for every document of `docs`, with `target` the

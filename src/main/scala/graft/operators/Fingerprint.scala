@@ -49,8 +49,16 @@ object Fingerprint {
       .partitionBy(idCol).orderBy("__pos")
     val parts = col("__tok") +:
       (1 until n).map(j => lead(col("__tok"), j).over(byPos))
-    df.select(col(idCol),
-        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")))
+    // Spread.up BEFORE the explode (guide §2.3/§2.4): the id-hash
+    // exchange this window needs anyway moves WHOLE DOCS here instead
+    // of exploded per-token rows (strictly fewer bytes), and the
+    // tokenize+explode kernel parallelizes past a one-split scan —
+    // the window's ClusteredDistribution(id) is satisfied by the
+    // repartition, so no second exchange appears.
+    Spread.up(df.select(col(idCol), text.as("__sh_text")), col(idCol))
+      .select(col(idCol),
+        posexplode(TextStats.tokens(col("__sh_text")))
+          .as(Seq("__pos", "__tok")))
       .withColumn("sh",
         when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("sh").isNotNull)
@@ -139,8 +147,15 @@ object Fingerprint {
     val combined = (1 until n).foldLeft(col("__h0")) { (acc, j) =>
       xxhash64(acc, lead(col("__h0"), j).over(w))
     }
-    df.select(col(idCol) +: carry.map(col) :+
-        posexplode(TextStats.tokens(text)).as(Seq("__pos", "__tok")): _*)
+    // Spread.up before the explode — same rationale as
+    // [[explodedShingles]]: the doc-keyed exchange the window forces
+    // anyway moves whole docs, not exploded tokens, and the tokenize/
+    // hash kernel parallelizes past a one-split scan.
+    Spread.up(df.select(col(idCol) +: carry.map(col) :+
+        text.as("__sh_text"): _*), col(idCol))
+      .select(col(idCol) +: carry.map(col) :+
+        posexplode(TextStats.tokens(col("__sh_text")))
+          .as(Seq("__pos", "__tok")): _*)
       .withColumn("__h0", xxhash64(col("__tok")))
       .withColumn("sh", // trailing positions lack a full window
         when(lead(col("__h0"), n - 1).over(w).isNotNull, combined))

@@ -43,7 +43,10 @@ object NgramLm {
     * "w1 w2" shingle string — bigram semantics cannot drift. */
   private def pairPostings(df: DataFrame, idCol: String,
                            text: Column): DataFrame =
-    df.select(col(idCol), TextStats.tokens(text).as("__t"))
+    // Spread.up: the tokenize+posexplode projection is the kernel
+    // stage — single-threaded on a one-split scan (guide §2.5)
+    Spread.up(df.select(col(idCol), text.as("__raw")), col(idCol))
+      .select(col(idCol), TextStats.tokens(col("__raw")).as("__t"))
       .select(col(idCol), col("__t"),
         posexplode(col("__t")).as(Seq("__pos", "w1")))
       // posexplode is 0-based, element_at 1-based: successor = t[i+2];

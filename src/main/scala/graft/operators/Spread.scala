@@ -24,9 +24,24 @@ import org.apache.spark.sql.{Column, DataFrame}
   * round-robin.
   */
 object Spread {
+  /** The `df.rdd.getNumPartitions` probe pays a physical-planning pass
+    * per CALL; queries that spread several inputs (bigram LM sides,
+    * BM25's tf + dl) were paying it on every construction. Memoize per
+    * (session, analyzed-plan semantic hash) — the count is a property
+    * of the scan layout, not the call site. A hash collision could only
+    * mis-decide WHETHER to repartition (performance, never results). */
+  private val partsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]()
+
+  private def inputParts(df: DataFrame): Int =
+    partsCache.computeIfAbsent(
+      (System.identityHashCode(df.sparkSession),
+        df.queryExecution.analyzed.semanticHash()),
+      _ => df.rdd.getNumPartitions).intValue()
+
   def up(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (inputParts(df) >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
   }

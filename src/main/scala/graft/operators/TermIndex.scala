@@ -30,7 +30,11 @@ object TermIndex {
   /** One row per (id, term) with its in-document occurrence count —
     * the shared base relation (one explode, one combinable aggregate). */
   def termFrequencies(df: DataFrame, idCol: String, text: Column): DataFrame =
-    df.select(col(idCol), explode(TextStats.tokens(text)).as("term"))
+    // Spread.up: tokenize+explode+partial-agg is the kernel stage; a
+    // one-split scan runs it single-threaded (guide §2.5). Hash on id
+    // — the (id, term) aggregate's partials re-shuffle either way.
+    Spread.up(df.select(col(idCol), text.as("__t")), col(idCol))
+      .select(col(idCol), explode(TextStats.tokens(col("__t"))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
 
   /** Top-`k` most distinctive terms per document, ranked by tf/df

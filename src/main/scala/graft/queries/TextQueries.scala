@@ -300,7 +300,9 @@ object TextQueries extends QueryGroup {
     * every rule fires with real counts on both engines instead of
     * comparing structural zeros. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Spread.up: the decorate + rule battery is a heavy regex kernel
+    // over whole docs — single-threaded on a one-split scan otherwise
+    val docs = Spread.up(Tables.documents(spark, dir), col("doc_id"))
     val m = pmod(col("doc_id"), lit(6))
     val decorated = docs.withColumn("__t",
       when(m === 0, regexp_replace(col("text"), lit(" table "),
