@@ -35,7 +35,7 @@ object WeightedQuantile {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(value.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = df
+    val withCum = graft.operators.Spread.up(df, keyCols: _*)
       .withColumn("__v", value)
       .withColumn("__w", weight)
       .withColumn("__cw", sum(col("__w")).over(w))

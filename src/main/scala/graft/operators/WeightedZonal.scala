@@ -19,7 +19,9 @@ import graft.functions.Exact
 object WeightedZonal {
   def apply(df: DataFrame, keys: Seq[String], value: Column, weight: Column,
             outCol: String = "wavg"): DataFrame =
-    df.groupBy(keys.map(col): _*)
+    // Spread.up by the zone keys — same one-split-scan rationale as
+    // [[ZonalStats]]; the decimal-sum partials are the kernel
+    Spread.up(df, keys.map(col): _*).groupBy(keys.map(col): _*)
       .agg(
         (Exact.dsum(value * weight) / Exact.dsum(weight)).as(outCol),
         Exact.dsum(value * weight).as(s"${outCol}_num"),

@@ -27,7 +27,12 @@ import graft.functions.Exact
 object ZScore {
   def apply(df: DataFrame, climKeys: Seq[String], value: Column,
             outCol: String = "zscore"): DataFrame = {
-    val withV = df.withColumn("__z_v", value)
+    // Spread.up by the climatology keys: one repartition serves BOTH
+    // the climatology aggregate and the join back on the same keys
+    // (hash(climKeys) satisfies each side's clustering); the decimal
+    // moment partials parallelize past a one-split scan (guide §2.5).
+    val withV = Spread.up(df.withColumn("__z_v", value),
+      climKeys.map(col): _*)
     val clim = withV.groupBy(climKeys.map(col): _*)
       .agg(
         Exact.davg(col("__z_v")).as("__mu"),

@@ -36,7 +36,11 @@ object ZonalStats {
     val flat = percentiles.zipWithIndex.map { case ((n, _), i) =>
       col("__pcts").getItem(i).as(s"${prefix}_$n")
     }
-    withV.groupBy(keys.map(col): _*)
+    // Spread.up by the zone keys: the percentile counts-map partials
+    // are the CPU kernel — single-threaded on a one-split scan
+    // otherwise (guide §2.5); hash(keys) satisfies the aggregate's
+    // clustering, so no second exchange appears.
+    Spread.up(withV, keys.map(col): _*).groupBy(keys.map(col): _*)
       .agg(
         min(col("__zonal_v")).as(s"${prefix}_min"),
         pctCol.as("__pcts"),

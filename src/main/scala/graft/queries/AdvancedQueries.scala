@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.Exact
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Spread}
 
 /** Relational capabilities beyond the reference's authored surface that
   * SURVEY §2 notes as "free in Spark" (grouping sets, ranking/lead-lag,
@@ -164,7 +164,11 @@ object AdvancedQueries extends QueryGroup {
   def statsMoments(spark: SparkSession, dir: String): DataFrame = {
     val x = col("value")
     val y = col("user_id").cast("double")
-    Tables.events(spark, dir)
+    // Spread.up (keyless: only 4 event types — hashing on the group
+    // key would use 4 of 32 cores): the six decimal power sums are the
+    // kernel, single-threaded on a one-split scan otherwise; partials
+    // fold to one row per (task, group) before the exchange.
+    Spread.up(Tables.events(spark, dir))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         Exact.dsum(x).as("sx"), Exact.dsum(y).as("sy"),
@@ -330,7 +334,11 @@ object AdvancedQueries extends QueryGroup {
     * flag; the oracle computes the exact median (bit-equal to DuckDB's
     * quantile_cont) and literal true. */
   def approxQuantile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // Spread.up (keyless: 3 return flags): parallelizes the percentile
+    // sort-buffer partials past the one-split lineitem scan; partial
+    // buffers merge map-side at the 3-key exchange as before
+    Spread.up(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       // ONE array-form exact percentile: all three rank points come out
       // of a single sort buffer (three scalar percentile aggs would

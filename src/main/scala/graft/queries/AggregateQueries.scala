@@ -41,7 +41,10 @@ object AggregateQueries extends QueryGroup {
 
   /** W1: trailing 3/7/14/30-day rolling sums over the daily series. */
   def w1Rollsum(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    // Spread.up by user: one repartition serves the daily aggregate
+    // AND the rolling windows (both keyed by user) — and parallelizes
+    // the kernel past the one-split events scan (guide §2.4/§2.5)
+    val daily = Spread.up(Tables.events(spark, dir), col("user_id"))
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast(Exact.DecimalT)).as("v_dec"))
     Rolling.trailingDaySums(daily, Seq("user_id"), col("day"),
@@ -59,7 +62,8 @@ object AggregateQueries extends QueryGroup {
     * shortcut is reproduced in the oracle via
     * [[Exact.sql.sparkPercentile]]. */
   def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    // Spread.up by user — same shared-exchange rationale as w1_rollsum
+    val daily = Spread.up(Tables.events(spark, dir), col("user_id"))
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast(Exact.DecimalT)).cast("double").as("v"))
     val w = org.apache.spark.sql.expressions.Window
@@ -243,7 +247,10 @@ object AggregateQueries extends QueryGroup {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         col("ts").cast("date").as("day"), col("value"))
-    ev.write.partitionBy("day").parquet(path)
+    // Spread.up by day: a one-split scan otherwise writes every day
+    // directory from a single task, serially (guide §2.5/§6); hashed
+    // on the partition column so each day lands in one task = one file
+    Spread.up(ev, col("day")).write.partitionBy("day").parquet(path)
     graft.operators.Sink.deleteKeys(spark, path,
       ev.filter(col("user_id") % 37 === 0).select("user_id"),
       keys = Seq("user_id"), partitionCols = Seq("day"))
