@@ -38,8 +38,11 @@ object Funnel {
   def steps(events: DataFrame, user: Column, kind: Column, ts: Column,
             stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val ev = events.select(user.as("user_id"), kind.as("__kind"),
-      ts.as("__us"))
+    // Spread.up by entity: one repartition serves EVERY stage
+    // aggregate and join in the chain (all keyed user_id) and
+    // parallelizes the kernel past a one-split scan (guide §2.4/§2.5)
+    val ev = Spread.up(events.select(user.as("user_id"),
+      kind.as("__kind"), ts.as("__us")), col("user_id"))
 
     // stage 0: unconditional earliest occurrence
     val head = ev.filter(col("__kind") === stages.head)
@@ -85,7 +88,10 @@ object Retention {
     * `approx_count_distinct` when cells × users no longer fit a
     * two-level exact distinct — the operator shape is unchanged. */
   def cohorts(events: DataFrame, user: Column, ts: Column): DataFrame = {
-    val ev = events.select(user.as("user_id"), to_date(ts).as("__day"))
+    // Spread.up by entity — serves the first-touch aggregate AND the
+    // join back (both keyed user_id); see Funnel.steps
+    val ev = Spread.up(events.select(user.as("user_id"),
+      to_date(ts).as("__day")), col("user_id"))
     val first = ev.groupBy("user_id").agg(min(col("__day")).as("cohort_day"))
     ev.join(first, "user_id")
       .select(col("cohort_day"),
@@ -115,8 +121,9 @@ object RollingActives {
   def distinctOverWindow(events: DataFrame, user: Column, ts: Column,
                          windowDays: Int = 7): DataFrame = {
     require(windowDays > 0)
-    val pairs = events
-      .select(user.as("user_id"), to_date(ts).as("__day")).distinct()
+    val pairs = Spread.up(events
+      .select(user.as("user_id"), to_date(ts).as("__day")),
+      col("user_id"), col("__day")).distinct()
     pairs
       .select(col("user_id"), explode(sequence(lit(0),
         lit(windowDays - 1))).as("__off"), col("__day"))
@@ -154,9 +161,11 @@ object Scd2 {
     // front on both sides. Without the filter the two forms diverge:
     // lag() can't tell "no predecessor" from "null predecessor", and
     // GroupState.update(null) throws. Pinned by StreamOpsSpec.
-    val ev = events.select(user.as("user_id"), attr.as("attr"),
+    // Spread.up by entity: the repartition satisfies both windows'
+    // clustering (see Funnel.steps for the one-split-scan rationale)
+    val ev = Spread.up(events.select(user.as("user_id"), attr.as("attr"),
         ts.as("__us"), tiebreak.as("__tb"))
-      .filter(col("attr").isNotNull)
+      .filter(col("attr").isNotNull), col("user_id"))
     val w = Window.partitionBy("user_id").orderBy(col("__us"), col("__tb"))
     val changes = ev
       .withColumn("__prev", lag(col("attr"), 1).over(w))

@@ -201,7 +201,9 @@ object AdvancedQueries extends QueryGroup {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")), col("event_id"))
-    Tables.events(spark, dir)
+    // Spread.up by user: the repartition satisfies the window AND the
+    // session aggregate (guide §2.4/§2.5 — one-split events scan)
+    Spread.up(Tables.events(spark, dir), col("user_id"))
       .withColumn("__us", unix_micros(col("ts")))
       .withColumn("__gap_new",
         when(col("__us") - lag(col("__us"), 1).over(w) > 1800L * 1000000L

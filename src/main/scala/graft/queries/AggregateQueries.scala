@@ -304,7 +304,10 @@ object AggregateQueries extends QueryGroup {
     val ev = Tables.events(spark, dir)
       .select(col("ts").cast("date").as("day"), col("event_type"),
         col("value"))
-    def rollup(df: DataFrame): DataFrame = df
+    // Spread.up by day inside the rollup: parallelizes the decimal-sum
+    // partials past the one-split events scan; day-hashed output also
+    // writes each day directory from one task (guide §2.5/§6)
+    def rollup(df: DataFrame): DataFrame = Spread.up(df, col("day"))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
     // bootstrap: serve everything before the cutover day

@@ -17,8 +17,12 @@ import graft.operators._
 object VectorQueries extends QueryGroup {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
-      Similarity.asDouble(col("embedding")).as("vec"))
+    // Spread.up by vec id: every consumer's per-vector kernel (cosine
+    // / centroid-assignment dot products over the array column) would
+    // otherwise run inside the single scan task of the one-split
+    // embeddings file (guide §2.5)
+    Spread.up(Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("vec")), col("id"))
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
