@@ -290,6 +290,10 @@ object AdvancedQueries extends QueryGroup {
     * (naive mixed form at rsd=0.01) → the distinct exchange + a
     * 2M-row sketch pass. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread (measured 0.86 -> 1.11 s): the scan-stage partial
+    // distinct reduces 600k rows to ~60k pairs before the exchange —
+    // spreading would ship the raw rows (guide §2.3 "aggregate before
+    // you shuffle" wins over kernel parallelism here)
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
@@ -311,9 +315,12 @@ object AdvancedQueries extends QueryGroup {
     * inside Spark per user and emits the exact distinct + the flag; the
     * oracle computes the exact side and literal true. */
   def hllPartialMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // Spread.up by user: one repartition serves the daily sketch agg,
+    // the merge agg, the exact-distinct agg AND the join (all keyed
+    // user_id) — parallel past the one-split events scan
+    val ev = Spread.up(Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
-        col("event_type"))
+        col("event_type")), col("user_id"))
     val daily = ev.groupBy("user_id", "day")
       .agg(expr("hll_sketch_agg(event_type)").as("sk"))
     daily.groupBy("user_id")
