@@ -19,8 +19,14 @@ object CoreQueries extends graft.QueryGroup {
     * rows. Safe at 100 TB; no skew risk (tiny key domain).
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+    // Spread.up (keyless: 6 flag/status groups) AFTER the date filter:
+    // the five decimal aggregates are the kernel, single-threaded on a
+    // one-split lineitem scan otherwise (guide §2.5); the exchange
+    // ships only the filtered, projected rows
+    graft.operators.Spread.up(Tables.lineitem(spark, dir)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Exact.dsum(col("l_quantity")).as("sum_qty"),
