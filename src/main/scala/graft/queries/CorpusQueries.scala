@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.Exact
-import graft.operators.{Dsir, NgramLm, Resample, Scrub, SpanDedup, TermIndex}
+import graft.operators.{Dsir, NgramLm, Resample, Scrub, SpanDedup, Spread, TermIndex}
 
 /** Corpus-curation term/span analytics over `documents`: distinctive-term
   * extraction, corpus-frequency quality scoring, inverted-index
@@ -99,7 +99,9 @@ object CorpusQueries extends QueryGroup {
       "' ' || text"
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // Spread.up: the scrub regex battery is the kernel —
+    // single-threaded on a one-split scan otherwise (guide §2.5)
+    val d = Spread.up(Tables.documents(spark, dir), col("doc_id"))
     Scrub.scrub(d, col("doc_id"), synthPii(d))
   }
 
