@@ -42,6 +42,24 @@ object Bench {
     // pinned to 32). On a real cluster this is the one number that
     // must track input size; AQE coalesces back down when small.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // SPARK_GRAFT_SEQ_ONLY=1 (scale-proof windows only — the driver
+    // never sets it): skips the two concurrent passes; read here
+    // because the periodic-GC choice below depends on the mode.
+    val seqOnly = sys.env.get("SPARK_GRAFT_SEQ_ONLY").exists(_ == "1")
+    // Periodic-GC cadence (see the cleaner comment below). The FULL
+    // battery schedules its own explicit GC+settle at every pass
+    // boundary (between the concurrent passes, before the sequential
+    // timer, after it before the DuckDB pairing), so litter is bounded
+    // per-pass and the timer only needs to cover a runaway pass — 900 s
+    // keeps it from firing MID-pass, where ContextCleaner's bulk
+    // deletes land on whichever query is in flight (the measured
+    // r12/r15 driver-window signature: +8–12 s absorbed by one
+    // arbitrary mid-battery query). Scale batteries (SEQ_ONLY) keep the
+    // 120 s cadence: their single pass runs minutes-to-hours and the
+    // accumulated dead shuffle files are gigabytes (the measured sf10
+    // ENOSPC mode) — there the periodic sweep IS the protection.
+    val periodicGC = sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC",
+      if (seqOnly) "120s" else "900s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -59,7 +77,7 @@ object Bench {
       // for the whole battery, so local disk fills with dead shuffles
       // (measured: triangle_count at sf10 died on ENOSPC under ~75 GB
       // of accumulated spill). Periodic forced GC bounds that litter.
-      .config("spark.cleaner.periodicGC.interval", "120s")
+      .config("spark.cleaner.periodicGC.interval", periodicGC)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -151,17 +169,29 @@ object Bench {
     }
     // best-of-2 passes: the box is shared, and a single pass can absorb
     // co-tenant noise; min-wall is the engine's actual capability.
-    // SPARK_GRAFT_SEQ_ONLY=1 (scale-proof windows only — the driver
-    // never sets it) skips the two concurrent passes: at sf10 a heavy
-    // subset would otherwise run three full times for numbers the
-    // BASELINE.md tables don't quote (they quote SEQUENTIAL seconds).
-    val seqOnly = sys.env.get("SPARK_GRAFT_SEQ_ONLY").exists(_ == "1")
+    // (seqOnly — scale-proof single-pass mode — is read at the top of
+    // main, where the periodic-GC cadence choice needs it.)
     def pass(): (Double, Map[String, Double]) = {
       val wall0 = System.nanoTime()
       val results = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
       ((System.nanoTime() - wall0) / 1e9, results)
     }
+    // explicit pass-boundary cleanup (pairs with the 900 s periodic-GC
+    // cadence above): a forced GC lets ContextCleaner reclaim the
+    // finished pass's shuffle files while NOTHING is being measured,
+    // and the short settle drains its async delete queue — so the next
+    // pass never competes with bulk deletes of the previous one's
+    // litter. Durations are recorded in the artifact (quiesce_mid_sec /
+    // quiesce_postseq_sec) so a reader can see what each boundary
+    // absorbed.
+    def boundaryQuiesce(settleMs: Long): Double = {
+      val t0 = System.nanoTime()
+      System.gc()
+      Thread.sleep(settleMs)
+      (System.nanoTime() - t0) / 1e9
+    }
     val (w1, r1) = if (seqOnly) (-1.0, Map.empty[String, Double]) else pass()
+    val quiesceMid = if (seqOnly) 0.0 else boundaryQuiesce(750)
     val (w2, r2) = if (seqOnly) (-1.0, Map.empty[String, Double]) else pass()
     pool.shutdown()
     val wall = math.min(w1, w2)
@@ -263,6 +293,11 @@ object Bench {
     val seqWall = (System.nanoTime() - seqT0) / 1e9
     if (seqTrace) System.err.println(
       f"[seqtrace] TOTAL build=$trBuild%.2f plan=$trPlan%.2f of seq_wall=$seqWall%.2f")
+    // post-sequential quiesce BEFORE the DuckDB pairing's timer starts:
+    // the sequential pass's own deferred shuffle-file deletes must not
+    // be paid by the duck battery — that would quietly flatter the
+    // spark/duck ratio the artifact exists to report.
+    val quiescePostSeq = boundaryQuiesce(if (seqOnly) 250 else 1000)
     // ---- in-window DuckDB pairing (the self-calibrating baseline) ----
     // Cross-window wall-clock ratios on a shared box are ±40% noise
     // (BASELINE.md measurement rules), so the only DuckDB number
@@ -391,7 +426,7 @@ object Bench {
       }
     val warmupOk = warmInit._1 && warmReseq._1
     val warmJson =
-      s""","warmup_ok":$warmupOk,"warmup_initial_ok":${warmInit._1},"warmup_initial_sec":${warmInit._2},"warmup_reseq_ok":${warmReseq._1},"warmup_reseq_sec":${warmReseq._2},"quiesce_sec":$quiesceSec""" +
+      s""","warmup_ok":$warmupOk,"warmup_initial_ok":${warmInit._1},"warmup_initial_sec":${warmInit._2},"warmup_reseq_ok":${warmReseq._1},"warmup_reseq_sec":${warmReseq._2},"quiesce_sec":$quiesceSec,"quiesce_mid_sec":$quiesceMid,"quiesce_postseq_sec":$quiescePostSeq""" +
       (if (warmInit._3.nonEmpty && warmInit._3 != "skipped")
         s""","warmup_initial_err":"${esc(warmInit._3)}"""" else "") +
       (if (warmReseq._3.nonEmpty && warmReseq._3 != "skipped")

@@ -116,10 +116,35 @@ object NgramLm {
     // not a collected scalar, so the whole score stays one lazy plan
     val vocab = uni.agg(count(lit(1)).as("v"))
     val sb = pairPostings(docs, idCol, coalesce(text, lit("")))
-    val scored = sb
-      .join(bi.hint("shuffle_hash"),
-        col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
-      .join(uni.hint("shuffle_hash"), col("w1") === col("w1u"), "left")
+    // Join-strategy choice is SIZE-ADAPTIVE (guide §3.1 "pick the join
+    // strategy deliberately"; the [[Components]] local/distributed
+    // hybrid, applied to a join). The model is known-small-or-known-big
+    // only at runtime, and Catalyst's size ESTIMATE for a two-aggregate
+    // subtree is useless, so measure it: pairCounts is persisted and
+    // counted (the count materializes the cache the first consumer
+    // needs anyway, so it is not an extra pass), and when the model
+    // fits the session's own broadcast budget
+    // (spark.sql.autoBroadcastJoinThreshold, ~48 B/pair measured in
+    // the cache manager) BOTH lookups broadcast — the scored token
+    // stream then never shuffles for the lookups and the final per-doc
+    // aggregate reuses the Spread repartition (measured at sf0.1:
+    // 1.12 → 0.66 s solo, 3 occurrence-sized exchanges → 0). A model
+    // past the budget keeps the postings-style shuffle_hash joins —
+    // the 100 TB shape where the bigram table outgrows executor
+    // memory (a KenLM-sized model broadcasts; a web-corpus one
+    // partitions).
+    val bcBudget =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val modelFits = bcBudget > 0 &&
+      pairCounts.count() * 48L <= bcBudget
+    val scored = (if (modelFits)
+      sb.join(broadcast(bi),
+          col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
+        .join(broadcast(uni), col("w1") === col("w1u"), "left")
+    else
+      sb.join(bi.hint("shuffle_hash"),
+          col("w1") === col("w1b") && col("w2") === col("w2b"), "left")
+        .join(uni.hint("shuffle_hash"), col("w1") === col("w1u"), "left"))
       .crossJoin(broadcast(vocab))
       // exact longs in, one correctly-rounded IEEE division out;
       // NULL on the sentinel rows so the per-doc mean skips them

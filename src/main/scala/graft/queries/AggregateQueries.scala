@@ -169,17 +169,33 @@ object AggregateQueries extends QueryGroup {
     // the classic sink-read anti-pattern — stride the key range over
     // parallel cursors (embedded Derby serves concurrent readers
     // in-JVM; on a server database these are concurrent connections).
-    // Bounds come from the written key range: predicates on the
-    // stride column route every row, bounds only shape the split.
-    val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
-    // empty input leaves min/max NULL (getLong would NPE) and a
-    // single-key table makes the stride degenerate — both fall back to
-    // the plain one-cursor read, which handles them fine
-    if (bounds.isNullAt(0) || bounds.getLong(0) >= bounds.getLong(1))
-      spark.read.jdbc(url, "orders_keyed", props)
-    else
-      spark.read.jdbc(url, "orders_keyed", "o_orderkey",
-        bounds.getLong(0), bounds.getLong(1), 8, props)
+    // Bounds come from the WRITTEN key range, asked of the store
+    // itself over a direct connection (milliseconds on an embedded
+    // engine) — a Spark agg over the source would re-scan orders as a
+    // whole extra job just to shape the split (guide §1.2). Predicates
+    // on the stride column route every row; bounds only shape it.
+    val bounds = {
+      val con = java.sql.DriverManager.getConnection(url)
+      try {
+        // the Spark JDBC writer creates COLUMNS quoted (exact case)
+        // but passes the TABLE name through unquoted — match both
+        val rs = con.createStatement().executeQuery(
+          "SELECT MIN(\"o_orderkey\"), MAX(\"o_orderkey\") FROM orders_keyed")
+        rs.next()
+        val lo = rs.getLong(1); val loNull = rs.wasNull()
+        val hi = rs.getLong(2)
+        rs.close()
+        if (loNull) None else Some((lo, hi))
+      } finally con.close()
+    }
+    // an empty table leaves min/max NULL and a single-key table makes
+    // the stride degenerate — both fall back to the plain one-cursor
+    // read, which handles them fine
+    bounds match {
+      case Some((lo, hi)) if lo < hi =>
+        spark.read.jdbc(url, "orders_keyed", "o_orderkey", lo, hi, 8, props)
+      case _ => spark.read.jdbc(url, "orders_keyed", props)
+    }
   }
 
   /** The same seed→upsert→read-back contract through the reference

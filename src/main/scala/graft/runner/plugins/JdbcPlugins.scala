@@ -286,10 +286,36 @@ object JdbcWritePlugin extends StepPlugin {
       if (url.startsWith("jdbc:duckdb:"))
         graft.sources.DuckGate.withDuck(f)
       else f
+    // Embedded single-user stores answer COUNT(*) in milliseconds over
+    // a direct connection; `incoming.count()` would instead re-run the
+    // whole incoming Spark plan (scan + filters) as a second job just
+    // to report rows written (guide §1.2: don't compute things you
+    // throw away). Post-minus-pre counting is exact here because the
+    // store is embedded (this JVM is the only writer — DuckDB work is
+    // additionally serialized under DuckGate). Server databases keep
+    // the Spark-side count: a concurrent writer would skew the delta.
+    val embedded =
+      url.startsWith("jdbc:derby:") || url.startsWith("jdbc:duckdb:")
+    def storeCount(): Long = {
+      val con = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = con.createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); val n = rs.getLong(1); rs.close(); n
+      } catch {
+        case _: java.sql.SQLException => 0L // table absent
+      } finally con.close()
+    }
     gated { mode match {
       case "overwrite" | "append" =>
-        physicalWrite(incoming, url, table, mode, props)
-        incoming.count()
+        if (embedded) {
+          val before = if (mode == "append") storeCount() else 0L
+          physicalWrite(incoming, url, table, mode, props)
+          storeCount() - before
+        } else {
+          physicalWrite(incoming, url, table, mode, props)
+          incoming.count()
+        }
       case "upsert" =>
         require(keys.nonEmpty, "jdbc_write mode:upsert needs keys")
         val existing =

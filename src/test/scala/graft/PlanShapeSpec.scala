@@ -817,12 +817,25 @@ class PlanShapeSpec extends SparkSpecBase {
       p.take(4000))
   }
 
-  test("ngram_lm_score joins postings shuffle-side; vocab rides a 1-row broadcast") {
+  test("ngram_lm_score lookups are size-adaptive: broadcast when the model fits, shuffle-hash past the budget") {
+    // r16: the LM lookup strategy follows the measured model size
+    // against the session's own broadcast budget. At spec scale the
+    // model fits → BOTH lookups broadcast and the scored token stream
+    // never shuffles for them...
     val df = queries.CorpusQueries.ngramLmScore(spark, sf)
     val p = plan(df)
-    // bigram/unigram count tables grow with the training slice — they
-    // must join the scored postings by shuffle hash, never broadcast
-    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // ...and with broadcast disabled (the stand-in for a model past
+    // the budget — the 100 TB web-corpus shape) the lookups fall back
+    // to the postings-style shuffle-hash joins, never a sort-merge or
+    // nested loop over the occurrence stream
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val pBig = plan(queries.CorpusQueries.ngramLmScore(spark, sf))
+      assert(pBig.contains("ShuffledHashJoin"), pBig.take(4000))
+    } finally spark.conf.set(key, saved)
     // the only nested-loop allowed is the broadcast of the 1-row vocab
     // aggregate; an unbounded corpus cross join would be a scale bug
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
