@@ -64,11 +64,15 @@ object SpanDedup {
     * dashboards where a hard drop is too blunt.
     *
     * Shapes at 100 TB: both sides fold to DISTINCT (doc, shingle) /
-    * (shingle) rows first; the overlap join is a shuffle equi-join on
-    * the shingle key against the benchmark-sized (≪ corpus) distinct
-    * n-gram set, multiplicity ≤ 1 per (doc, shingle) by construction
-    * — no posting-list blowup, no df cap needed. Documents shorter
-    * than `n` tokens emit no row (they have no n-grams to test).
+    * (shingle) rows first; the benchmark-side distinct n-gram set is
+    * BENCHMARK-sized (an eval set, bounded by construction — ≪ corpus
+    * at every scale) and BROADCASTS to the overlap join, the same
+    * contract [[Decontaminate]] runs on — the corpus-side gram stream
+    * then never reshuffles onto the shingle key (its only exchange is
+    * its own distinct). Multiplicity is ≤ 1 per (doc, shingle) by
+    * construction — no posting-list blowup, no df cap needed.
+    * Documents shorter than `n` tokens emit no row (they have no
+    * n-grams to test).
     * Output: (id, n_grams, n_matched, contamination) with the ratio
     * one IEEE division of exact integer counts. */
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
@@ -80,8 +84,14 @@ object SpanDedup {
     val benchSet = Fingerprint
       .explodedShingleHashOccurrences(benchmark, idCol, text, n)
       .select(col("sh")).distinct()
-    grams.join(benchSet.withColumn("__hit", lit(1))
-        .hint("shuffle_hash"), Seq("sh"), "left")
+    // r16: broadcast, not shuffle_hash — the join's small side is the
+    // EVAL SET's distinct n-grams (bounded by construction), exactly
+    // the relation Decontaminate already broadcasts; shuffling the
+    // corpus gram stream onto the shingle key to meet it was a second
+    // corpus-sized exchange for a benchmark-sized lookup (guide §3.1;
+    // measured 0.78 -> 0.63 s solo at sf0.1)
+    grams.join(broadcast(benchSet.withColumn("__hit", lit(1))),
+      Seq("sh"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
       .withColumn("contamination",
